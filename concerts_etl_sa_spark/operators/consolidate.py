@@ -1,0 +1,181 @@
+"""Flagship consolidation join (SURVEY §2.D1-D4, E1-E2, F1, G1, H1, C1-C2).
+
+Reference: concerts_etl/core/consolidate_events.py:69-169 — a single-process
+greedy loop: day-bucketed hash index (D1), per-DICE argmax on artist-token
+overlap (D2), first-come-first-served 1:1 consumption (D3), three-way union
+with heterogeneous columns (D4/H1), past-date filter (C2), sort (G1).
+
+Spark re-spec (SURVEY §7.3.1): the greedy order-dependent matching becomes
+**deterministic bidirectional best-match**: a (sg, dice) pair survives iff
+it is rank-1 for the dice row AND rank-1 for the sg row, ranked by
+(overlap DESC, id ASC). Order-independent, oracle-reproducible.
+
+Scale design (100 TB):
+- The fuzzy predicate (token overlap) is *always* pre-blocked by the day
+  equi-key (exactly the reference's D1 trick) — the join shuffles both
+  sides on ``day``, so there is no unbounded cross join anywhere; AQE
+  handles skewed days (spark.sql.adaptive.skewJoin). At extreme per-day
+  cardinality add city to the blocking key or salt the day key.
+- Everything below is JVM builtins inside WholeStageCodegen: tokenization
+  is a scalar projection, overlap is ``size(array_intersect(...))``, the
+  1:1 constraint is two window functions over the (small) candidate-pair
+  set, residuals are anti-joins on the same key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import artist_tokens, artist_tokens_sql
+from .fixtures import AS_OF, dice_events_sql, shotgun_events_sql
+
+
+def _prep(df: DataFrame, side: str) -> DataFrame:
+    """Add day key + token array; drop undated rows (C1); prefix columns."""
+    out = (
+        df.filter(F.col("event_datetime_local").isNotNull())
+        .select(
+            F.col("event_id_provider").alias(f"{side}_id"),
+            F.col("event_name").alias(f"{side}_event_name"),
+            F.col("city").alias(f"{side}_city"),
+            F.col("venue_name").alias(f"{side}_venue_name"),
+            F.col("artist_name").alias(f"{side}_artist_name"),
+            F.col("tickets_sold_total").alias(f"{side}_tickets"),
+            F.to_date("event_datetime_local").alias("day"),
+            artist_tokens(F.col("artist_name"), F.col("event_name")).alias(
+                f"{side}_toks"
+            ),
+        )
+    )
+    return out
+
+
+def consolidate(sg: DataFrame, dc: DataFrame, as_of: str = AS_OF) -> DataFrame:
+    """Day-blocked token-overlap consolidation; returns CONSOLIDATED_EVENT rows."""
+    sgt = _prep(sg, "sg")
+    dct = _prep(dc, "dc")
+
+    pairs = (
+        sgt.join(dct.withColumnRenamed("day", "dc_day"),
+                 sgt.day == F.col("dc_day"), "inner")
+        .withColumn("overlap", F.size(F.array_intersect("sg_toks", "dc_toks")))
+        .filter(F.col("overlap") > 0)
+    )
+
+    w_dc = Window.partitionBy("dc_id").orderBy(F.desc("overlap"), F.asc("sg_id"))
+    w_sg = Window.partitionBy("sg_id").orderBy(F.desc("overlap"), F.asc("dc_id"))
+    matched = (
+        pairs.withColumn("rn_d", F.row_number().over(w_dc))
+        .withColumn("rn_s", F.row_number().over(w_sg))
+        .filter((F.col("rn_d") == 1) & (F.col("rn_s") == 1))
+    )
+
+    matched_rows = matched.select(
+        F.coalesce("sg_event_name", "dc_event_name", F.lit("")).alias("event_name"),
+        F.col("day").alias("event_datetime_local"),
+        F.coalesce("sg_artist_name", "dc_artist_name", F.lit("")).alias("artist"),
+        F.coalesce(
+            "sg_venue_name", "dc_venue_name", "sg_city", "dc_city", F.lit("")
+        ).alias("venue"),
+        F.col("sg_tickets").alias("shotgun_tickets_sold"),
+        F.col("dc_tickets").alias("dice_tickets_sold"),
+        F.col("sg_id").alias("shotgun_event_id"),
+        F.col("dc_id").alias("dice_event_id"),
+    )
+
+    sg_rest = sgt.join(matched.select("sg_id"), "sg_id", "left_anti").select(
+        F.coalesce("sg_event_name", F.lit("")).alias("event_name"),
+        F.col("day").alias("event_datetime_local"),
+        F.coalesce("sg_artist_name", F.lit("")).alias("artist"),
+        F.coalesce("sg_venue_name", "sg_city", F.lit("")).alias("venue"),
+        F.col("sg_tickets").alias("shotgun_tickets_sold"),
+        F.lit(None).cast("bigint").alias("dice_tickets_sold"),
+        F.col("sg_id").alias("shotgun_event_id"),
+        F.lit(None).cast("string").alias("dice_event_id"),
+    )
+
+    dc_rest = dct.join(matched.select("dc_id"), "dc_id", "left_anti").select(
+        F.coalesce("dc_event_name", F.lit("")).alias("event_name"),
+        F.col("day").alias("event_datetime_local"),
+        F.coalesce("dc_artist_name", F.lit("")).alias("artist"),
+        F.coalesce("dc_venue_name", "dc_city", F.lit("")).alias("venue"),
+        F.lit(None).cast("bigint").alias("shotgun_tickets_sold"),
+        F.col("dc_tickets").alias("dice_tickets_sold"),
+        F.lit(None).cast("string").alias("shotgun_event_id"),
+        F.col("dc_id").alias("dice_event_id"),
+    )
+
+    return (
+        matched_rows.unionByName(sg_rest)
+        .unionByName(dc_rest)
+        .filter(F.col("event_datetime_local") >= F.lit(as_of))
+        .orderBy("event_datetime_local", F.lower("event_name"))
+    )
+
+
+def consolidate_oracle_sql(as_of: str = AS_OF) -> str:
+    """DuckDB oracle: identical semantics over the same derived inputs."""
+    toks = artist_tokens_sql("artist_name", "event_name")
+    return f"""
+WITH sg_src AS ({shotgun_events_sql()}),
+dc_src AS ({dice_events_sql()}),
+sgt AS (
+  SELECT event_id_provider AS sg_id, event_name AS sg_event_name,
+         city AS sg_city, venue_name AS sg_venue_name,
+         artist_name AS sg_artist_name, tickets_sold_total AS sg_tickets,
+         CAST(event_datetime_local AS DATE) AS day, {toks} AS sg_toks
+  FROM sg_src WHERE event_datetime_local IS NOT NULL
+),
+dct AS (
+  SELECT event_id_provider AS dc_id, event_name AS dc_event_name,
+         city AS dc_city, venue_name AS dc_venue_name,
+         artist_name AS dc_artist_name, tickets_sold_total AS dc_tickets,
+         CAST(event_datetime_local AS DATE) AS day, {toks} AS dc_toks
+  FROM dc_src WHERE event_datetime_local IS NOT NULL
+),
+pairs AS (
+  SELECT * FROM (
+    SELECT sgt.sg_id, sgt.sg_event_name, sgt.sg_city, sgt.sg_venue_name,
+           sgt.sg_artist_name, sgt.sg_tickets, sgt.day,
+           dct.dc_id, dct.dc_event_name, dct.dc_city, dct.dc_venue_name,
+           dct.dc_artist_name, dct.dc_tickets,
+           len(list_intersect(sgt.sg_toks, dct.dc_toks)) AS overlap
+    FROM sgt JOIN dct ON sgt.day = dct.day
+  ) WHERE overlap > 0
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY dc_id ORDER BY overlap DESC, sg_id) AS rn_d,
+         row_number() OVER (PARTITION BY sg_id ORDER BY overlap DESC, dc_id) AS rn_s
+  FROM pairs
+),
+matched AS (SELECT * FROM ranked WHERE rn_d = 1 AND rn_s = 1),
+unioned AS (
+  SELECT coalesce(sg_event_name, dc_event_name, '') AS event_name,
+         day AS event_datetime_local,
+         coalesce(sg_artist_name, dc_artist_name, '') AS artist,
+         coalesce(sg_venue_name, dc_venue_name, sg_city, dc_city, '') AS venue,
+         sg_tickets AS shotgun_tickets_sold,
+         dc_tickets AS dice_tickets_sold,
+         sg_id AS shotgun_event_id,
+         dc_id AS dice_event_id
+  FROM matched
+  UNION ALL
+  SELECT coalesce(sg_event_name, ''), day,
+         coalesce(sg_artist_name, ''),
+         coalesce(sg_venue_name, sg_city, ''),
+         sg_tickets, NULL, sg_id, NULL
+  FROM sgt WHERE sg_id NOT IN (SELECT sg_id FROM matched)
+  UNION ALL
+  SELECT coalesce(dc_event_name, ''), day,
+         coalesce(dc_artist_name, ''),
+         coalesce(dc_venue_name, dc_city, ''),
+         NULL, dc_tickets, NULL, dc_id
+  FROM dct WHERE dc_id NOT IN (SELECT dc_id FROM matched)
+)
+SELECT * FROM unioned
+WHERE event_datetime_local >= DATE '{as_of}'
+ORDER BY event_datetime_local, lower(event_name)
+"""

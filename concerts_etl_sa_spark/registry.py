@@ -1,0 +1,279 @@
+"""Query registry: every oracle-checked operator query lives here.
+
+Each entry maps a stable name to ``(spark_fn, oracle_sql | None)`` where
+``spark_fn(spark, sf_dir) -> DataFrame`` is the idiomatic-Spark
+implementation and ``oracle_sql`` is the equivalent DuckDB SQL the driver
+runs side-by-side (SURVEY §5.2). Names are grouped by SURVEY §2 operator
+ids. Column names/aliases match between both forms (driver hash contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import dates as Fd
+from .functions import ids as Fi
+from .functions import money as Fm
+from .functions import text as Ft
+from .operators import consolidate as C
+from .operators import fixtures as FX
+from .sources.readers import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _sg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return FX.shotgun_events(load_table(spark, sf_dir, "events"))
+
+
+def _dc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return FX.dice_events(load_table(spark, sf_dir, "events"))
+
+
+_SG_SQL = FX.shotgun_events_sql()
+_DC_SQL = FX.dice_events_sql()
+
+
+# ===================================================================
+# Fixtures (FIXTURES.md §B derivations — oracle-checks the shared base)
+# ===================================================================
+
+@register("fixture_shotgun_events", _SG_SQL)
+def q_fixture_sg(spark, sf_dir):
+    return _sg(spark, sf_dir)
+
+
+@register("fixture_dice_events", _DC_SQL)
+def q_fixture_dc(spark, sf_dir):
+    return _dc(spark, sf_dir)
+
+
+# ===================================================================
+# Flagship consolidation (SURVEY §2.D1-D4)
+# ===================================================================
+
+@register("consolidate_flagship", C.consolidate_oracle_sql())
+def q_consolidate(spark, sf_dir):
+    return C.consolidate(_sg(spark, sf_dir), _dc(spark, sf_dir))
+
+
+# ===================================================================
+# Scalar library (SURVEY §2.B) — each over the derived provider rows
+# ===================================================================
+
+@register(
+    "b02_norm_basic",
+    f"SELECT event_id_provider, {Ft.norm_basic_sql('event_name')} AS norm_name"
+    f" FROM ({_SG_SQL})",
+)
+def q_norm_basic(spark, sf_dir):
+    return _sg(spark, sf_dir).select(
+        "event_id_provider", Ft.norm_basic(F.col("event_name")).alias("norm_name")
+    )
+
+
+@register(
+    "b03_norm_name_legacy",
+    f"SELECT event_id_provider, {Ft.norm_name_sql('event_name')} AS canon_name"
+    f" FROM ({_DC_SQL})",
+)
+def q_norm_name(spark, sf_dir):
+    return _dc(spark, sf_dir).select(
+        "event_id_provider", Ft.norm_name(F.col("event_name")).alias("canon_name")
+    )
+
+
+@register(
+    "b04_artist_tokens",
+    "SELECT event_id_provider, coalesce(list_aggregate("
+    + Ft.artist_tokens_sql("artist_name", "event_name")
+    + ", 'string_agg', ' '), '') AS tokens_str"
+    + f" FROM ({_SG_SQL})",
+)
+def q_artist_tokens(spark, sf_dir):
+    return _sg(spark, sf_dir).select(
+        "event_id_provider",
+        F.array_join(
+            Ft.artist_tokens(F.col("artist_name"), F.col("event_name")), " "
+        ).alias("tokens_str"),
+    )
+
+
+@register(
+    "b06_money_parse",
+    f"""
+SELECT l_orderkey, l_linenumber, money_text,
+       {Fm.parse_money_eur_sql("money_text")} AS amount_eur
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         replace(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                 '.', ',') || ' \u20ac' AS money_text
+  FROM lineitem
+)
+""",
+)
+def q_money(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    money_text = F.concat(
+        F.regexp_replace(
+            F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+            r"\.", ",",
+        ),
+        F.lit(" €"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        money_text.alias("money_text"),
+        Fm.parse_money_eur(money_text).alias("amount_eur"),
+    )
+
+
+@register(
+    "b07_int_parse",
+    f"""
+SELECT o_orderkey, {Fm.parse_int_sql("int_text")} AS n_tickets
+FROM (
+  SELECT o_orderkey, 'Vendus: ' || CAST(o_orderkey % 500 AS VARCHAR)
+         || ' billets' AS int_text
+  FROM orders
+)
+""",
+)
+def q_int(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    int_text = F.concat(
+        F.lit("Vendus: "), (F.col("o_orderkey") % 500).cast("string"),
+        F.lit(" billets"),
+    )
+    return o.select(
+        "o_orderkey", Fm.parse_int(int_text).alias("n_tickets")
+    )
+
+
+@register(
+    "b08_slugify",
+    f"SELECT event_id_provider, {Ft.slugify_sql('event_name')} AS slug"
+    f" FROM ({_SG_SQL})",
+)
+def q_slug(spark, sf_dir):
+    return _sg(spark, sf_dir).select(
+        "event_id_provider", Ft.slugify(F.col("event_name")).alias("slug")
+    )
+
+
+@register(
+    "b09_stable_event_id",
+    "SELECT event_id_provider, "
+    + Fi.stable_event_id_sql(
+        "event_name", "strftime(event_datetime_local, '%Y-%m-%dT%H:%M:%S')"
+    )
+    + f" AS stable_id FROM ({_SG_SQL})",
+)
+def q_stable_id(spark, sf_dir):
+    return _sg(spark, sf_dir).select(
+        "event_id_provider",
+        Fi.stable_event_id(
+            F.col("event_name"),
+            F.date_format("event_datetime_local", "yyyy-MM-dd'T'HH:mm:ss"),
+        ).alias("stable_id"),
+    )
+
+
+@register(
+    "b14_round5",
+    f"SELECT event_id, {Fd.round5_sql('ts')} AS ts5 FROM events",
+)
+def q_round5(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", Fd.round5(F.col("ts")).alias("ts5"))
+
+
+@register(
+    "b15_canonical_key",
+    "SELECT event_id_provider, "
+    + Fd.canonical_key_sql("event_name", "event_datetime_local")
+    + f" AS canonical_key FROM ({_DC_SQL})",
+)
+def q_canonical_key(spark, sf_dir):
+    return _dc(spark, sf_dir).select(
+        "event_id_provider",
+        Fd.canonical_key(
+            F.col("event_name"), F.col("event_datetime_local")
+        ).alias("canonical_key"),
+    )
+
+
+@register(
+    "b16_similarity",
+    "SELECT event_id_provider, round("
+    + Ft.similarity_sql("artist_name", "event_name")
+    + f", 6) AS name_sim FROM ({_SG_SQL})",
+)
+def q_similarity(spark, sf_dir):
+    return _sg(spark, sf_dir).select(
+        "event_id_provider",
+        F.round(
+            Ft.similarity(F.col("artist_name"), F.col("event_name")), 6
+        ).alias("name_sim"),
+    )
+
+
+@register(
+    "b17_artist_venue_split",
+    "SELECT event_id_provider, "
+    + Ft.split_artist_sql("event_name")
+    + " AS artist_part, "
+    + Ft.split_venue_sql("event_name")
+    + f" AS venue_part FROM ({_SG_SQL})",
+)
+def q_split_av(spark, sf_dir):
+    sg = _sg(spark, sf_dir)
+    return sg.select(
+        "event_id_provider",
+        Ft.split_artist(F.col("event_name")).alias("artist_part"),
+        Ft.split_venue(F.col("event_name")).alias("venue_part"),
+    )
+
+
+@register(
+    "b19_status_derive",
+    f"""
+SELECT event_id, {Ft.derive_status_sql("card_text")} AS status
+FROM (
+  SELECT event_id, CASE WHEN event_id % 4 = 0
+         THEN 'Complet — plus de places'
+         ELSE 'Places disponibles' END AS card_text
+  FROM events
+)
+""",
+)
+def q_status(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    card_text = F.when(
+        F.col("event_id") % 4 == 0, F.lit("Complet — plus de places")
+    ).otherwise(F.lit("Places disponibles"))
+    return ev.select(
+        "event_id", Ft.derive_status(card_text).alias("status")
+    )
