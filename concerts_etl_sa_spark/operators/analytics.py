@@ -1,0 +1,382 @@
+"""Standard analytics surface (SURVEY §2.E/F/G/H + §7.1 M5).
+
+The reference has almost no numeric aggregation (SURVEY §2.E: "no sum/avg/
+min/max ... the engine gets these for free from Spark"); this module is the
+credible-engine surface: groupBy aggregates, multi-way joins, windows with
+frames, rollup/cube, top-k, intersect/except — all Catalyst builtins.
+
+Oracle-parity rules used throughout (SURVEY §5.2):
+- double sums are order-dependent across engines → aggregate decimals
+  (exact, associative) and cast the result to double
+- averages = decimal-sum / count, rounded to 6 places in both engines
+- every output is deterministic under ties (explicit tie-break keys)
+
+Scale notes: joins to region/nation/supplier/customer dims are broadcast
+(dimension tables are tiny even at 100 TB fact scale); aggregations get
+map-side partial aggregation automatically; windows partition on
+high-cardinality keys (custkey/user_id) so no single-partition sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+
+
+def _dsum(c, alias):
+    """Order-independent sum: decimal-aggregate, emit double."""
+    return F.sum(F.col(c).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+# ------------------------------------------------- E: pricing summary (Q1)
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # decimal-FIRST arithmetic: the raw doubles are exact 2-dp values, so
+    # the casts are exact and all products stay exact — double products
+    # cast to decimal would tie-round differently across engines
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    tax = F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)")
+    disc_price = ep * disc
+    charge = ep * disc * tax
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))
+           * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------- E: revenue by nation (multiway join)
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join: fact lineitem ⨝ orders ⨝ broadcast(customer ⨝ nation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cn = F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.countDistinct("o_orderkey").alias("n_orders"))
+        .orderBy("n_name")
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------- G: top-k customers
+
+def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.groupBy("o_custkey")
+        .agg(_dsum("o_totalprice", "total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "c_name", "total_spent", "n_orders")
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+  count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 10
+"""
+
+
+# --------------------------------------- F: windows (running / rank / lag)
+
+def running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+RUNNING_ORDER_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+
+def order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+ORDER_RANKS_SQL = """
+SELECT o_custkey, o_orderkey,
+  row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def event_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w), 6
+        ).alias("secs_since_prev"),
+    )
+
+
+EVENT_LAG_LEAD_SQL = """
+SELECT user_id, event_id,
+  lag(event_type) OVER w AS prev_type,
+  lead(event_type) OVER w AS next_type,
+  round(epoch(ts) - lag(epoch(ts)) OVER w, 6) AS secs_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rn")
+    )
+
+
+TOPK_PARTS_PER_BRAND_SQL = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+    row_number() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3
+"""
+
+
+# ------------------------------------------------------- E: rollup / cube
+
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice", "total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_ORDER_STATS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("l_quantity", "qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_LINEITEM_STATS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# -------------------------------------------------- H: intersect / except
+
+def intersect_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with URGENT orders but no LOW-priority orders
+    (INTERSECT/EXCEPT table-level set ops — absent from the reference,
+    SURVEY §2.H note)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    all_cust = o.select("o_custkey")
+    return (
+        all_cust.intersect(urgent)
+        .exceptAll(low.distinct())
+        .orderBy("o_custkey")
+    )
+
+
+INTERSECT_EXCEPT_SQL = """
+(SELECT o_custkey FROM orders
+ INTERSECT
+ SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+EXCEPT ALL
+(SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+ORDER BY o_custkey
+"""
+
+
+# ----------------------------------------- E: events daily facts (stream-ish)
+
+def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum("value", "total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_DAILY_STATS_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+  count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+ORDER BY day, event_type
+"""
+
+
+# -------------------------------------------- E: semi/anti join predicates
+
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti (NOT EXISTS) — SURVEY §2.D7 anti-join semantics.
+
+    Phrased as "no URGENT order" because every customer in the testdata has
+    at least one order (a plain no-orders anti-join is trivially empty)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_URGENT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS)."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return (
+        s.join(returned, s.s_suppkey == returned.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SUPPLIERS_WITH_RETURNS_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
+ORDER BY s_suppkey
+"""

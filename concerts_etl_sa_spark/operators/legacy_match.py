@@ -1,0 +1,245 @@
+"""Legacy consolidation path (SURVEY §2.D5-D8, B14-B16, E4).
+
+Reference: concerts_etl/core/matching.py:46-99 — the older merge algorithm
+(no in-repo caller, but part of the operator inventory):
+
+1. index SG rows by canonical key (norm_name + 5-min-floored ts); dict
+   insertion dedups, last row wins (D8 / E4, matching.py:51-62)
+2. for each DICE row, scan SG entries: same-day guard + 30-minute band
+   (D5, matching.py:70-75), normalized-name similarity >= 0.90 argmax
+   (D6, matching.py:77-79)
+3. winner gets the dice ticket count attached (matching.py:81-86);
+   losers become independent rows upserted by their own canonical key —
+   overwriting any SG row that shares the key (D7/D8, matching.py:87-97)
+
+Deterministic re-spec (SURVEY §7.3/7.4):
+- "last wins" (dict overwrite / ticket re-attach) is input-order-dependent
+  in the reference; the engine orders by the numeric suffix of
+  event_id_provider (the ingest order key) — same result for in-order
+  input, deterministic under any partitioning.
+- similarity is normalized Levenshtein, not difflib (SURVEY §7.3.2).
+- the reference lets NULL-dated rows skip the day/band guards entirely,
+  which is an unbounded cross join at scale; the engine requires both
+  sides dated for candidate pairs (undated DICE rows go straight to the
+  independent-row path; undated SG rows key as '...|na' and never match).
+  Documented divergence — at 100 TB every fuzzy join must be blocked by
+  an equi key (here: calendar day), per SURVEY §4.
+
+Scale notes: candidate generation shuffles both sides on ``day`` (equi
+key) and applies the band + similarity as post-join predicates within
+day-buckets; windows partition by row keys (high cardinality, no skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.dates import canonical_key, canonical_key_sql
+from ..functions.text import similarity, similarity_sql
+from .fixtures import dice_events_sql, shotgun_events_sql
+
+BAND_SECONDS = 30 * 60  # hour_tolerance_min=30 (matching.py:47)
+SIM_THRESHOLD = 0.90    # name_threshold (matching.py:47)
+
+
+def _ord(id_col):
+    """Numeric ingest-order key from 'sg-<n>' / 'dc-<n>' ids."""
+    return F.substring(id_col, 4, 18).cast("bigint")
+
+
+def _sg_indexed(sg: DataFrame) -> DataFrame:
+    """SG rows deduped by canonical key, last (highest-ord) wins (D8)."""
+    w = Window.partitionBy("ckey").orderBy(F.desc("ord"))
+    return (
+        sg.select(
+            canonical_key(F.col("event_name"), F.col("event_datetime_local")).alias("ckey"),
+            F.col("event_name").alias("sg_name"),
+            F.col("event_datetime_local").alias("sg_dt"),
+            F.col("tickets_sold_total").alias("sg_tickets"),
+            _ord(F.col("event_id_provider")).alias("ord"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ord")
+    )
+
+
+def legacy_candidates(sg: DataFrame, dc: DataFrame) -> DataFrame:
+    """D5+D6 candidate pairs: same day, |Δt| <= 30 min, sim >= 0.90."""
+    sgi = _sg_indexed(sg).filter(F.col("sg_dt").isNotNull())
+    dcd = dc.filter(F.col("event_datetime_local").isNotNull()).select(
+        F.col("event_id_provider").alias("dc_id"),
+        F.col("event_name").alias("dc_name"),
+        F.col("event_datetime_local").alias("dc_dt"),
+        F.col("tickets_sold_total").alias("dc_tickets"),
+    )
+    # day equi-key blocks the join; band + similarity are in-bucket predicates
+    return (
+        sgi.join(dcd, F.to_date("sg_dt") == F.to_date("dc_dt"), "inner")
+        .filter(
+            F.abs(F.col("sg_dt").cast("double") - F.col("dc_dt").cast("double"))
+            <= BAND_SECONDS
+        )
+        .withColumn("sim", similarity(F.col("sg_name"), F.col("dc_name")))
+        .filter(F.col("sim") >= SIM_THRESHOLD)
+    )
+
+
+def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
+    """Full legacy merge -> one row per canonical_event_key (matching.py:46-99)."""
+    sgi = _sg_indexed(sg)
+    dcd = dc.select(
+        F.col("event_id_provider").alias("dc_id"),
+        F.col("event_name").alias("dc_name"),
+        F.col("event_datetime_local").alias("dc_dt"),
+        F.col("tickets_sold_total").alias("dc_tickets"),
+        _ord(F.col("event_id_provider")).alias("dc_ord"),
+    )
+
+    cand = legacy_candidates(sg, dc)
+
+    # best SG per dice: sim desc, then canonical key asc (deterministic)
+    w_best = Window.partitionBy("dc_id").orderBy(F.desc("sim"), F.asc("ckey"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("dc_id", "ckey")
+    )
+
+    # attach: last (highest-ord) matched dice per SG key wins the ticket slot
+    attach_src = best.join(dcd, "dc_id")
+    w_attach = Window.partitionBy("ckey").orderBy(F.desc("dc_ord"))
+    attached = (
+        attach_src.withColumn("rn", F.row_number().over(w_attach))
+        .filter(F.col("rn") == 1)
+        .select("ckey", F.col("dc_tickets").alias("attached_dc_tickets"))
+    )
+
+    sg_rows = sgi.join(attached, "ckey", "left").select(
+        F.col("ckey").alias("canonical_event_key"),
+        F.col("sg_name").alias("event_name"),
+        F.col("sg_dt").alias("event_datetime_local"),
+        F.col("sg_tickets").alias("tickets_sold_total_shotgun"),
+        F.col("attached_dc_tickets").alias("tickets_sold_total_dice"),
+        F.lit(0).alias("prio"),
+        F.lit(0).cast("bigint").alias("ord"),
+    )
+
+    # D7: unmatched dice -> independent rows keyed by their canonical key
+    dice_rows = (
+        dcd.join(best, "dc_id", "left_anti")
+        .select(
+            canonical_key(F.col("dc_name"), F.col("dc_dt")).alias("canonical_event_key"),
+            F.col("dc_name").alias("event_name"),
+            F.col("dc_dt").alias("event_datetime_local"),
+            F.lit(None).cast("bigint").alias("tickets_sold_total_shotgun"),
+            F.col("dc_tickets").alias("tickets_sold_total_dice"),
+            F.lit(1).alias("prio"),
+            F.col("dc_ord").alias("ord"),
+        )
+    )
+
+    # D8 upsert: dice rows inserted after SG rows win key collisions;
+    # among dice rows the later (higher ord) wins
+    w_upsert = Window.partitionBy("canonical_event_key").orderBy(
+        F.desc("prio"), F.desc("ord")
+    )
+    return (
+        sg_rows.unionByName(dice_rows)
+        .withColumn("rn", F.row_number().over(w_upsert))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "prio", "ord")
+    )
+
+
+# ------------------------------------------------------------- oracle SQL
+
+def _sg_indexed_sql() -> str:
+    ck = canonical_key_sql("event_name", "event_datetime_local")
+    return f"""
+SELECT ckey, sg_name, sg_dt, sg_tickets FROM (
+  SELECT {ck} AS ckey, event_name AS sg_name,
+         event_datetime_local AS sg_dt,
+         tickets_sold_total AS sg_tickets,
+         row_number() OVER (
+           PARTITION BY {ck}
+           ORDER BY CAST(substr(event_id_provider, 4, 18) AS BIGINT) DESC
+         ) AS rn
+  FROM ({shotgun_events_sql()})
+) WHERE rn = 1
+"""
+
+
+def legacy_candidates_sql() -> str:
+    sim = similarity_sql("sg_name", "dc_name")
+    return f"""
+SELECT * FROM (
+  SELECT sgi.ckey, sgi.sg_name, sgi.sg_dt, sgi.sg_tickets,
+         dcd.dc_id, dcd.dc_name, dcd.dc_dt, dcd.dc_tickets,
+         {sim} AS sim
+  FROM ({_sg_indexed_sql()}) sgi
+  JOIN (
+    SELECT event_id_provider AS dc_id, event_name AS dc_name,
+           event_datetime_local AS dc_dt, tickets_sold_total AS dc_tickets
+    FROM ({dice_events_sql()})
+    WHERE event_datetime_local IS NOT NULL
+  ) dcd
+    ON CAST(sgi.sg_dt AS DATE) = CAST(dcd.dc_dt AS DATE)
+   AND abs(epoch(sgi.sg_dt) - epoch(dcd.dc_dt)) <= {BAND_SECONDS}
+  WHERE sgi.sg_dt IS NOT NULL
+) WHERE sim >= {SIM_THRESHOLD}
+"""
+
+
+def legacy_merge_sql() -> str:
+    dc_ck = canonical_key_sql("dc_name", "dc_dt")
+    return f"""
+WITH sgi AS ({_sg_indexed_sql()}),
+dcd AS (
+  SELECT event_id_provider AS dc_id, event_name AS dc_name,
+         event_datetime_local AS dc_dt, tickets_sold_total AS dc_tickets,
+         CAST(substr(event_id_provider, 4, 18) AS BIGINT) AS dc_ord
+  FROM ({dice_events_sql()})
+),
+cand AS ({legacy_candidates_sql()}),
+best AS (
+  SELECT dc_id, ckey FROM (
+    SELECT dc_id, ckey,
+           row_number() OVER (PARTITION BY dc_id ORDER BY sim DESC, ckey) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+attached AS (
+  SELECT ckey, dc_tickets AS attached_dc_tickets FROM (
+    SELECT best.ckey, dcd.dc_tickets, dcd.dc_ord,
+           row_number() OVER (PARTITION BY best.ckey ORDER BY dcd.dc_ord DESC) AS rn
+    FROM best JOIN dcd USING (dc_id)
+  ) WHERE rn = 1
+),
+sg_rows AS (
+  SELECT sgi.ckey AS canonical_event_key, sg_name AS event_name,
+         sg_dt AS event_datetime_local,
+         sg_tickets AS tickets_sold_total_shotgun,
+         attached.attached_dc_tickets AS tickets_sold_total_dice,
+         0 AS prio, CAST(0 AS BIGINT) AS ord
+  FROM sgi LEFT JOIN attached ON sgi.ckey = attached.ckey
+),
+dice_rows AS (
+  SELECT {dc_ck} AS canonical_event_key, dc_name AS event_name,
+         dc_dt AS event_datetime_local,
+         NULL AS tickets_sold_total_shotgun,
+         dc_tickets AS tickets_sold_total_dice,
+         1 AS prio, dc_ord AS ord
+  FROM dcd WHERE dc_id NOT IN (SELECT dc_id FROM best)
+)
+SELECT canonical_event_key, event_name, event_datetime_local,
+       tickets_sold_total_shotgun, tickets_sold_total_dice
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY canonical_event_key ORDER BY prio DESC, ord DESC
+  ) AS rn
+  FROM (SELECT * FROM sg_rows UNION ALL SELECT * FROM dice_rows)
+) WHERE rn = 1
+"""

@@ -277,3 +277,55 @@ def q_status(spark, sf_dir):
     return ev.select(
         "event_id", Ft.derive_status(card_text).alias("status")
     )
+
+
+# ===================================================================
+# Legacy consolidation path (SURVEY §2.D5-D8)
+# ===================================================================
+
+from .operators import legacy_match as L  # noqa: E402
+
+
+@register(
+    "d5d6_legacy_candidates",
+    "SELECT ckey, dc_id, sg_name, dc_name, round(sim, 6) AS sim FROM ("
+    + L.legacy_candidates_sql()
+    + ")",
+)
+def q_legacy_candidates(spark, sf_dir):
+    return L.legacy_candidates(_sg(spark, sf_dir), _dc(spark, sf_dir)).select(
+        "ckey", "dc_id", "sg_name", "dc_name", F.round("sim", 6).alias("sim")
+    )
+
+
+@register("d8_legacy_merge", L.legacy_merge_sql())
+def q_legacy_merge(spark, sf_dir):
+    return L.legacy_merge(_sg(spark, sf_dir), _dc(spark, sf_dir))
+
+
+# ===================================================================
+# Standard analytics surface (SURVEY §7.1 M5: E/F/G/H operators)
+# ===================================================================
+
+from .operators import analytics as A  # noqa: E402
+
+_ANALYTICS = [
+    ("e1_pricing_summary", A.pricing_summary, A.PRICING_SUMMARY_SQL),
+    ("e2_revenue_by_nation", A.revenue_by_nation, A.REVENUE_BY_NATION_SQL),
+    ("e3_events_daily_stats", A.events_daily_stats, A.EVENTS_DAILY_STATS_SQL),
+    ("e4_rollup_order_stats", A.rollup_order_stats, A.ROLLUP_ORDER_STATS_SQL),
+    ("e5_cube_lineitem_stats", A.cube_lineitem_stats, A.CUBE_LINEITEM_STATS_SQL),
+    ("f1_running_order_total", A.running_order_total, A.RUNNING_ORDER_TOTAL_SQL),
+    ("f2_order_ranks", A.order_ranks, A.ORDER_RANKS_SQL),
+    ("f3_event_lag_lead", A.event_lag_lead, A.EVENT_LAG_LEAD_SQL),
+    ("g1_top_customers", A.top_customers, A.TOP_CUSTOMERS_SQL),
+    ("g3_topk_parts_per_brand", A.topk_parts_per_brand, A.TOPK_PARTS_PER_BRAND_SQL),
+    ("h1_intersect_except", A.intersect_except_custkeys, A.INTERSECT_EXCEPT_SQL),
+    ("d7_customers_without_urgent_orders", A.customers_without_urgent_orders,
+     A.CUSTOMERS_WITHOUT_URGENT_ORDERS_SQL),
+    ("d7_suppliers_with_returns", A.suppliers_with_returns,
+     A.SUPPLIERS_WITH_RETURNS_SQL),
+]
+
+for _name, _fn, _sql in _ANALYTICS:
+    register(_name, _sql)(_fn)

@@ -24,10 +24,10 @@ from ..schemas import TESTDATA_SCHEMAS
 # long nanos then converted via integer division (ns -> us).  Plain
 # float/floor would corrupt: 2024 epoch-nanos ~1.7e18 exceeds the double
 # exact-integer range.
+# Only events.ts is TIMESTAMP(NANOS); orders/lineitem are TIMESTAMP(MILLIS)
+# which the native reader handles directly.
 _NANO_TS_COLUMNS: dict[str, list[str]] = {
     "events": ["ts"],
-    "orders": ["o_orderdate"],
-    "lineitem": ["l_shipdate"],
 }
 
 
