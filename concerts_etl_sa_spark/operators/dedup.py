@@ -1,0 +1,395 @@
+"""Deduplication operators over ``documents`` (SURVEY §2.L1).
+
+Generalizes the reference's fuzzy-matching theme (D2/D6 token-overlap and
+similarity joins, concerts_etl/core/consolidate_events.py:91-104 /
+matching.py:65-79) to training-data-pipeline scale:
+
+- exact dedup        : content-hash groupBy, keep min doc_id
+- MinHash + LSH      : k hash functions over 3-word shingles, banded into
+                       LSH buckets; candidate pairs share >=1 bucket; then
+                       exact Jaccard verify >= threshold
+- SimHash            : 32-bit per-bit-vote signature; near-dup = small
+                       hamming distance among candidates sharing a byte
+                       (classic 4-block simhash blocking)
+- n-gram Jaccard     : exact shingle-set Jaccard on LSH candidates
+
+Scale design (100 TB): every pairwise op is blocked — LSH band buckets or
+signature bytes are the equi-keys the pair join shuffles on, so candidate
+counts stay near-linear; no unbounded cross joins (SURVEY §4 rule). The
+hash family is md5-based (seeded by concat) so the DuckDB oracle computes
+identical signatures; a production deployment would swap in xxhash64 for
+speed without changing the shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+
+N_MINHASH = 8          # minhash signature length
+N_BANDS = 4            # LSH bands (2 rows per band)
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 6
+
+
+def _tokens(c):
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def _tokens_sql(e: str) -> str:
+    return f"list_filter(string_split_regex(lower({e}), '\\s+'), t -> t <> '')"
+
+
+def _shingles(toks):
+    """Distinct sorted 3-word shingles."""
+    raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(2), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return F.array_sort(F.array_distinct(raw))
+
+
+def _shingles_sql(toks_e: str) -> str:
+    return (
+        "list_sort(list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks_e}) - 2, 1)), "
+        f"i -> concat_ws(' ', {toks_e}[i], {toks_e}[i+1], {toks_e}[i+2]))))"
+    )
+
+
+def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
+
+
+_DOCS_SHINGLES_SQL = (
+    "SELECT doc_id, "
+    + _shingles_sql(_tokens_sql("text"))
+    + " AS shingles FROM documents"
+)
+
+
+# ------------------------------------------------------------ exact dedup
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: every doc mapped to its group representative
+    (min doc_id with identical md5(text)) + group size."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.md5("text").alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return h.select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w).alias("representative_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).withColumn("is_duplicate", F.col("doc_id") != F.col("representative_id"))
+
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id, content_hash,
+       min(doc_id) OVER w AS representative_id,
+       count(*) OVER w AS group_size,
+       doc_id <> min(doc_id) OVER w AS is_duplicate
+FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+WINDOW w AS (PARTITION BY content_hash)
+"""
+
+
+def exact_dedup_selfunion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents UNION ALL documents — every text appears
+    twice, so the collapse is actually exercised (the raw table has no
+    exact duplicates at any sf). Output: one row per content group."""
+    d = load_table(spark, sf_dir, "documents")
+    both = d.select("doc_id", "text").unionAll(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return (
+        both.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("representative_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .orderBy("representative_id")
+    )
+
+
+EXACT_DEDUP_SELFUNION_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS representative_id,
+       count(*) AS group_size
+FROM (SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents)
+GROUP BY md5(text)
+ORDER BY representative_id
+"""
+
+
+# ------------------------------------------------------- minhash signature
+
+def _seeded_md5(j):
+    # factory closure: a default-arg lambda (s, j=j) would be mis-read by
+    # F.transform as an (element, index) two-parameter lambda
+    return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+
+def _minhash_cols(shingles):
+    """N_MINHASH min-hashes: min over shingles of md5(seed || shingle)."""
+    return [
+        F.array_min(F.transform(shingles, _seeded_md5(j))).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+
+
+def _minhash_cols_sql(sh_e: str) -> list[str]:
+    return [
+        f"list_min(list_transform({sh_e}, s -> md5('{j}:' || s))) AS mh{j}"
+        for j in range(N_MINHASH)
+    ]
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _docs_with_shingles(spark, sf_dir)
+    return ds.select("doc_id", *_minhash_cols(F.col("shingles")))
+
+
+MINHASH_SIGNATURES_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(_minhash_cols_sql("shingles"))
+    + f" FROM ({_DOCS_SHINGLES_SQL})"
+)
+
+
+# ------------------------------------------------------ minhash-LSH pairs
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified with exact Jaccard.
+
+    Plan shape (the 100 TB path): signatures -> explode to (band_key, doc)
+    -> self-equi-join on band_key (shuffle on band hash, near-linear)
+    -> distinct pairs -> exact Jaccard verify on the (small) candidate set.
+    """
+    ds = _docs_with_shingles(spark, sf_dir).cache()
+    sig = ds.select("doc_id", "shingles", *_minhash_cols(F.col("shingles")))
+    bands = sig.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                )
+                for b in range(N_BANDS)
+            ]
+        ).alias("band_keys"),
+    ).select(
+        "doc_id", "shingles", F.explode("band_keys").alias("band_key")
+    )
+
+    left = bands.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("shingles").alias("a_sh"),
+        "band_key",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("shingles").alias("b_sh"),
+        "band_key",
+    )
+    pairs = (
+        left.join(right, "band_key")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _minhash_lsh_pairs_sql() -> str:
+    band_keys = ", ".join(
+        "concat_ws('|', '"
+        + str(b)
+        + "', "
+        + ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH sh AS ({_DOCS_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id, shingles, {', '.join(_minhash_cols_sql('shingles'))}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, shingles, unnest([{band_keys}]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM bands l JOIN bands r ON l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+)
+SELECT a_id, b_id,
+  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / greatest(len(list_distinct(a.shingles || b.shingles)), 1), 6) AS jaccard
+FROM cand
+JOIN sh a ON cand.a_id = a.doc_id
+JOIN sh b ON cand.b_id = b.doc_id
+WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / greatest(len(list_distinct(a.shingles || b.shingles)), 1), 6)
+      >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+MINHASH_LSH_PAIRS_SQL = _minhash_lsh_pairs_sql()
+
+
+# ----------------------------------------------------------------- simhash
+
+def _simhash(toks):
+    """32-bit simhash: per-bit majority vote over token hashes.
+
+    Token hash = first 8 hex chars of md5 -> 32-bit int (same recipe the
+    DuckDB oracle can compute); bit i of the signature is 1 iff more token
+    hashes have bit i set than unset.
+    """
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
+    n = F.size(hashes)
+
+    def bit_set(i):
+        return lambda h: h.bitwiseAND(F.lit(1 << i)) != 0
+
+    sig = F.lit(0).cast("bigint")
+    for i in range(32):
+        ones = F.size(F.filter(hashes, bit_set(i)))
+        sig = sig + F.when(ones * 2 > n, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def _simhash_sql(toks_e: str) -> str:
+    hashes = (
+        f"list_transform({toks_e}, "
+        "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
+    )
+    parts = []
+    for i in range(32):
+        parts.append(
+            f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << i}) <> 0))"
+            f" > len(hs) THEN {1 << i} ELSE 0 END)"
+        )
+    return f"(SELECT {' + '.join(parts)} FROM (SELECT {hashes} AS hs) _s)"
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", _simhash(_tokens(F.col("text"))).alias("simhash")
+    )
+
+
+def _simhash_signatures_sql() -> str:
+    hashes = (
+        f"list_transform({_tokens_sql('text')}, "
+        "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
+    )
+    parts = [
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << i}) <> 0))"
+        f" > len(hs) THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    ]
+    return (
+        f"SELECT doc_id, {' + '.join(parts)} AS simhash "
+        f"FROM (SELECT doc_id, {hashes} AS hs FROM documents)"
+    )
+
+
+SIMHASH_SIGNATURES_SQL = _simhash_signatures_sql()
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: hamming(simhash) <= SIMHASH_MAX_HAMMING among
+    candidates sharing at least one signature byte (4-block blocking)."""
+    sig = simhash_signatures(spark, sf_dir)
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("block_key"),
+    )
+    l = blocks.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"), "block_key"
+    )
+    r = blocks.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"), "block_key"
+    )
+    return (
+        l.join(r, "block_key")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("a_sig ^ b_sig")),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    )
+
+
+SIMHASH_NEAR_PAIRS_SQL = f"""
+WITH sig AS ({_simhash_signatures_sql()}),
+blocks AS (
+  SELECT doc_id, simhash,
+         unnest([
+           concat_ws(':', '0', (simhash >> 0) & 255),
+           concat_ws(':', '1', (simhash >> 8) & 255),
+           concat_ws(':', '2', (simhash >> 16) & 255),
+           concat_ws(':', '3', (simhash >> 24) & 255)
+         ]) AS block_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+         l.simhash AS a_sig, r.simhash AS b_sig
+  FROM blocks l JOIN blocks r ON l.block_key = r.block_key
+  WHERE l.doc_id < r.doc_id
+)
+SELECT a_id, b_id, bit_count(xor(a_sig, b_sig)) AS hamming
+FROM cand
+WHERE bit_count(xor(a_sig, b_sig)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY a_id, b_id
+"""

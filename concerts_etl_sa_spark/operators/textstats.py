@@ -1,0 +1,212 @@
+"""Text analysis operators over the ``documents`` table (SURVEY §2.L3).
+
+Training-data-pipeline text ops, each a generalization of the reference's
+token machinery (B4, concerts_etl/core/consolidate_events.py:40-59):
+
+- token counting (whitespace tokenization; n_tokens / n_distinct / avg len)
+- quality scoring (length, stopword ratio, repetition ratio)
+- language ID (marker-word n-gram heuristic, argmax over languages)
+- document fingerprinting (content hash + min-shingle-hash winnowing)
+
+All pure scalar/array projections — JVM builtins, zero shuffles except the
+final ordering; linear scans at 100 TB. Every op has a DuckDB-oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+
+# tiny per-language marker lists (the lang-ID heuristic; deterministic)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "with", "fast", "slow", "small", "big"],
+    "fr": ["le", "la", "les", "et", "avec", "vite"],
+    "de": ["der", "die", "das", "und", "mit", "schnell"],
+    "es": ["el", "los", "las", "con", "rapido"],
+}
+
+STOP_EN = ["the", "a", "an", "and", "of", "to", "in", "on", "with"]
+
+
+def _tokens(c):
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def _tokens_sql(e: str) -> str:
+    return f"list_filter(string_split_regex(lower({e}), '\\s+'), t -> t <> '')"
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (whitespace + length stats)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct,
+  len(text) AS n_chars_computed,
+  round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS avg_token_len
+FROM (SELECT doc_id, text, {_tokens_sql('text')} AS toks FROM documents)
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality: repetition ratio + stopword ratio + length band.
+
+    score = 0.4*uniq_ratio + 0.3*stop_presence + 0.3*length_ok — the shape
+    of a C4/Gopher-style rule filter, deterministic and oracle-checkable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stops = F.array(*[F.lit(w) for w in STOP_EN])
+    n = F.greatest(F.size(toks), F.lit(1))
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    stop_ratio = stop_hits.cast("double") / n
+    length_ok = F.when(
+        (F.length("text") >= 50) & (F.length("text") <= 5000), 1.0
+    ).otherwise(0.0)
+    stop_presence = F.when((stop_ratio > 0.01) & (stop_ratio < 0.6), 1.0).otherwise(
+        0.0
+    )
+    return d.select(
+        "doc_id",
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(
+            0.4 * uniq_ratio + 0.3 * stop_presence + 0.3 * length_ok, 6
+        ).alias("quality"),
+    )
+
+
+_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in STOP_EN) + "]"
+
+QUALITY_SCORE_SQL = f"""
+SELECT doc_id,
+  round(uniq_ratio, 6) AS uniq_ratio,
+  round(stop_ratio, 6) AS stop_ratio,
+  round(0.4 * uniq_ratio
+        + 0.3 * (CASE WHEN stop_ratio > 0.01 AND stop_ratio < 0.6
+                 THEN 1.0 ELSE 0.0 END)
+        + 0.3 * (CASE WHEN len(text) >= 50 AND len(text) <= 5000
+                 THEN 1.0 ELSE 0.0 END), 6) AS quality
+FROM (
+  SELECT doc_id, text,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS uniq_ratio,
+    CAST(len(list_filter(toks, t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
+      / greatest(len(toks), 1) AS stop_ratio
+  FROM (SELECT doc_id, text, {_tokens_sql('text')} AS toks FROM documents)
+)
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hit counts,
+    ties broken lexicographically ('de' < 'en' < 'es' < 'fr')."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    def marker_hit(lang):
+        m = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return lambda t: F.array_contains(m, t)
+
+    scores = [
+        F.size(F.filter(toks, marker_hit(lang))).alias(f"score_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    scored = d.select("doc_id", "lang", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.col(f"score_{langs[0]}")
+    best_lang = F.lit(langs[0])
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        best_lang.alias("lang_detected"),
+        best.alias("marker_hits"),
+    )
+
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+        score_cols.append(
+            f"len(list_filter(toks, t -> list_contains({markers}, t))) AS score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = f"score_{langs[0]}"
+    best_lang = f"'{langs[0]}'"
+    for lang in langs[1:]:
+        best_lang = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {best_lang} END"
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+    return f"""
+SELECT doc_id, lang AS lang_declared,
+       {best_lang} AS lang_detected,
+       {best} AS marker_hits
+FROM (
+  SELECT doc_id, lang, {', '.join(score_cols)}
+  FROM (SELECT doc_id, lang, {_tokens_sql('text')} AS toks FROM documents)
+)
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: full-content hash + min-3-shingle hash
+    (the winnowing primitive used for near-dup blocking)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    shingles = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - F.lit(2), F.lit(1))
+        ),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_hash"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  md5(text) AS content_hash,
+  list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_hash
+FROM (
+  SELECT doc_id, text,
+    list_transform(
+      generate_series(1, greatest(len(toks) - 2, 1)),
+      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+    ) AS shingles
+  FROM (SELECT doc_id, text, {_tokens_sql('text')} AS toks FROM documents)
+)
+"""

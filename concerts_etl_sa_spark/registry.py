@@ -329,3 +329,34 @@ _ANALYTICS = [
 
 for _name, _fn, _sql in _ANALYTICS:
     register(_name, _sql)(_fn)
+
+
+# ===================================================================
+# North-star extensions (SURVEY §2.L): text analysis, dedup, ANN
+# ===================================================================
+
+from .operators import dedup as D  # noqa: E402
+from .operators import similarity as S  # noqa: E402
+from .operators import textstats as TS  # noqa: E402
+
+_EXTENSIONS = [
+    ("l3_token_stats", TS.token_stats, TS.TOKEN_STATS_SQL),
+    ("l3_quality_score", TS.quality_score, TS.QUALITY_SCORE_SQL),
+    ("l3_lang_id", TS.lang_id, TS.LANG_ID_SQL),
+    ("l3_fingerprint", TS.fingerprint, TS.FINGERPRINT_SQL),
+    ("l1_exact_dedup", D.exact_dedup, D.EXACT_DEDUP_SQL),
+    ("l1_exact_dedup_selfunion", D.exact_dedup_selfunion,
+     D.EXACT_DEDUP_SELFUNION_SQL),
+    ("l1_minhash_signatures", D.minhash_signatures, D.MINHASH_SIGNATURES_SQL),
+    ("l1_minhash_lsh_pairs", D.minhash_lsh_pairs, D.MINHASH_LSH_PAIRS_SQL),
+    ("l1_simhash_signatures", D.simhash_signatures, D.SIMHASH_SIGNATURES_SQL),
+    ("l1_simhash_near_pairs", D.simhash_near_pairs, D.SIMHASH_NEAR_PAIRS_SQL),
+    ("l2_topk_cosine_bruteforce", S.topk_cosine_bruteforce,
+     S.TOPK_COSINE_BRUTEFORCE_SQL),
+    ("l2_topk_cosine_lsh", S.topk_cosine_lsh, S.TOPK_COSINE_LSH_SQL),
+    ("l2_embedding_near_dup", S.embedding_near_dup_pairs,
+     S.EMBEDDING_NEAR_DUP_SQL),
+]
+
+for _name, _fn, _sql in _EXTENSIONS:
+    register(_name, _sql)(_fn)
