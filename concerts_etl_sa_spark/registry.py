@@ -360,3 +360,13 @@ _EXTENSIONS = [
 
 for _name, _fn, _sql in _EXTENSIONS:
     register(_name, _sql)(_fn)
+
+
+# ===================================================================
+# Multimodal binary columns (SURVEY §2.L4) — mapInPandas plumbing
+# ===================================================================
+
+from .operators import multimodal as MM  # noqa: E402
+
+register("l4_media_features", MM.MEDIA_FEATURES_SQL)(MM.media_features)
+register("l4_frame_sample", MM.FRAME_SAMPLE_SQL)(MM.frame_sample)

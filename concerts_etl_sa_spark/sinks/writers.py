@@ -1,0 +1,95 @@
+"""Sinks & write lifecycle (SURVEY §2.A7-A12, C6, I2, I5).
+
+Reference analogs:
+- CSV sink                    : storage/google_sheets.py:81-100,139-160 (A7)
+- append historized + lineage : storage/google_sheets.py:20-79 (A8/I2)
+- overwrite snapshot          : core/gsheet.py:95-125 (A9/I5)
+- schema-union write          : core/gsheet.py:19-24,74-92 (A10) — the
+  engine emits typed nulls where the reference emits "" (SURVEY §7.3.6)
+- JSON preview                : cli.py:44-55 (A11)
+- empty-input short-circuit   : gsheet.py:101-104 (C6)
+
+Scale notes: all writers are plain distributed ``df.write`` — parquet with
+partitioning columns where the downstream read pattern wants pruning
+(append_historized partitions by ingestion date). The reference's
+clear+rewrite idempotence (I5) maps to mode('overwrite'); its append path
+is at-least-once, dedupable by (event_id_provider, ingestion_run_id) —
+kept as documented semantics, not hidden dedup.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _skip_if_empty(fn):
+    """C6: sink no-ops on empty input (gsheet.py:101-104)."""
+
+    @functools.wraps(fn)
+    def wrapper(df: DataFrame, *a, **kw):
+        if df.isEmpty():
+            return None
+        return fn(df, *a, **kw)
+
+    return wrapper
+
+
+def _stringify_timestamps(df: DataFrame) -> DataFrame:
+    """B23: datetime -> ISO string, null -> '' on text-format export
+    (gsheet.py:29-36)."""
+    out = df
+    for f in df.schema.fields:
+        if f.dataType.typeName() in ("timestamp", "timestamp_ntz"):
+            out = out.withColumn(
+                f.name,
+                F.coalesce(
+                    F.date_format(f.name, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("")
+                ),
+            )
+    return out
+
+
+@_skip_if_empty
+def export_csv(df: DataFrame, path: str) -> None:
+    """A7: header CSV with ISO datetimes."""
+    _stringify_timestamps(df).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+
+
+@_skip_if_empty
+def append_historized(df: DataFrame, path: str) -> None:
+    """A8/I2: append-only fact table with lineage, partitioned by scrape
+    date so daily-batch reads prune to one partition."""
+    (
+        df.withColumn("scrape_date", F.to_date("scrape_ts_utc"))
+        .write.mode("append")
+        .partitionBy("scrape_date")
+        .parquet(path)
+    )
+
+
+@_skip_if_empty
+def overwrite_snapshot(df: DataFrame, path: str) -> None:
+    """A9/I5: clear + rewrite — each run replaces the snapshot."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def union_heterogeneous(*dfs: DataFrame) -> DataFrame:
+    """A10/H1: union rows with heterogeneous column sets into one nullable
+    superset schema (unionByName allowMissingColumns — the engine's analog
+    of the reference's sorted-header union)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def export_json_preview(df: DataFrame, path: str, n: int = 20) -> None:
+    """A11/G2: first-n JSON debug dump (cli.py:44-55)."""
+    _stringify_timestamps(df.limit(n)).coalesce(1).write.mode(
+        "overwrite"
+    ).json(path)

@@ -1,0 +1,132 @@
+"""Unit tests for the scalar Column library (SURVEY §2.B semantics).
+
+Each case pins reference behavior (file:line in the function docstrings)
+on hand-picked inputs, including the FIXTURES.md §B edge cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from concerts_etl_sa_spark.functions import dates as Fd
+from concerts_etl_sa_spark.functions import ids as Fi
+from concerts_etl_sa_spark.functions import money as Fm
+from concerts_etl_sa_spark.functions import text as Ft
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_norm_basic_accents_and_whitespace(spark):
+    assert _one(spark, Ft.norm_basic(F.lit("  Désiré   MÜLLER  "))) == "desire muller"
+    assert _one(spark, Ft.norm_basic(F.lit(None))) == ""
+
+
+def test_artist_tokens_separators(spark):
+    cases = {
+        "Angèle feat Stromae": ["angele", "stromae"],
+        "Polo & Pan": ["pan", "polo"],
+        "A x B x Camille": ["camille"],  # a, b too short; x is separator
+        "Christine and the Queens": ["christine", "queens"],
+        "DJ Snake @ Olympia": ["olympia", "snake"],  # dj len<=2? 'dj' len 2 dropped
+        "La Femme - Trabendo": ["femme", "trabendo"],
+    }
+    for raw, expected in cases.items():
+        got = _one(spark, Ft.artist_tokens(F.lit(raw)))
+        assert got == expected, f"{raw}: {got} != {expected}"
+
+
+def test_artist_tokens_stopword_only_name(spark):
+    # FIXTURES edge 4: stopword/short-token-only names produce no tokens
+    assert _one(spark, Ft.artist_tokens(F.lit("The X"))) == []
+    assert _one(spark, Ft.artist_tokens(F.lit("Le On"))) == []
+
+
+def test_norm_name_legacy_stopwords(spark):
+    assert _one(spark, Ft.norm_name(F.lit("Angèle LIVE Concert"))) == "angele"
+    assert _one(spark, Ft.norm_name(F.lit("The Tour"))) == "the"
+
+
+def test_similarity_bounds(spark):
+    assert _one(spark, Ft.similarity(F.lit("Angèle"), F.lit("Angele"))) == 1.0
+    s = _one(spark, Ft.similarity(F.lit("Angèle"), F.lit("Angèle Live")))
+    assert s == 1.0  # 'live' is a legacy stopword
+    s2 = _one(spark, Ft.similarity(F.lit("Phoenix"), F.lit("Justice")))
+    assert 0.0 <= s2 < 0.9
+
+
+def test_money_parse_fr_formats(spark):
+    cases = {
+        "1 234,56 €": 1234.56,
+        "12.345 €": 12345.0,
+        "1 234,56 €": 1234.56,
+        "1 234€": 1234.0,
+        "-45,5": -45.5,
+        "gratuit": None,
+    }
+    for raw, expected in cases.items():
+        got = _one(spark, Fm.parse_money_eur(F.lit(raw)))
+        assert got == expected, f"{raw}: {got} != {expected}"
+
+
+def test_int_parse(spark):
+    assert _one(spark, Fm.parse_int(F.lit("Vendus: 1 234 billets"))) == 1
+    assert _one(spark, Fm.parse_int(F.lit("842 tickets"))) == 842
+    assert _one(spark, Fm.parse_int(F.lit("aucun"))) is None
+
+
+def test_slugify_and_stable_id(spark):
+    assert _one(spark, Ft.slugify(F.lit("Désiré @ L'Olympia!"))) == "desire-l-olympia"
+    sid1 = _one(
+        spark, Fi.stable_event_id(F.lit("Angèle"), F.lit("2024-01-15T20:00:00"))
+    )
+    sid2 = _one(
+        spark, Fi.stable_event_id(F.lit("Angèle"), F.lit("2024-01-15T20:00:00"))
+    )
+    assert sid1 == sid2 and sid1.startswith("angele-") and len(sid1.split("-")[-1]) == 8
+    # empty name falls back to 'event' (shotgun.py:51)
+    sid3 = _one(spark, Fi.stable_event_id(F.lit(""), F.lit(None)))
+    assert sid3.startswith("event-")
+
+
+def test_round5_and_canonical_key(spark):
+    got = _one(
+        spark, Fd.round5(F.to_timestamp(F.lit("2024-01-15 20:03:59")))
+    )
+    assert got.minute == 0 and got.second == 0
+    key = _one(
+        spark,
+        Fd.canonical_key(
+            F.lit("Angèle Live"), F.to_timestamp(F.lit("2024-01-15 20:07:00"))
+        ),
+    )
+    assert key == "angele|2024-01-15T20:05"
+    key_null = _one(spark, Fd.canonical_key(F.lit("Angèle"), F.lit(None)))
+    assert key_null == "angele|na"
+
+
+def test_artist_venue_split(spark):
+    # FIXTURES edge 3
+    assert _one(spark, Ft.split_artist(F.lit("Angèle @ Olympia"))) == "Angèle"
+    assert _one(spark, Ft.split_venue(F.lit("Angèle @ Olympia"))) == "Olympia"
+    assert _one(spark, Ft.split_artist(F.lit("La Femme - Trabendo"))) == "La Femme"
+    assert _one(spark, Ft.split_venue(F.lit("Justice"))) is None
+    assert _one(spark, Ft.split_artist(F.lit("Justice"))) == "Justice"
+
+
+def test_fr_datetime_cascade(spark):
+    # FIXTURES edge 14: ISO fast path + FR pattern (shotgun.py:56-84, 307-373)
+    iso = _one(spark, Fd.parse_event_datetime(F.lit("2025-11-29T19:00")))
+    assert iso is not None and iso.year == 2025 and iso.hour == 19
+    fr = _one(spark, Fd.parse_event_datetime(F.lit("ven. 10 oct. 2025 19:30")))
+    assert fr is not None and (fr.month, fr.day, fr.hour, fr.minute) == (10, 10, 19, 30)
+    aout = _one(spark, Fd.parse_event_datetime(F.lit("15 août 2025 21:00")))
+    assert aout is not None and aout.month == 8
+    assert _one(spark, Fd.parse_event_datetime(F.lit("bientôt"))) is None
+
+
+def test_status_derive(spark):
+    assert _one(spark, Ft.derive_status(F.lit("COMPLET — sold out"))) == "sold out"
+    assert _one(spark, Ft.derive_status(F.lit("complet"))) == "sold out"
+    assert _one(spark, Ft.derive_status(F.lit("places dispo"))) == "on sale"

@@ -1,0 +1,78 @@
+"""Core correctness gate: every registered query vs its DuckDB oracle.
+
+Mirrors the driver's CORRECTNESS check (row-count + sorted-column schema +
+order-insensitive canonical value comparison) at sf0.001 for speed; the
+driver runs the same comparison at sf0.01.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _dec
+import math
+
+import duckdb
+import pytest
+
+from .conftest import SF_DIR
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(round(v, 9))
+    if isinstance(v, _dec.Decimal):
+        return repr(round(float(v), 9))
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _all_queries():
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    return [(name, qs[name], oracles.get(name)) for name in qs]
+
+
+@pytest.mark.parametrize(
+    "name,fn,sql", _all_queries(), ids=[n for n, _, _ in _all_queries()]
+)
+def test_query_matches_oracle(spark, oracle, name, fn, sql):
+    sdf = fn(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    if sql is None:
+        assert srows is not None  # rows-only check (non-SQL-expressible op)
+        return
+    res = oracle.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols), "column sets differ"
+    assert len(srows) == len(orows), "row counts differ"
+    order = sorted(range(len(ocols)), key=lambda i: sorted(sdf.columns)[i])
+    idx_s = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    idx_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    slines = sorted("\x01".join(canon(r[i]) for i in idx_s) for r in srows)
+    olines = sorted("\x01".join(canon(r[i]) for i in idx_o) for r in orows)
+    assert slines == olines, f"value mismatch for {name}"
