@@ -156,7 +156,16 @@ def norm_name_sql(e: str) -> str:
 
 def similarity(a: Column, b: Column) -> Column:
     """Normalized Levenshtein similarity in [0,1] over norm_name'd strings."""
-    na, nb = norm_name(a), norm_name(b)
+    return similarity_norm(norm_name(a), norm_name(b))
+
+
+def similarity_norm(na: Column, nb: Column) -> Column:
+    """Similarity over ALREADY-normalized strings.
+
+    Join-side form: callers normalize each row once with ``norm_name``
+    *before* a pairwise join so the per-pair work is a single levenshtein,
+    not a regex cascade re-run per candidate pair (the 100 TB hot path).
+    """
     denom = F.greatest(F.length(na), F.length(nb), F.lit(1))
     return F.lit(1.0) - F.levenshtein(na, nb) / denom.cast("double")
 

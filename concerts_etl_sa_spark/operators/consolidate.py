@@ -53,15 +53,36 @@ def _prep(df: DataFrame, side: str) -> DataFrame:
 
 
 def consolidate(sg: DataFrame, dc: DataFrame, as_of: str = AS_OF) -> DataFrame:
-    """Day-blocked token-overlap consolidation; returns CONSOLIDATED_EVENT rows."""
+    """Day-blocked token-overlap consolidation; returns CONSOLIDATED_EVENT rows.
+
+    Physical strategy (100 TB hot path):
+    - The pair phase is an **inverted token-index join**: explode each
+      side's (distinct) token array and equi-join on ``(day, token)``,
+      then ``groupBy(sg_id, dc_id).count()`` — the count over distinct
+      tokens IS ``size(array_intersect(...))``, but only co-token pairs
+      are ever materialized (a day-only block compares every same-day
+      pair, quadratic in day size). Join-key cardinality is
+      #days × #tokens, so shuffle parallelism survives any file layout;
+      both sides are explicitly repartitioned on the blocking key (at
+      scale, add a token document-frequency cap to bound bucket skew —
+      AQE skew-join splits oversized buckets meanwhile).
+    - Matching runs on SLIM rows (ids + overlap); matched ids are
+      decorated afterwards by id-equi joins (high-cardinality keys,
+      broadcast-able matched set, AQE decides).
+    """
     sgt = _prep(sg, "sg")
     dct = _prep(dc, "dc")
 
+    sg_tok = sgt.select(
+        "sg_id", "day", F.explode("sg_toks").alias("tok")
+    ).repartition("day", "tok")
+    dc_tok = dct.select(
+        "dc_id", "day", F.explode("dc_toks").alias("tok")
+    ).repartition("day", "tok")
     pairs = (
-        sgt.join(dct.withColumnRenamed("day", "dc_day"),
-                 sgt.day == F.col("dc_day"), "inner")
-        .withColumn("overlap", F.size(F.array_intersect("sg_toks", "dc_toks")))
-        .filter(F.col("overlap") > 0)
+        sg_tok.join(dc_tok, ["day", "tok"], "inner")
+        .groupBy("sg_id", "dc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
     )
 
     w_dc = Window.partitionBy("dc_id").orderBy(F.desc("overlap"), F.asc("sg_id"))
@@ -70,46 +91,35 @@ def consolidate(sg: DataFrame, dc: DataFrame, as_of: str = AS_OF) -> DataFrame:
         pairs.withColumn("rn_d", F.row_number().over(w_dc))
         .withColumn("rn_s", F.row_number().over(w_sg))
         .filter((F.col("rn_d") == 1) & (F.col("rn_s") == 1))
+        .select("sg_id", "dc_id")
     )
 
-    matched_rows = matched.select(
-        F.coalesce("sg_event_name", "dc_event_name", F.lit("")).alias("event_name"),
-        F.col("day").alias("event_datetime_local"),
-        F.coalesce("sg_artist_name", "dc_artist_name", F.lit("")).alias("artist"),
-        F.coalesce(
-            "sg_venue_name", "dc_venue_name", "sg_city", "dc_city", F.lit("")
-        ).alias("venue"),
-        F.col("sg_tickets").alias("shotgun_tickets_sold"),
-        F.col("dc_tickets").alias("dice_tickets_sold"),
-        F.col("sg_id").alias("shotgun_event_id"),
-        F.col("dc_id").alias("dice_event_id"),
+    # D4/H1 assembly in ONE pass (matched ∪ SG-residual ∪ DICE-residual):
+    # attach each SG row's matched dc_id (null if unmatched), then
+    # full-outer against DICE on dc_id — unmatched SG rows carry a null
+    # join key (never equal), unmatched DICE rows surface on the right
+    # side. The expensive match lineage is consumed exactly once; no
+    # anti-joins, no union re-scan.
+    assembled = sgt.join(matched, "sg_id", "left").join(
+        dct.withColumnRenamed("day", "dc_day"), "dc_id", "full_outer"
     )
-
-    sg_rest = sgt.join(matched.select("sg_id"), "sg_id", "left_anti").select(
-        F.coalesce("sg_event_name", F.lit("")).alias("event_name"),
-        F.col("day").alias("event_datetime_local"),
-        F.coalesce("sg_artist_name", F.lit("")).alias("artist"),
-        F.coalesce("sg_venue_name", "sg_city", F.lit("")).alias("venue"),
-        F.col("sg_tickets").alias("shotgun_tickets_sold"),
-        F.lit(None).cast("bigint").alias("dice_tickets_sold"),
-        F.col("sg_id").alias("shotgun_event_id"),
-        F.lit(None).cast("string").alias("dice_event_id"),
-    )
-
-    dc_rest = dct.join(matched.select("dc_id"), "dc_id", "left_anti").select(
-        F.coalesce("dc_event_name", F.lit("")).alias("event_name"),
-        F.col("day").alias("event_datetime_local"),
-        F.coalesce("dc_artist_name", F.lit("")).alias("artist"),
-        F.coalesce("dc_venue_name", "dc_city", F.lit("")).alias("venue"),
-        F.lit(None).cast("bigint").alias("shotgun_tickets_sold"),
-        F.col("dc_tickets").alias("dice_tickets_sold"),
-        F.lit(None).cast("string").alias("shotgun_event_id"),
-        F.col("dc_id").alias("dice_event_id"),
-    )
-
     return (
-        matched_rows.unionByName(sg_rest)
-        .unionByName(dc_rest)
+        assembled.select(
+            F.coalesce("sg_event_name", "dc_event_name", F.lit("")).alias(
+                "event_name"
+            ),
+            F.coalesce("day", "dc_day").alias("event_datetime_local"),
+            F.coalesce("sg_artist_name", "dc_artist_name", F.lit("")).alias(
+                "artist"
+            ),
+            F.coalesce(
+                "sg_venue_name", "dc_venue_name", "sg_city", "dc_city", F.lit("")
+            ).alias("venue"),
+            F.col("sg_tickets").alias("shotgun_tickets_sold"),
+            F.col("dc_tickets").alias("dice_tickets_sold"),
+            F.col("sg_id").alias("shotgun_event_id"),
+            F.col("dc_id").alias("dice_event_id"),
+        )
         .filter(F.col("event_datetime_local") >= F.lit(as_of))
         .orderBy("event_datetime_local", F.lower("event_name"))
     )

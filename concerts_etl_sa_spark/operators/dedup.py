@@ -67,7 +67,11 @@ def _shingles_sql(toks_e: str) -> str:
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # repartition BEFORE the md5-heavy shingle/signature projections:
+    # the documents file is tiny at test sf (1-2 input splits) but the
+    # per-doc hash work is CPU-bound — spread it across all cores first.
+    # At 100 TB the scan has natural parallelism and AQE elides the no-op.
+    d = load_table(spark, sf_dir, "documents").repartition("doc_id")
     return d.select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
 
 
@@ -179,39 +183,42 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> distinct pairs -> exact Jaccard verify on the (small) candidate set.
     """
     ds = _docs_with_shingles(spark, sf_dir).cache()
-    sig = ds.select("doc_id", "shingles", *_minhash_cols(F.col("shingles")))
+    sig = ds.select("doc_id", *_minhash_cols(F.col("shingles")))
+    # SLIM band join: only (doc_id, band_key) shuffles through the
+    # self-join and pair-dedup; shingle arrays are re-attached to the
+    # (much smaller) candidate set afterwards by doc_id equi-joins.
     bands = sig.select(
         "doc_id",
-        "shingles",
-        F.array(
-            *[
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                )
-                for b in range(N_BANDS)
-            ]
-        ).alias("band_keys"),
-    ).select(
-        "doc_id", "shingles", F.explode("band_keys").alias("band_key")
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_key"),
     )
 
-    left = bands.select(
-        F.col("doc_id").alias("a_id"),
-        F.col("shingles").alias("a_sh"),
-        "band_key",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("shingles").alias("b_sh"),
-        "band_key",
-    )
-    pairs = (
-        left.join(right, "band_key")
+    cand = (
+        bands.select(F.col("doc_id").alias("a_id"), "band_key")
+        .join(bands.select(F.col("doc_id").alias("b_id"), "band_key"), "band_key")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    pairs = cand.join(
+        ds.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")),
+        "a_id",
+    ).join(
+        ds.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")),
+        "b_id",
     )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
@@ -305,7 +312,9 @@ def _simhash_sql(toks_e: str) -> str:
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # repartition first: the 32-bit-vote projection is CPU-bound (see
+    # _docs_with_shingles note on input-split parallelism)
+    d = load_table(spark, sf_dir, "documents").repartition("doc_id")
     return d.select(
         "doc_id", _simhash(_tokens(F.col("text"))).alias("simhash")
     )

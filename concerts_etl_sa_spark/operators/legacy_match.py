@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.dates import canonical_key, canonical_key_sql
-from ..functions.text import similarity, similarity_sql
+from ..functions.text import norm_name, similarity_norm, similarity_sql
 from .fixtures import dice_events_sql, shotgun_events_sql
 
 BAND_SECONDS = 30 * 60  # hour_tolerance_min=30 (matching.py:47)
@@ -67,23 +67,64 @@ def _sg_indexed(sg: DataFrame) -> DataFrame:
 
 
 def legacy_candidates(sg: DataFrame, dc: DataFrame) -> DataFrame:
-    """D5+D6 candidate pairs: same day, |Δt| <= 30 min, sim >= 0.90."""
-    sgi = _sg_indexed(sg).filter(F.col("sg_dt").isNotNull())
-    dcd = dc.filter(F.col("event_datetime_local").isNotNull()).select(
-        F.col("event_id_provider").alias("dc_id"),
-        F.col("event_name").alias("dc_name"),
-        F.col("event_datetime_local").alias("dc_dt"),
-        F.col("tickets_sold_total").alias("dc_tickets"),
-    )
-    # day equi-key blocks the join; band + similarity are in-bucket predicates
-    return (
-        sgi.join(dcd, F.to_date("sg_dt") == F.to_date("dc_dt"), "inner")
-        .filter(
-            F.abs(F.col("sg_dt").cast("double") - F.col("dc_dt").cast("double"))
-            <= BAND_SECONDS
+    """D5+D6 candidate pairs: same day, |Δt| <= 30 min, sim >= 0.90.
+
+    Physical strategy (100 TB hot path):
+    - Block the band join on 30-min epoch buckets, not just the calendar
+      day: SG keeps its own bucket, DICE fans out to {b-1, b, b+1} so any
+      pair within ±30 min shares exactly one join key. Candidate volume
+      drops from |day-bucket|² to ~|30min-bucket|² × 3 (≈16× fewer pairs
+      when events spread across a day) and the shuffle key cardinality
+      rises from #days to #days×48, fixing shuffle parallelism too.
+    - ``norm_name`` (a 3-regex cascade) is computed ONCE per row before
+      the join; the per-pair work is a single levenshtein.
+    """
+    sgi = (
+        _sg_indexed(sg)
+        .filter(F.col("sg_dt").isNotNull())
+        .withColumn("sg_norm", norm_name(F.col("sg_name")))
+        .withColumn(
+            "bkt", F.floor(F.col("sg_dt").cast("double") / BAND_SECONDS)
         )
-        .withColumn("sim", similarity(F.col("sg_name"), F.col("dc_name")))
+    )
+    dcd = (
+        dc.filter(F.col("event_datetime_local").isNotNull())
+        .select(
+            F.col("event_id_provider").alias("dc_id"),
+            F.col("event_name").alias("dc_name"),
+            F.col("event_datetime_local").alias("dc_dt"),
+            F.col("tickets_sold_total").alias("dc_tickets"),
+            norm_name(F.col("event_name")).alias("dc_norm"),
+            F.floor(
+                F.col("event_datetime_local").cast("double") / BAND_SECONDS
+            ).alias("dc_bkt"),
+        )
+        # fan DICE out to its bucket and both neighbors: a |Δt|<=band pair
+        # lands in exactly one (sg.bkt == dc fan-out) key — no duplicates
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.array(
+                    F.col("dc_bkt") - 1, F.col("dc_bkt"), F.col("dc_bkt") + 1
+                )
+            ),
+        )
+        .drop("dc_bkt")
+    )
+    return (
+        sgi.join(dcd, "bkt", "inner")
+        .filter(
+            (F.to_date("sg_dt") == F.to_date("dc_dt"))
+            & (
+                F.abs(
+                    F.col("sg_dt").cast("double") - F.col("dc_dt").cast("double")
+                )
+                <= BAND_SECONDS
+            )
+        )
+        .withColumn("sim", similarity_norm(F.col("sg_norm"), F.col("dc_norm")))
         .filter(F.col("sim") >= SIM_THRESHOLD)
+        .drop("bkt", "sg_norm", "dc_norm")
     )
 
 
