@@ -1,0 +1,69 @@
+"""End-to-end ETL lifecycle (SURVEY §3.1 — cli.run_all analog).
+
+Mirrors the reference orchestration (concerts_etl/cli.py:20-55):
+
+1. extract both providers — each wrapped in per-source graceful
+   degradation (K2, cli.py:22-35): a failing source yields an EMPTY
+   frame with the right schema and the pipeline continues
+2. consolidate (D1-D4)
+3. overwrite snapshot sink (A9/I5) + 20-row JSON preview (A11/G2)
+4. per-source counts (E3, cli.py:27,35)
+
+The reference's sources are live scrape/GraphQL; the engine's are
+deterministic fixture projections of the driver's events table — the
+lifecycle (extract -> transform -> load -> debug artifacts) is the
+operator under test, not the network I/O.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.consolidate import consolidate
+from ..operators.fixtures import AS_OF, dice_events, shotgun_events
+from ..schemas import NORMALIZED_EVENT
+from ..sinks.writers import export_json_preview, overwrite_snapshot
+from ..sources.readers import load_table
+
+
+@dataclass
+class RunResult:
+    shotgun_count: int
+    dice_count: int
+    consolidated_count: int
+    consolidated: DataFrame
+
+
+def _safe_source(spark: SparkSession, fn, events: DataFrame) -> DataFrame:
+    """K2: source failure -> log + empty typed frame (cli.py:22-35)."""
+    try:
+        return fn(events)
+    except Exception as exc:  # noqa: BLE001 — per-source isolation is the op
+        print(f'{{"level": "error", "msg": "source failed: {exc}"}}')
+        return spark.createDataFrame([], NORMALIZED_EVENT)
+
+
+def run_all(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    as_of: str = AS_OF,
+) -> RunResult:
+    """Full extract -> consolidate -> load run; returns counts + result."""
+    events = load_table(spark, sf_dir, "events")
+    sg = _safe_source(spark, shotgun_events, events)
+    dc = _safe_source(spark, dice_events, events)
+
+    consolidated = consolidate(sg, dc, as_of=as_of)
+
+    overwrite_snapshot(consolidated, f"{out_dir}/consolidated")
+    export_json_preview(consolidated, f"{out_dir}/preview")
+
+    return RunResult(
+        shotgun_count=sg.count(),
+        dice_count=dc.count(),
+        consolidated_count=consolidated.count(),
+        consolidated=consolidated,
+    )

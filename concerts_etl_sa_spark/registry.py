@@ -280,6 +280,26 @@ def q_status(spark, sf_dir):
 
 
 # ===================================================================
+# Remaining scalar rows (SURVEY §2.B5, B10-B13, B18, B20-B27, C4)
+# ===================================================================
+
+from .operators import scalar_suite as SS  # noqa: E402
+
+_SCALARS = [
+    ("b05_date_extraction", SS.date_extraction, SS.DATE_EXTRACTION_SQL),
+    ("b10_fr_datetime_cascade", SS.fr_datetime_cascade,
+     SS.FR_DATETIME_CASCADE_SQL),
+    ("b12_iso_roundtrip", SS.iso_roundtrip, SS.ISO_ROUNDTRIP_SQL),
+    ("b18_nested_first", SS.nested_first, SS.NESTED_FIRST_SQL),
+    ("b20_defaults_bundle", SS.defaults_bundle, SS.DEFAULTS_BUNDLE_SQL),
+    ("c4_stat_cell_pick", SS.stat_cell_pick, SS.STAT_CELL_PICK_SQL),
+]
+
+for _name, _fn, _sql in _SCALARS:
+    register(_name, _sql)(_fn)
+
+
+# ===================================================================
 # Legacy consolidation path (SURVEY §2.D5-D8)
 # ===================================================================
 

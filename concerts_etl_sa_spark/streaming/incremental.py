@@ -1,0 +1,150 @@
+"""Structured Streaming veneer (SURVEY §2.I, §7.1 M7).
+
+The reference is a daily batch (cron 0 6 * * *, .github/workflows/daily.yml:4-6)
+whose semantics are stream-shaped: incremental append with lineage
+(I2, storage/google_sheets.py:20-79), a bounded 90-day lookback (I3,
+adapters/dice.py:85-87), late/stale-data drop (I4,
+core/consolidate_events.py:164-166) and an overwrite snapshot (I5,
+core/gsheet.py:114-117). This module re-expresses that lifecycle as
+Structured Streaming:
+
+- ``read_events_stream``      : file-source stream with the pinned events
+  schema (never inferSchema) — new parquet files are the micro-batches,
+  exactly the reference's "new scrape each morning".
+- ``incremental_append``      : trigger(availableNow) + foreachBatch
+  append, stamping ``ingestion_run_id`` = batch id and
+  ``scrape_ts_utc`` = batch wall-clock (I1/I2). Checkpointing makes the
+  daily re-run exactly-once per input file where the reference's append
+  sink is at-least-once (documented upgrade, SURVEY §2.I2).
+- ``daily_event_counts``      : tumbling 1-day event-time window with a
+  watermark bounding state (I3) and dropping late rows (I4).
+- ``snapshot_consolidation``  : foreachBatch overwrite of the consolidated
+  snapshot per micro-batch (I5's clear+rewrite idempotence).
+
+Scale notes: file-source streams shard listing/processing across
+executors; the windowed aggregate is a standard partial-agg + state-store
+shuffle on (window, key) — at 100 TB the watermark is what bounds state
+(without it, state grows forever). ``availableNow`` processes the backlog
+then stops, so the same job serves both backfill and the daily cron.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schemas import EVENTS
+
+# events.ts is TIMESTAMP(NANOS) in the driver parquet (see sources.readers);
+# the stream reads it as long and converts ns -> us.
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField(
+            f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable
+        )
+        for f in EVENTS.fields
+    ]
+)
+
+LOOKBACK = "90 days"      # I3: dice.py:85-87
+LATE_TOLERANCE = "2 days" # I4 watermark: late rows beyond this are dropped
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files (A1/I1)."""
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def incremental_append(
+    events: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """I1/I2: availableNow micro-batch append with lineage columns.
+
+    ingestion_run_id = micro-batch id (the driver-contract analog of the
+    reference's per-run uuid4, shotgun.py:118); partitioned by event day
+    so daily reads prune to one partition.
+    """
+
+    def _write_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("ingestion_run_id", F.lit(f"batch-{batch_id}"))
+            .withColumn("scrape_ts_utc", F.current_timestamp())
+            .withColumn("event_date", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(out_path)
+        )
+
+    return (
+        events.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_write_batch)
+        .start()
+    )
+
+
+def daily_event_counts(events: DataFrame) -> DataFrame:
+    """I3/I4: tumbling daily counts per event_type with watermarked state.
+
+    Batch-equivalent semantics: groupBy(to_date(ts), event_type).count()
+    over rows no older than the watermark — the streaming form of the
+    reference's past-date filter + daily cadence.
+    """
+    return (
+        events.withWatermark("ts", LATE_TOLERANCE)
+        .groupBy(F.window("ts", "1 day").alias("day_window"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("day_window").start.cast("date").alias("event_date"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_daily_counts(
+    events: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Append-mode sink for the windowed aggregate: a window emits once its
+    watermark passes (late rows dropped = I4)."""
+    return (
+        daily_event_counts(events)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_path)
+        .format("parquet")
+        .start()
+    )
+
+
+def snapshot_consolidation(
+    events: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    """I5: every micro-batch rewrites the consolidated snapshot (the
+    reference's clear+rewrite, gsheet.py:114-117) — run via foreachBatch
+    because the consolidation join is a batch transform per trigger."""
+    from ..operators.consolidate import consolidate
+    from ..operators.fixtures import dice_events, shotgun_events
+
+    def _write_batch(batch: DataFrame, batch_id: int) -> None:
+        out = consolidate(shotgun_events(batch), dice_events(batch))
+        out.write.mode("overwrite").parquet(out_path)
+
+    return (
+        events.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_write_batch)
+        .start()
+    )

@@ -1,0 +1,103 @@
+"""Sink lifecycle (SURVEY §2.A7-A12, C6) + end-to-end pipeline (§3.1)."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+from pyspark.sql import functions as F
+
+from concerts_etl_sa_spark.plans.pipeline import run_all
+from concerts_etl_sa_spark.sinks import (
+    append_historized,
+    export_csv,
+    export_json_preview,
+    overwrite_snapshot,
+    union_heterogeneous,
+)
+from concerts_etl_sa_spark.sources.readers import load_table
+
+from .conftest import SF_DIR
+
+
+def _events(spark):
+    return load_table(spark, SF_DIR, "events").limit(50)
+
+
+def test_export_csv_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "csv")
+    df = _events(spark).select("event_id", "ts", "event_type")
+    export_csv(df, path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 50
+    # timestamps stringified as ISO (B23)
+    sample = back.select("ts").first()[0]
+    assert "T" in sample
+
+
+def test_append_historized_partitions_and_lineage(spark, tmp_path):
+    path = str(tmp_path / "hist")
+    df = _events(spark).withColumn("scrape_ts_utc", F.current_timestamp())
+    append_historized(df, path)
+    append_historized(df, path)  # second daily run appends (I2 at-least-once)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert "scrape_date" in back.columns
+    # partitioned layout on disk => partition pruning on read
+    assert any(p.name.startswith("scrape_date=") for p in pathlib.Path(path).iterdir())
+
+
+def test_overwrite_snapshot_idempotent(spark, tmp_path):
+    path = str(tmp_path / "snap")
+    overwrite_snapshot(_events(spark), path)
+    overwrite_snapshot(_events(spark), path)  # I5: rewrite, not append
+    assert spark.read.parquet(path).count() == 50
+
+
+def test_empty_input_short_circuit(spark, tmp_path):
+    path = str(tmp_path / "noop")
+    empty = _events(spark).filter(F.lit(False))
+    export_csv(empty, path)
+    overwrite_snapshot(empty, path)
+    assert not pathlib.Path(path).exists()  # C6: no write happened
+
+
+def test_union_heterogeneous_superset_schema(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, a string")
+    b = spark.createDataFrame([(2, "y")], "id long, b string")
+    out = union_heterogeneous(a, b)
+    assert set(out.columns) == {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows[1] == ("x", None) and rows[2] == (None, "y")  # typed nulls (A10)
+
+
+def test_json_preview_limit(spark, tmp_path):
+    path = str(tmp_path / "preview")
+    export_json_preview(_events(spark), path, n=20)
+    files = list(pathlib.Path(path).glob("*.json"))
+    assert files
+    lines = [json.loads(line) for f in files for line in f.read_text().splitlines()]
+    assert len(lines) == 20
+
+
+def test_run_all_end_to_end(spark, tmp_path):
+    res = run_all(spark, SF_DIR, str(tmp_path / "run"))
+    assert res.shotgun_count > 0 and res.dice_count > 0
+    assert res.consolidated_count > 0
+    snap = spark.read.parquet(str(tmp_path / "run" / "consolidated"))
+    assert snap.count() == res.consolidated_count
+    assert (tmp_path / "run" / "preview").exists()
+
+
+def test_run_all_graceful_source_degradation(spark, tmp_path, monkeypatch):
+    """K2: one source blowing up -> pipeline still completes with the other."""
+    import concerts_etl_sa_spark.plans.pipeline as P
+
+    def boom(events):
+        raise RuntimeError("scrape failed")
+
+    monkeypatch.setattr(P, "shotgun_events", boom)
+    res = run_all(spark, SF_DIR, str(tmp_path / "run2"))
+    assert res.shotgun_count == 0
+    assert res.dice_count > 0
+    assert res.consolidated_count > 0  # dice-only residuals flow through
