@@ -273,6 +273,59 @@ ORDER BY a_id, b_id
 MINHASH_LSH_PAIRS_SQL = _minhash_lsh_pairs_sql()
 
 
+# -------------------------------------------------- n-gram Jaccard pairs
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs, blocked by the MIN shingle.
+
+    Blocking rationale (100 TB): the min element of a shingle set is a
+    1-band, 1-row minhash — any pair with Jaccard >= t shares the min
+    shingle with probability >= t, so one equi-key join on ``min_sh``
+    finds high-overlap pairs with no quadratic stage. (The LSH query
+    covers the multi-band/high-recall variant; this is the cheap
+    single-key member of the dedup family.)
+    """
+    ds = _docs_with_shingles(spark, sf_dir)
+    keyed = ds.select(
+        "doc_id", "shingles", F.array_min("shingles").alias("min_sh")
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"), "min_sh"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"), "min_sh"
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return (
+        a.join(b, "min_sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH sh AS ({_DOCS_SHINGLES_SQL}),
+keyed AS (SELECT doc_id, shingles, list_min(shingles) AS min_sh FROM sh)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / greatest(len(list_distinct(a.shingles || b.shingles)), 1), 6)
+    AS jaccard
+FROM keyed a JOIN keyed b ON a.min_sh = b.min_sh
+WHERE a.doc_id < b.doc_id
+  AND round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / greatest(len(list_distinct(a.shingles || b.shingles)), 1), 6)
+      >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
 # ----------------------------------------------------------------- simhash
 
 def _simhash(toks):
@@ -312,11 +365,39 @@ def _simhash_sql(toks_e: str) -> str:
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition first: the 32-bit-vote projection is CPU-bound (see
-    # _docs_with_shingles note on input-split parallelism)
+    """Simhash via explode -> per-bit vote aggregation.
+
+    The array-expression form (``_simhash``) inlines the token-hash
+    array into all 32 bit-count subexpressions — Catalyst does not CSE
+    across them, so every token gets md5'd 32x. This formulation
+    computes each token hash ONCE (explode -> one md5 per token row),
+    then aggregates 32 cheap +1/-1 bit votes with map-side partial
+    aggregation — the shape that scales: narrow (doc_id, hash) rows,
+    one shuffle keyed on doc_id.
+    """
     d = load_table(spark, sf_dir, "documents").repartition("doc_id")
-    return d.select(
-        "doc_id", _simhash(_tokens(F.col("text"))).alias("simhash")
+    tok = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint")
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(32)
+    ]
+    sig = tok.groupBy("doc_id").agg(*votes).select(
+        "doc_id",
+        sum(
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(32)
+        ).cast("bigint").alias("simhash"),
+    )
+    # docs whose token list is empty have no exploded rows: sig -> 0
+    # (matches the array form / oracle on empty input)
+    return d.select("doc_id").join(sig, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash")
     )
 
 

@@ -75,23 +75,50 @@ def _cosine(a: str, b: str):
     )
 
 
+def _cosine_pre(a: str, b: str, a_n2: str, b_n2: str):
+    """Cosine with PRE-COMPUTED squared norms.
+
+    Join-side form: ``_cosine`` inlines three 64-term sums per use and
+    plans with several uses spend seconds in analysis/codegen before any
+    row moves (and at 100 TB re-do the norm arithmetic per candidate
+    pair). Computing ``norm2`` once per row leaves only the 64-term dot
+    per pair. FP-identical to ``_cosine``: same per-term order, and the
+    product/round sequence is unchanged.
+    """
+    return F.round(
+        _dot(a, b) / F.sqrt(F.col(a_n2) * F.col(b_n2)),
+        6,
+    )
+
+
 def _cosine_sql(a: str, b: str) -> str:
     return (
         f"round(({_dot_sql(a, b)}) / sqrt(({_norm2_sql(a)}) * ({_norm2_sql(b)})), 6)"
     )
 
 
+def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with squared norm precomputed per row (repartitioned:
+    single input split at test sf, CPU-bound projections)."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition("vec_id")
+    return emb.withColumn("norm2", _norm2("embedding"))
+
+
 def topk_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k: broadcast the Q query vectors against all candidates."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_normed(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("norm2").alias("q_n2"),
     )
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("norm2").alias("c_n2"),
     )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cosine", _cosine("q_vec", "c_vec")
+        "cosine", _cosine_pre("q_vec", "c_vec", "q_n2", "c_n2")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -154,21 +181,23 @@ def _band_keys(vec: str):
 
 def topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates share >= 1 of two sign-LSH bands."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_normed(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
+        F.col("norm2").alias("q_n2"),
         F.explode(_band_keys("embedding")).alias("band_key"),
     )
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_vec"),
+        F.col("norm2").alias("c_n2"),
         F.explode(_band_keys("embedding")).alias("band_key"),
     )
     scored = (
         c.join(F.broadcast(q), "band_key")
         .dropDuplicates(["q_id", "c_id"])
-        .withColumn("cosine", _cosine("q_vec", "c_vec"))
+        .withColumn("cosine", _cosine_pre("q_vec", "c_vec", "q_n2", "c_n2"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -221,21 +250,133 @@ ORDER BY q_id, rn
 """
 
 
+IVF_CENTROID_IDS = [20, 40, 60, 80]  # deterministic "trained" centroids
+NPROBE = 2
+
+
+def _assign_buckets(emb: DataFrame, centroids: DataFrame, n_keep: int) -> DataFrame:
+    """IVF assignment: each vector's n_keep nearest centroids by cosine."""
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "c_cos", _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= n_keep)
+        .select("vec_id", "embedding", "norm2", "centroid_id")
+    )
+
+
+def topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every candidate to its nearest centroid
+    (inverted list); probe each query's NPROBE nearest lists only.
+
+    The scale path complementing sign-LSH: assignment is a linear scan
+    against K broadcast centroids (K << N); search shuffles on
+    ``centroid_id`` so each query scores ~N/K * NPROBE candidates. A
+    production IVF trains centroids with k-means (pyspark.ml KMeans) —
+    here they are fixed vectors from the table so the DuckDB oracle
+    reproduces the identical index deterministically.
+    """
+    emb = _emb_normed(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+        F.col("norm2").alias("c_n2"),
+    )
+    cand = _assign_buckets(
+        emb.filter(F.col("vec_id") >= N_QUERIES), centroids, n_keep=1
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("norm2").alias("cv_n2"),
+        "centroid_id",
+    )
+    qry = _assign_buckets(
+        emb.filter(F.col("vec_id") < N_QUERIES), centroids, n_keep=NPROBE
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("norm2").alias("q_n2"),
+        "centroid_id",
+    )
+    scored = (
+        cand.join(F.broadcast(qry), "centroid_id")
+        .withColumn("cosine", _cosine_pre("q_vec", "c_vec", "q_n2", "cv_n2"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "c_id", "cosine", "rn")
+        .orderBy("q_id", "rn")
+    )
+
+
+def _ivf_sql() -> str:
+    ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    cos_c = _cosine_sql("e.embedding", "c.embedding")
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+cand AS (
+  SELECT vec_id AS c_id, embedding AS c_vec, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_c} DESC, c.centroid_id) AS crn
+    FROM embeddings e CROSS JOIN centroids c
+    WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE crn <= 1
+),
+qry AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_c} DESC, c.centroid_id) AS crn
+    FROM embeddings e CROSS JOIN centroids c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE crn <= {NPROBE}
+),
+scored AS (
+  SELECT DISTINCT q_id, c_id, {_cosine_sql('q_vec', 'c_vec')} AS cosine
+  FROM cand JOIN qry USING (centroid_id)
+)
+SELECT q_id, c_id, cosine, rn FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+  FROM scored
+) WHERE rn <= {TOP_K}
+ORDER BY q_id, rn
+"""
+
+
+TOPK_COSINE_IVF_SQL = _ivf_sql()
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors: cosine >= threshold among same-bucket pairs."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = _emb_normed(spark, sf_dir).withColumn(
         "bucket", _sign_bucket("embedding")
     )
     a = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"), "bucket"
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("norm2").alias("a_n2"),
+        "bucket",
     )
     b = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"), "bucket"
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("norm2").alias("b_n2"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", _cosine("a_vec", "b_vec"))
+        .withColumn("cosine", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
         .select("a_id", "b_id", "cosine")
         .orderBy("a_id", "b_id")

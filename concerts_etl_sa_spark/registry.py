@@ -361,6 +361,7 @@ from .operators import textstats as TS  # noqa: E402
 
 _EXTENSIONS = [
     ("l3_token_stats", TS.token_stats, TS.TOKEN_STATS_SQL),
+    ("l3_bpe_token_count", TS.bpe_token_count, TS.BPE_TOKEN_COUNT_SQL),
     ("l3_quality_score", TS.quality_score, TS.QUALITY_SCORE_SQL),
     ("l3_lang_id", TS.lang_id, TS.LANG_ID_SQL),
     ("l3_fingerprint", TS.fingerprint, TS.FINGERPRINT_SQL),
@@ -371,9 +372,11 @@ _EXTENSIONS = [
     ("l1_minhash_lsh_pairs", D.minhash_lsh_pairs, D.MINHASH_LSH_PAIRS_SQL),
     ("l1_simhash_signatures", D.simhash_signatures, D.SIMHASH_SIGNATURES_SQL),
     ("l1_simhash_near_pairs", D.simhash_near_pairs, D.SIMHASH_NEAR_PAIRS_SQL),
+    ("l1_ngram_jaccard_pairs", D.ngram_jaccard_pairs, D.NGRAM_JACCARD_PAIRS_SQL),
     ("l2_topk_cosine_bruteforce", S.topk_cosine_bruteforce,
      S.TOPK_COSINE_BRUTEFORCE_SQL),
     ("l2_topk_cosine_lsh", S.topk_cosine_lsh, S.TOPK_COSINE_LSH_SQL),
+    ("l2_topk_cosine_ivf", S.topk_cosine_ivf, S.TOPK_COSINE_IVF_SQL),
     ("l2_embedding_near_dup", S.embedding_near_dup_pairs,
      S.EMBEDDING_NEAR_DUP_SQL),
 ]

@@ -1,0 +1,90 @@
+"""Physical-plan hygiene (SURVEY §4): the properties that keep every
+operator viable at 100 TB, asserted on .explain output so regressions in
+plan shape fail fast even while results stay correct.
+
+- predicate + projection pushdown reach the parquet scan (A2/A3)
+- no unbounded cross join anywhere in the fuzzy-match plans (§4 rule:
+  every fuzzy predicate is pre-blocked by an equi key) — the only
+  cross join allowed is the deliberate broadcast of K centroids / Q
+  query vectors in the ANN operators
+- small dimension joins broadcast (nation/region side of the revenue
+  rollup)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from concerts_etl_sa_spark.operators import analytics as A
+from concerts_etl_sa_spark.operators import consolidate as C
+from concerts_etl_sa_spark.operators import fixtures as FX
+from concerts_etl_sa_spark.operators import legacy_match as L
+from concerts_etl_sa_spark.sources.readers import load_table
+
+from .conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_pushdown_predicate_and_projection(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = formatted_plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "l_orderkey:bigint", "l_quantity:double"
+    }, f"column pruning failed: {m and m.group(1)}"
+
+
+def _events_frames(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    return FX.shotgun_events(ev), FX.dice_events(ev)
+
+
+def test_consolidate_plan_has_no_cross_join(spark):
+    sg, dc = _events_frames(spark)
+    plan = plan_of(C.consolidate(sg, dc))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_legacy_merge_plan_has_no_cross_join(spark):
+    sg, dc = _events_frames(spark)
+    plan = plan_of(L.legacy_merge(sg, dc))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_consolidate_pair_join_is_blocked_on_day_and_token(spark):
+    """The inverted-index join must key on (day, tok) — never day alone."""
+    sg, dc = _events_frames(spark)
+    plan = plan_of(C.consolidate(sg, dc))
+    joins = [ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
+    pair_join = [ln for ln in joins if "tok" in ln]
+    assert pair_join, f"no (day, tok) pair join found in:\n{joins}"
+    assert any("day" in ln for ln in pair_join)
+
+
+def test_small_dim_join_broadcasts(spark):
+    plan = plan_of(A.revenue_by_nation(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "nation/region dims should broadcast"
+
+
+def test_whole_stage_codegen_covers_scalar_cascade(spark):
+    """The B-row scalar cascades must stay JVM-side (no Python eval)."""
+    sg, _ = _events_frames(spark)
+    plan = plan_of(sg)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the compact form
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
