@@ -380,3 +380,144 @@ WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')
 ORDER BY s_suppkey
 """
+
+
+# ------------------------------------------- F4: sessionization (events)
+
+SESSION_GAP_S = 1800  # 30-min inactivity closes a session
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag + running-sum session ids.
+
+    The batch form of a session window (streaming analog:
+    ``F.session_window(ts, '30 minutes')``). Both windows partition on
+    user_id — high cardinality, so sorts are per-user partitions, no
+    single-node bottleneck at scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w_ord)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id", "ts", "event_id", new_sess.alias("new_sess")
+    ).withColumn("session_id", F.sum("new_sess").over(w_run))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")))
+            .cast("bigint")
+            .alias("session_seconds"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+USER_SESSIONS_SQL = f"""
+SELECT user_id, session_id, count(*) AS n_events,
+       CAST(floor(max(epoch(ts)) - min(epoch(ts))) AS BIGINT) AS session_seconds
+FROM (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                  OR epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                     > {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# ------------------------------------------- E6: exact percentiles
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per order priority (Spark
+    ``percentile`` == DuckDB ``quantile_cont``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PRICE_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------------- G4: pivot (status x priority)
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: one column per o_orderstatus value.
+
+    Values pinned explicitly (TPC-H statuses F/O/P) — never let pivot
+    scan for distinct values on a 100 TB fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+PIVOT_STATUS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS "F",
+       count(*) FILTER (o_orderstatus = 'O') AS "O",
+       count(*) FILTER (o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------------- E7: exact daily distincts
+
+def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count_distinct per day+type (the oracle-checkable half of
+    the distinct-count story; approx_count_distinct/HLL is the 100 TB
+    fast path — same plan shape, sketch instead of exact set)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+DAILY_DISTINCT_USERS_SQL = """
+SELECT CAST(ts AS DATE) AS event_date, event_type,
+       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+ORDER BY event_date, event_type
+"""

@@ -338,6 +338,12 @@ _ANALYTICS = [
     ("f1_running_order_total", A.running_order_total, A.RUNNING_ORDER_TOTAL_SQL),
     ("f2_order_ranks", A.order_ranks, A.ORDER_RANKS_SQL),
     ("f3_event_lag_lead", A.event_lag_lead, A.EVENT_LAG_LEAD_SQL),
+    ("f4_user_sessions", A.user_sessions, A.USER_SESSIONS_SQL),
+    ("e6_price_percentiles", A.price_percentiles, A.PRICE_PERCENTILES_SQL),
+    ("e7_daily_distinct_users", A.daily_distinct_users,
+     A.DAILY_DISTINCT_USERS_SQL),
+    ("g4_pivot_status_by_priority", A.pivot_status_by_priority,
+     A.PIVOT_STATUS_BY_PRIORITY_SQL),
     ("g1_top_customers", A.top_customers, A.TOP_CUSTOMERS_SQL),
     ("g3_topk_parts_per_brand", A.topk_parts_per_brand, A.TOPK_PARTS_PER_BRAND_SQL),
     ("h1_intersect_except", A.intersect_except_custkeys, A.INTERSECT_EXCEPT_SQL),
