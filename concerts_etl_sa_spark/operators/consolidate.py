@@ -80,7 +80,10 @@ def consolidate(sg: DataFrame, dc: DataFrame, as_of: str = AS_OF) -> DataFrame:
         "dc_id", "day", F.explode("dc_toks").alias("tok")
     ).repartition("day", "tok")
     pairs = (
-        sg_tok.join(dc_tok, ["day", "tok"], "inner")
+        # shuffle_hash: the per-partition token postings easily fit a hash
+        # map and SMJ's sort of both exploded sides is pure overhead
+        sg_tok.hint("shuffle_hash")
+        .join(dc_tok, ["day", "tok"], "inner")
         .groupBy("sg_id", "dc_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )

@@ -183,7 +183,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> distinct pairs -> exact Jaccard verify on the (small) candidate set.
     """
     ds = _docs_with_shingles(spark, sf_dir).cache()
-    sig = ds.select("doc_id", *_minhash_cols(F.col("shingles")))
+    # cache the signature index too: the band self-join consumes it on
+    # both legs and Spark's exchange-reuse doesn't fire across the two
+    # differently-aliased subtrees — without the cache the md5 minhash
+    # computation runs twice (an index build is materialized once at any
+    # scale; this is that materialization)
+    sig = ds.select("doc_id", *_minhash_cols(F.col("shingles"))).cache()
     # SLIM band join: only (doc_id, band_key) shuffles through the
     # self-join and pair-dedup; shingle arrays are re-attached to the
     # (much smaller) candidate set afterwards by doc_id equi-joins.
@@ -422,8 +427,11 @@ SIMHASH_SIGNATURES_SQL = _simhash_signatures_sql()
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: hamming(simhash) <= SIMHASH_MAX_HAMMING among
-    candidates sharing at least one signature byte (4-block blocking)."""
-    sig = simhash_signatures(spark, sf_dir)
+    candidates sharing at least one signature byte (4-block blocking).
+
+    The signature index is cached — both self-join legs consume it and
+    exchange reuse doesn't fire across the aliased subtrees."""
+    sig = simhash_signatures(spark, sf_dir).cache()
     blocks = sig.select(
         "doc_id",
         "simhash",

@@ -112,7 +112,7 @@ def legacy_candidates(sg: DataFrame, dc: DataFrame) -> DataFrame:
         .drop("dc_bkt")
     )
     return (
-        sgi.join(dcd, "bkt", "inner")
+        sgi.hint("shuffle_hash").join(dcd, "bkt", "inner")
         .filter(
             (F.to_date("sg_dt") == F.to_date("dc_dt"))
             & (
