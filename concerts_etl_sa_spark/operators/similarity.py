@@ -196,8 +196,11 @@ def topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         c.join(F.broadcast(q), "band_key")
-        .dropDuplicates(["q_id", "c_id"])
         .withColumn("cosine", _cosine_pre("q_vec", "c_vec", "q_n2", "c_n2"))
+        # dedup AFTER scoring, on slim (ids, cosine) rows — the embedding
+        # arrays must not ride through the dedup shuffle
+        .select("q_id", "c_id", "cosine")
+        .dropDuplicates(["q_id", "c_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -303,6 +306,7 @@ def topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(F.broadcast(qry), "centroid_id")
         .withColumn("cosine", _cosine_pre("q_vec", "c_vec", "q_n2", "cv_n2"))
+        .select("q_id", "c_id", "cosine")
         .dropDuplicates(["q_id", "c_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
