@@ -342,6 +342,9 @@ _ANALYTICS = [
     ("e6_price_percentiles", A.price_percentiles, A.PRICE_PERCENTILES_SQL),
     ("e7_daily_distinct_users", A.daily_distinct_users,
      A.DAILY_DISTINCT_USERS_SQL),
+    # sketch-based approximations: rows-only check by design (the exact
+    # twins above carry the value-level correctness burden)
+    ("e8_approx_daily_stats", A.approx_daily_stats, None),
     ("g4_pivot_status_by_priority", A.pivot_status_by_priority,
      A.PIVOT_STATUS_BY_PRIORITY_SQL),
     ("g1_top_customers", A.top_customers, A.TOP_CUSTOMERS_SQL),

@@ -1,0 +1,77 @@
+"""Edge-input robustness: empty sides, all-null dates, single rows.
+
+The reference degrades gracefully per-source (K2) and per-row (K3); the
+engine's join operators must do the same — an empty or degenerate side
+yields the correct residual output, never an error or a dropped side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from concerts_etl_sa_spark.operators import consolidate as C
+from concerts_etl_sa_spark.operators import fixtures as FX
+from concerts_etl_sa_spark.operators import legacy_match as L
+from concerts_etl_sa_spark.schemas import NORMALIZED_EVENT
+from concerts_etl_sa_spark.sources.readers import load_table
+
+from .conftest import SF_DIR
+
+
+def _frames(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    return FX.shotgun_events(ev), FX.dice_events(ev)
+
+
+def _empty(spark):
+    return spark.createDataFrame([], NORMALIZED_EVENT)
+
+
+def test_consolidate_empty_dice_side(spark):
+    sg, _ = _frames(spark)
+    out = C.consolidate(sg, _empty(spark))
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["dice_event_id"] is None for r in rows)  # all SG residuals
+
+
+def test_consolidate_empty_shotgun_side(spark):
+    _, dc = _frames(spark)
+    out = C.consolidate(_empty(spark), dc)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["shotgun_event_id"] is None for r in rows)
+
+
+def test_consolidate_both_empty(spark):
+    assert C.consolidate(_empty(spark), _empty(spark)).count() == 0
+
+
+def test_consolidate_all_null_dates_dropped(spark):
+    sg, dc = _frames(spark)
+    sg_nulled = sg.withColumn(
+        "event_datetime_local", F.lit(None).cast("timestamp")
+    )
+    out = C.consolidate(sg_nulled, dc)
+    # C1: every undated SG row dropped; only dice residuals remain
+    assert all(r["shotgun_event_id"] is None for r in out.collect())
+
+
+def test_legacy_merge_empty_sides(spark):
+    sg, dc = _frames(spark)
+    assert L.legacy_merge(sg, _empty(spark)).count() > 0   # SG rows survive
+    assert L.legacy_merge(_empty(spark), dc).count() > 0   # D7 independents
+    assert L.legacy_merge(_empty(spark), _empty(spark)).count() == 0
+
+
+def test_consolidate_matched_ids_unique(spark):
+    """1:1 constraint (D3): no sg_id or dc_id appears in two matched rows."""
+    sg, dc = _frames(spark)
+    out = C.consolidate(sg, dc)
+    matched = out.filter(
+        F.col("shotgun_event_id").isNotNull()
+        & F.col("dice_event_id").isNotNull()
+    )
+    n = matched.count()
+    assert matched.select("shotgun_event_id").distinct().count() == n
+    assert matched.select("dice_event_id").distinct().count() == n
