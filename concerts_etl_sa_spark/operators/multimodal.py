@@ -143,6 +143,80 @@ ORDER BY doc_id
 """
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize stub over mapInPandas (SURVEY §2.L4 'resize').
+
+    A real implementation decodes, resamples to (target_w, target_h) and
+    re-encodes inside the pandas batch (PIL/ffmpeg — not in this
+    container). The deterministic stand-in truncates the decoded payload
+    to target_w*target_h units (characters, since the synthetic payload
+    is utf-8 text — unicode-safe so the DuckDB oracle can reproduce it),
+    which preserves everything the Spark layer is responsible for: batch
+    signature, output schema, size accounting, and that bytes never
+    cross a shuffle.
+    """
+    import hashlib
+
+    cap = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                bytes(p).decode("utf-8")[:cap].encode("utf-8")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "target_w": pd.array([target_w] * len(pdf), dtype="int32"),
+                    "target_h": pd.array([target_h] * len(pdf), dtype="int32"),
+                    "resized_bytes": [len(r) for r in resized],
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    flat = media.select(
+        "doc_id", "payload", F.col("media_meta.kind").alias("kind")
+    )
+    return flat.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end resize query: media table -> mapInPandas resize."""
+    return resize_media(media_table(spark, sf_dir)).orderBy("doc_id")
+
+
+# Oracle: the truncation stub is computable from documents.text directly
+MEDIA_RESIZE_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CAST(224 AS INT) AS target_w,
+  CAST(224 AS INT) AS target_h,
+  CAST(octet_length(encode(substr(text, 1, 224 * 224))) AS BIGINT)
+    AS resized_bytes,
+  md5(substr(text, 1, 224 * 224)) AS resized_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def frame_sample(spark: SparkSession, sf_dir: str, every: int = 7) -> DataFrame:
     """Frame-sampling analog: deterministic every-Nth-byte subsample of the
     payload, exposed as an array column (the shape of video frame sampling;

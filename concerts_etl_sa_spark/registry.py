@@ -401,4 +401,5 @@ for _name, _fn, _sql in _EXTENSIONS:
 from .operators import multimodal as MM  # noqa: E402
 
 register("l4_media_features", MM.MEDIA_FEATURES_SQL)(MM.media_features)
+register("l4_media_resize", MM.MEDIA_RESIZE_SQL)(MM.media_resize)
 register("l4_frame_sample", MM.FRAME_SAMPLE_SQL)(MM.frame_sample)
