@@ -1,0 +1,118 @@
+"""Dice GraphQL-landed JSONL source (SURVEY §2.A1-A3, §3.2).
+
+The reference pages the Dice GraphQL API and normalizes each
+``edges[].node`` dict in a thread pool (concerts_etl/adapters/dice.py:78-165).
+The engine's ingestion boundary is the landed-JSONL file the fetcher
+writes: one JSON object per line in the GraphQL node shape. From there
+everything is declarative Spark —
+
+- explicit nested schema on read, never inferSchema (§1.3): arrays of
+  structs for ``artists``/``venues``, struct for ``tickets`` — the one
+  semi-structured shape in the reference (dice.py:22-47)
+- normalization = scalar projections: first-of-array extraction (B18,
+  dice.py:59-63), ISO-Z parse (B12, dice.py:51-57), safe str->int cast
+  (B21, dice.py:126-132), trim (B22), constants/defaults (B26),
+  per-run lineage stamp (B24/B25, dice.py:152-153)
+- the 90-day lookback (A2, dice.py:85-87) is a filter Catalyst pushes
+  into the scan
+
+Scale: a JSONL landing zone shards across executors by file split;
+normalization is one whole-stage-codegen projection, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# GraphQL node shape (reference dice.py:22-47)
+DICE_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("startDatetime", T.StringType()),  # ISO-8601, Z suffix
+        T.StructField(
+            "artists",
+            T.ArrayType(T.StructType([T.StructField("name", T.StringType())])),
+        ),
+        T.StructField(
+            "venues",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("city", T.StringType()),
+                        T.StructField("country", T.StringType()),
+                        T.StructField("timezoneName", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "tickets",
+            T.StructType([T.StructField("totalCount", T.StringType())]),
+        ),
+        T.StructField("currency", T.StringType()),
+    ]
+)
+
+
+def read_dice_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Landed JSONL scan with the pinned nested schema (A1)."""
+    return spark.read.schema(DICE_RAW_SCHEMA).json(path)
+
+
+def _first(arr: str, field: str):
+    """B18: lst[0][field], trimmed, null-safe (dice.py:59-63)."""
+    v = F.try_element_at(F.col(arr), F.lit(1)).getField(field)
+    return F.when(v.isNotNull(), F.trim(v))
+
+
+def normalize_dice(raw: DataFrame, run_id: str = "dice-api") -> DataFrame:
+    """GraphQL node -> NormalizedEvent projection (dice.py:112-156)."""
+    ts_utc = F.try_to_timestamp(F.col("startDatetime"))  # B12: Z-suffix ISO
+    return raw.select(
+        F.lit("dice").alias("provider"),
+        F.col("id").alias("event_id_provider"),
+        F.coalesce(F.trim("name"), F.lit("")).alias("event_name"),
+        _first("venues", "city").alias("city"),
+        _first("venues", "country").alias("country"),
+        # naive-local contract: reference keeps the parsed datetime naive
+        ts_utc.alias("event_datetime_local"),
+        F.coalesce(_first("venues", "timezoneName"), F.lit("Europe/Paris")).alias(
+            "timezone"
+        ),
+        F.lit("on sale").alias("status"),  # B26 default (dice.py:148)
+        F.col("tickets").getField("totalCount").try_cast("bigint").alias(
+            "tickets_sold_total"
+        ),  # B21
+        F.lit(None).cast("decimal(18,2)").alias("gross_total"),
+        F.lit(None).cast("decimal(18,2)").alias("net_total"),
+        F.coalesce(F.trim("currency"), F.lit("EUR")).alias("currency"),
+        F.lit(None).cast("double").alias("sell_through_pct"),
+        F.current_timestamp().alias("scrape_ts_utc"),  # B25
+        F.lit(run_id).alias("ingestion_run_id"),       # B24
+        F.coalesce(_first("artists", "name"), F.trim("name")).alias(
+            "artist_name"
+        ),
+        _first("venues", "name").alias("venue_name"),
+    )
+
+
+def load_dice_events(
+    spark: SparkSession,
+    path: str,
+    lookback_days: int = 90,
+    run_id: str = "dice-api",
+) -> DataFrame:
+    """Full source: scan + normalize + bounded lookback (A2 analog —
+    the filter pushes down to the JSON scan)."""
+    out = normalize_dice(read_dice_jsonl(spark, path), run_id=run_id)
+    return out.filter(
+        F.col("event_datetime_local").isNull()
+        | (
+            F.col("event_datetime_local")
+            >= F.date_sub(F.current_date(), lookback_days)
+        )
+    )
