@@ -67,3 +67,39 @@ def run_all(
         consolidated_count=consolidated.count(),
         consolidated=consolidated,
     )
+
+
+def run_all_from_landing(
+    spark: SparkSession,
+    shotgun_cards_path: str,
+    dice_jsonl_path: str,
+    out_dir: str,
+    as_of: str = AS_OF,
+) -> RunResult:
+    """§3.1 lifecycle over REAL landing-zone inputs: harvested shotgun
+    card dumps + landed Dice GraphQL JSONL (sources.shotgun_cards /
+    sources.dice_json), then the same consolidate -> load tail as
+    ``run_all``. Per-source degradation applies: a missing/corrupt
+    landing path degrades to an empty side, the other continues."""
+    from ..sources.dice_json import load_dice_events
+    from ..sources.shotgun_cards import load_shotgun_events
+
+    def _sg(_):
+        return load_shotgun_events(spark, shotgun_cards_path)
+
+    def _dc(_):
+        return load_dice_events(spark, dice_jsonl_path)
+
+    sg = _safe_source(spark, _sg, None)
+    dc = _safe_source(spark, _dc, None)
+
+    consolidated = consolidate(sg, dc, as_of=as_of)
+    overwrite_snapshot(consolidated, f"{out_dir}/consolidated")
+    export_json_preview(consolidated, f"{out_dir}/preview")
+
+    return RunResult(
+        shotgun_count=sg.count(),
+        dice_count=dc.count(),
+        consolidated_count=consolidated.count(),
+        consolidated=consolidated,
+    )

@@ -1,0 +1,120 @@
+"""Shotgun scraped-card source (SURVEY §2.A4-A6, §3.1 step 1).
+
+The reference drives headless Chromium through login/scroll/harvest
+(adapters/shotgun.py:116-478) and then parses each DOM card with plain
+Python. The browser part is out of engine scope (it is the fetcher that
+writes the landing zone); the ENGINE boundary is the harvested card dump
+— one JSON object per card with the raw fields the DOM harvest yields.
+From there the whole per-card parse loop (shotgun.py:276-463) becomes one
+whole-stage-codegen projection:
+
+- A6 card dedup      : md5 of the first 512 chars of outer_html
+                       (shotgun.py:216-231's hash(outerHTML[:512]))
+- C5 nameless skip   : cards with no extractable name are dropped
+- B17 artist@venue   : split heuristic with hint priority
+- B10/B11 datetime   : <time datetime> ISO attr -> label -> free-text
+                       FR cascade (3-stage coalesce)
+- B19 status         : 'COMPLET' -> sold out
+- B6/B7 money + ints : fr-FR money parse, nbsp-tolerant int extraction
+- C4 stat-cell pick  : first stat whose suffix isn't a daily counter
+- B9/B24/B25 lineage : stable surrogate id + run-id/timestamp stamp
+
+Scale: the landing zone shards by file split; parsing is shuffle-free and
+linear — exactly what a 100 TB scrape backfill needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.dates import parse_event_datetime
+from ..functions.ids import stable_event_id
+from ..functions.money import parse_int, parse_money_eur
+from ..functions.text import derive_status, split_artist, split_venue
+
+# harvested-card dump shape (the DOM harvest's output, shotgun.py:210-258)
+CARD_SCHEMA = T.StructType(
+    [
+        T.StructField("outer_html", T.StringType()),
+        T.StructField("name_text", T.StringType()),      # title element text
+        T.StructField("time_attr", T.StringType()),      # <time datetime=...>
+        T.StructField("card_text", T.StringType()),      # full visible text
+        T.StructField("gross_text", T.StringType()),     # revenue cell
+        T.StructField("stat_values", T.ArrayType(T.StringType())),
+        T.StructField("stat_suffixes", T.ArrayType(T.StringType())),
+        T.StructField("city_text", T.StringType()),
+    ]
+)
+
+
+def read_cards_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(CARD_SCHEMA).json(path)
+
+
+def dedup_cards(cards: DataFrame) -> DataFrame:
+    """A6: overlapping selectors harvest the same DOM node more than once;
+    dedup on a content hash of the html prefix (hash(outerHTML[:512]))."""
+    return (
+        cards.withColumn(
+            "content_hash",
+            F.md5(F.substring(F.coalesce("outer_html", F.lit("")), 1, 512)),
+        )
+        .dropDuplicates(["content_hash"])
+        .drop("content_hash")
+    )
+
+
+def _pick_total_stat(values: str, suffixes: str):
+    """C4: first value whose suffix isn't a daily counter ('aujourd')."""
+    keep = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size(values), F.lit(1))),
+        lambda i: ~F.contains(
+            F.lower(F.coalesce(F.try_element_at(suffixes, i), F.lit(""))),
+            F.lit("aujourd"),
+        ),
+    )
+    return F.try_element_at(F.col(values), F.try_element_at(keep, F.lit(1)))
+
+
+def normalize_shotgun(cards: DataFrame, run_id: str = "shotgun-scrape") -> DataFrame:
+    """Per-card parse loop (shotgun.py:276-463) as one projection."""
+    name = F.trim(F.regexp_replace(F.coalesce("name_text", F.lit("")), r"\s+", " "))
+    dt = F.coalesce(
+        F.try_to_timestamp(F.col("time_attr")),          # stage 1: ISO attr
+        parse_event_datetime(F.col("card_text")),        # stages 2-3: text
+    )
+    dt_key = F.date_format(dt, "yyyy-MM-dd'T'HH:mm:ss")
+    tickets = parse_int(_pick_total_stat("stat_values", "stat_suffixes"))
+    return (
+        cards.filter(name != "")                         # C5 nameless skip
+        .select(
+            F.lit("shotgun").alias("provider"),
+            stable_event_id(name, dt_key).alias("event_id_provider"),  # B9
+            name.alias("event_name"),
+            F.trim(F.coalesce("city_text", F.lit(""))).alias("city"),
+            F.lit(None).cast("string").alias("country"),  # B26
+            dt.alias("event_datetime_local"),
+            F.lit("Europe/Paris").alias("timezone"),
+            derive_status(F.col("card_text")).alias("status"),  # B19
+            tickets.alias("tickets_sold_total"),                # B7 + C4
+            parse_money_eur(F.col("gross_text"))
+            .cast("decimal(18,2)")
+            .alias("gross_total"),                              # B6
+            F.lit(None).cast("decimal(18,2)").alias("net_total"),
+            F.lit("EUR").alias("currency"),
+            F.lit(None).cast("double").alias("sell_through_pct"),
+            F.current_timestamp().alias("scrape_ts_utc"),       # B25
+            F.lit(run_id).alias("ingestion_run_id"),            # B24
+            split_artist(name).alias("artist_name"),            # B17
+            split_venue(name).alias("venue_name"),
+        )
+    )
+
+
+def load_shotgun_events(
+    spark: SparkSession, path: str, run_id: str = "shotgun-scrape"
+) -> DataFrame:
+    """Full source: scan -> dedup -> parse (the reference's steps 1c-1d)."""
+    return normalize_shotgun(dedup_cards(read_cards_jsonl(spark, path)), run_id)

@@ -101,3 +101,39 @@ def test_run_all_graceful_source_degradation(spark, tmp_path, monkeypatch):
     assert res.shotgun_count == 0
     assert res.dice_count > 0
     assert res.consolidated_count > 0  # dice-only residuals flow through
+
+
+def test_run_all_from_landing(spark, tmp_path):
+    """§3.1 over real landing-zone files: cards JSONL + dice JSONL."""
+    from .test_dice_json_source import NODES, _write_jsonl
+    from .test_shotgun_cards_source import _write as write_cards
+
+    from concerts_etl_sa_spark.plans.pipeline import run_all_from_landing
+
+    res = run_all_from_landing(
+        spark,
+        write_cards(tmp_path),
+        _write_jsonl(tmp_path),
+        str(tmp_path / "landing_run"),
+        as_of="2020-01-01",
+    )
+    assert res.shotgun_count == 2 and res.dice_count == 2
+    assert res.consolidated_count > 0
+    snap = spark.read.parquet(str(tmp_path / "landing_run" / "consolidated"))
+    assert set(snap.columns) >= {"event_name", "shotgun_event_id", "dice_event_id"}
+
+
+def test_run_all_from_landing_missing_side(spark, tmp_path):
+    from .test_dice_json_source import _write_jsonl
+
+    from concerts_etl_sa_spark.plans.pipeline import run_all_from_landing
+
+    res = run_all_from_landing(
+        spark,
+        str(tmp_path / "no-such-cards.jsonl"),
+        _write_jsonl(tmp_path),
+        str(tmp_path / "landing_run2"),
+        as_of="2020-01-01",
+    )
+    assert res.shotgun_count == 0 and res.dice_count == 2
+    assert res.consolidated_count > 0
