@@ -93,3 +93,20 @@ def export_json_preview(df: DataFrame, path: str, n: int = 20) -> None:
     _stringify_timestamps(df.limit(n)).coalesce(1).write.mode(
         "overwrite"
     ).json(path)
+
+
+def save_table_resolved(df: DataFrame, table: str, path: str | None = None) -> None:
+    """A12: sink-path fallback resolution (gsheet.py:56-71's open-by-id ->
+    by-title -> create-if-missing, catalog edition): write to the managed
+    table if it exists, else create it (optionally as external at
+    ``path``). Append semantics with schema enforcement — a mismatched
+    schema raises instead of silently widening (the legacy sink's header
+    contract, storage/google_sheets.py:42-53)."""
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table):
+        df.write.mode("append").saveAsTable(table)
+        return
+    writer = df.write.mode("overwrite")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -137,3 +137,33 @@ def test_run_all_from_landing_missing_side(spark, tmp_path):
     )
     assert res.shotgun_count == 0 and res.dice_count == 2
     assert res.consolidated_count > 0
+
+
+def test_save_table_resolved_create_then_append(spark, tmp_path):
+    from concerts_etl_sa_spark.sinks.writers import save_table_resolved
+
+    df = _events(spark).select("event_id", "event_type")
+    name = "t_resolved_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    save_table_resolved(df, name, path=str(tmp_path / "tbl"))  # create (A12)
+    assert spark.table(name).count() == 50
+    save_table_resolved(df, name)                              # append (A8)
+    assert spark.table(name).count() == 100
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_json_logging(spark, capsys):
+    import pytest as _pytest
+
+    from concerts_etl_sa_spark.logging_json import log_json, timed_action
+
+    log_json("info", "hello", run="r1")
+    with timed_action("count_events", sf="0.001"):
+        _events(spark).count()
+    with _pytest.raises(RuntimeError):
+        with timed_action("boom"):
+            raise RuntimeError("nope")
+    err = capsys.readouterr().err
+    assert '"msg": "hello"' in err
+    assert '"action": "count_events"' in err and '"level": "info"' in err
+    assert '"action": "boom"' in err and '"level": "error"' in err
