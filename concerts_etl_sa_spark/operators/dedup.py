@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
+from .util import sorted_small
 
 N_MINHASH = 8          # minhash signature length
 N_BANDS = 4            # LSH bands (2 rows per band)
@@ -122,7 +123,7 @@ def exact_dedup_selfunion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("representative_id"),
             F.count(F.lit(1)).alias("group_size"),
         )
-        .orderBy("representative_id")
+        .transform(lambda d: sorted_small(d, "representative_id"))
     )
 
 
@@ -234,7 +235,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id")
+        .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )
 
 
@@ -311,7 +312,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id")
+        .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )
 
 
@@ -464,7 +465,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("a_id", "b_id", "hamming")
-        .orderBy("a_id", "b_id")
+        .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )
 
 

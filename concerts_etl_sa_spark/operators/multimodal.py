@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.readers import load_table
+from .util import sorted_small
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -124,7 +125,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: synthesize media table -> mapInPandas feature extract."""
-    return extract_features(media_table(spark, sf_dir)).orderBy("doc_id")
+    return sorted_small(extract_features(media_table(spark, sf_dir)), "doc_id")
 
 
 # Oracle: the stub features are computable straight from documents.text
@@ -198,7 +199,7 @@ def resize_media(
 
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end resize query: media table -> mapInPandas resize."""
-    return resize_media(media_table(spark, sf_dir)).orderBy("doc_id")
+    return sorted_small(resize_media(media_table(spark, sf_dir)), "doc_id")
 
 
 # Oracle: the truncation stub is computable from documents.text directly
@@ -236,7 +237,7 @@ def frame_sample(spark: SparkSession, sf_dir: str, every: int = 7) -> DataFrame:
         "doc_id",
         F.concat_ws("", "sampled_bytes").alias("sample_sig"),
         "n_samples",
-    ).orderBy("doc_id")
+    ).transform(lambda d: sorted_small(d, "doc_id"))
 
 
 FRAME_SAMPLE_SQL = """

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
+from .util import sorted_small
 
 DIM = 64
 N_QUERIES = 20       # vec_id < 20 are the query vectors
@@ -125,7 +126,7 @@ def topk_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rn")
-        .orderBy("q_id", "rn")
+        .transform(lambda d: sorted_small(d, "q_id", "rn"))
     )
 
 
@@ -207,7 +208,7 @@ def topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rn")
-        .orderBy("q_id", "rn")
+        .transform(lambda d: sorted_small(d, "q_id", "rn"))
     )
 
 
@@ -314,7 +315,7 @@ def topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("q_id", "c_id", "cosine", "rn")
-        .orderBy("q_id", "rn")
+        .transform(lambda d: sorted_small(d, "q_id", "rn"))
     )
 
 
@@ -383,7 +384,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
         .select("a_id", "b_id", "cosine")
-        .orderBy("a_id", "b_id")
+        .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )
 
 
