@@ -13,6 +13,8 @@ References:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -134,3 +136,42 @@ def parse_event_datetime(c: Column) -> Column:
         ),
     )
     return F.coalesce(iso, fr)
+
+
+def parse_event_datetime_nl(c: Column) -> Column:
+    """B10 full natural-language fallback (shotgun.py:56-84).
+
+    If ``dateparser`` is importable (not in this container — import-gated
+    per the environment contract), free-text French dates are parsed in
+    an Arrow-batched pandas UDF with the reference's settings (French,
+    Europe/Paris, prefer-future, naive return); otherwise this degrades
+    to the deterministic regex cascade (``parse_event_datetime``), which
+    is also the oracle-checked path. Ingest-veneer only — never in the
+    hot join (SURVEY §7.3.3).
+    """
+    try:
+        import dateparser  # noqa: F401
+    except ImportError:
+        return parse_event_datetime(c)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("timestamp")
+    def _nl(texts: pd.Series) -> pd.Series:
+        import dateparser as dp
+
+        settings = {
+            "TIMEZONE": "Europe/Paris",
+            "RETURN_AS_TIMEZONE_AWARE": False,
+            "PREFER_DATES_FROM": "future",
+        }
+        return pd.Series(
+            [
+                dp.parse(t, languages=["fr"], settings=settings)
+                if t
+                else None
+                for t in texts
+            ]
+        )
+
+    return F.coalesce(parse_event_datetime(c), _nl(c))

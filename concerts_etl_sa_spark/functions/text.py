@@ -31,6 +31,8 @@ parallel at 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -242,3 +244,32 @@ def derive_status_sql(e: str) -> str:
         f"CASE WHEN contains(upper(coalesce({e}, '')), 'COMPLET') "
         f"THEN 'sold out' ELSE 'on sale' END"
     )
+
+
+# ------------------------- B16 difflib parity (pandas UDF, non-oracle path)
+
+def similarity_difflib(a: Column, b: Column) -> Column:
+    """Bit-exact reference similarity: difflib SequenceMatcher.ratio()
+    over norm_name'd strings (matching.py:29-30), as an Arrow-batched
+    pandas UDF.
+
+    The engine's PRIMARY metric is ``similarity`` (normalized
+    Levenshtein — JVM-side, oracle-expressible, SURVEY §7.3.2); this UDF
+    exists for callers that need byte-for-byte reference parity and for
+    the divergence test pinning how far the two metrics sit apart.
+    Python-path: keep OUT of hot joins at scale.
+    """
+    from difflib import SequenceMatcher
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(na: pd.Series, nb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                SequenceMatcher(None, x or "", y or "").ratio()
+                for x, y in zip(na, nb)
+            ]
+        )
+
+    return _ratio(norm_name(a), norm_name(b))

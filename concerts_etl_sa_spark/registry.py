@@ -240,6 +240,19 @@ def q_similarity(spark, sf_dir):
     )
 
 
+@register("b16_similarity_difflib", None)
+def q_similarity_difflib(spark, sf_dir):
+    """Bit-exact reference metric (pandas UDF) — rows-only by design:
+    Ratcliff/Obershelp has no SQL analog (SURVEY §7.3.2); the levenshtein
+    twin b16_similarity carries the oracle burden."""
+    return _sg(spark, sf_dir).select(
+        "event_id_provider",
+        F.round(
+            Ft.similarity_difflib(F.col("artist_name"), F.col("event_name")), 6
+        ).alias("name_sim_difflib"),
+    )
+
+
 @register(
     "b17_artist_venue_split",
     "SELECT event_id_provider, "

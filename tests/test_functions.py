@@ -130,3 +130,53 @@ def test_status_derive(spark):
     assert _one(spark, Ft.derive_status(F.lit("COMPLET — sold out"))) == "sold out"
     assert _one(spark, Ft.derive_status(F.lit("complet"))) == "sold out"
     assert _one(spark, Ft.derive_status(F.lit("places dispo"))) == "on sale"
+
+
+def test_similarity_difflib_vs_levenshtein(spark):
+    """B16 divergence pin: both metrics are 1.0 on identical names, both in
+    [0,1], and they agree within 0.35 on the fixture domain (the reference
+    threshold shape survives the metric swap — SURVEY §7.3.2)."""
+    from pyspark.sql import functions as F
+
+    from concerts_etl_sa_spark.functions.text import (
+        similarity,
+        similarity_difflib,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("Angèle", "Angèle"),
+            ("Angèle", "angele "),
+            ("Justice Live", "Justice"),
+            ("Phoenix", "Stromae"),
+            (None, "x"),
+        ],
+        "a string, b string",
+    )
+    rows = df.select(
+        similarity(F.col("a"), F.col("b")).alias("lev"),
+        similarity_difflib(F.col("a"), F.col("b")).alias("difflib"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["lev"] <= 1.0 and 0.0 <= r["difflib"] <= 1.0
+        assert abs(r["lev"] - r["difflib"]) <= 0.35
+    assert rows[0]["lev"] == rows[0]["difflib"] == 1.0
+    assert rows[1]["lev"] == rows[1]["difflib"] == 1.0  # norm_name collapses
+    assert rows[2]["lev"] == rows[2]["difflib"] == 1.0  # stopword 'live'
+
+
+def test_parse_event_datetime_nl_fallback(spark):
+    """B10 NL fallback degrades to the deterministic cascade when
+    dateparser is absent (which it is in this container)."""
+    from pyspark.sql import functions as F
+
+    from concerts_etl_sa_spark.functions.dates import parse_event_datetime_nl
+
+    df = spark.createDataFrame(
+        [("ven. 10 oct. 2025 19:30",), ("2024-01-05T10:00:00",), ("garbage",)],
+        "t string",
+    )
+    got = [r[0] for r in df.select(parse_event_datetime_nl(F.col("t"))).collect()]
+    assert got[0].isoformat() == "2025-10-10T19:30:00"
+    assert got[1].isoformat() == "2024-01-05T10:00:00"
+    assert got[2] is None
