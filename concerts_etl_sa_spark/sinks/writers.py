@@ -20,6 +20,7 @@ kept as documented semantics, not hidden dedup.
 from __future__ import annotations
 
 import functools
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -109,4 +110,26 @@ def save_table_resolved(df: DataFrame, table: str, path: str | None = None) -> N
     writer = df.write.mode("overwrite")
     if path is not None:
         writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Bucketed managed table for co-located joins (100 TB join strategy).
+
+    Writing both sides of a recurring join bucketed (and optionally
+    sorted) by the join key lets Spark plan the join with NO shuffle —
+    each bucket pairs 1:1 across tables. This is the pre-partitioning
+    the reference's day-keyed dict index (consolidate_events.py:78-84)
+    approximates in-process; asserted shuffle-free in
+    tests/test_bucketed_join.py.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
