@@ -167,3 +167,22 @@ def test_json_logging(spark, capsys):
     assert '"msg": "hello"' in err
     assert '"action": "count_events"' in err and '"level": "info"' in err
     assert '"action": "boom"' in err and '"level": "error"' in err
+
+
+def test_append_historized_partition_pruning(spark, tmp_path):
+    """Daily reads of the historized table prune to one scrape_date
+    partition (PartitionFilters in the scan, not a post-scan filter)."""
+    from pyspark.sql import functions as F2
+
+    path = str(tmp_path / "hist_prune")
+    df = _events(spark).withColumn("scrape_ts_utc", F2.current_timestamp())
+    append_historized(df, path)
+    back = spark.read.parquet(path).filter(
+        F2.col("scrape_date") == F2.current_date()
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(scrape_date" in plan or "scrape_date" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
+    assert back.count() == 50
