@@ -90,3 +90,88 @@ def test_round5_fixpoint_and_error_bound(spark, stamps):
         delta = (raw - r5).total_seconds()
         assert 0 <= delta < 300
         assert r5.minute % 5 == 0 and r5.second == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyzéè @-", min_size=0,
+                    max_size=30),
+            st.datetimes(min_value=dt.datetime(2020, 1, 1),
+                         max_value=dt.datetime(2030, 1, 1)),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_stable_id_deterministic_and_distinct(spark, pairs):
+    """B9 properties: same (name, dt) -> same id across evaluations; ids
+    carry the slug prefix; distinct (slug, dt) inputs -> distinct ids."""
+    from concerts_etl_sa_spark.functions import ids as Fi
+
+    df = spark.createDataFrame(
+        [(n, d.replace(microsecond=0)) for n, d in pairs], "name string, d timestamp"
+    )
+    key = F.date_format("d", "yyyy-MM-dd'T'HH:mm:ss")
+    out = df.select(
+        Fi.stable_event_id(F.col("name"), key).alias("id1"),
+        Fi.stable_event_id(F.col("name"), key).alias("id2"),
+        Ft.slugify(F.coalesce(F.nullif(F.col("name"), F.lit("")), F.lit("event"))).alias("slug"),
+    ).collect()
+    for r in out:
+        assert r["id1"] == r["id2"]
+        assert r["id1"].startswith((r["slug"] + "-") if r["slug"] else "")
+    # distinct (slug, dt) inputs must yield distinct ids (md5/8-hex
+    # collision on <=20 rows is ~impossible); same-(slug, dt) inputs
+    # legitimately share an id, so dedup the key space first
+    from collections import Counter
+
+    key_counts = Counter(
+        (r["slug"], p[1]) for r, p in zip(out, pairs)
+    )
+    if all(v == 1 for v in key_counts.values()):
+        ids = [r["id1"] for r in out]
+        assert len(set(ids)) == len(ids)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghij éè-", min_size=0, max_size=25),
+            st.text(alphabet="abcdefghij éè-", min_size=0, max_size=25),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_similarity_metric_laws(spark, pairs):
+    """B16 properties: bounded [0,1], symmetric, reflexive (==1 on equal
+    normalized forms)."""
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        Ft.similarity(F.col("a"), F.col("b")).alias("ab"),
+        Ft.similarity(F.col("b"), F.col("a")).alias("ba"),
+        Ft.similarity(F.col("a"), F.col("a")).alias("aa"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["ab"] <= 1.0
+        assert abs(r["ab"] - r["ba"]) < 1e-12
+        assert r["aa"] == 1.0
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ABCdefGHIé è\t -ÀÇ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_norm_basic_idempotent(spark, texts):
+    """B2 property: normalization is a projection (idempotent)."""
+    once = _batch(spark, texts, Ft.norm_basic)
+    twice = _batch(spark, once, Ft.norm_basic)
+    assert twice == once
