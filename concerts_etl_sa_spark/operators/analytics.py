@@ -93,7 +93,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cn = F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        # shuffle_hash: orders fits a per-partition hash map; skips the
+        # sort-merge sort of the (much larger) lineitem side
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
         .join(cn, o.o_custkey == cn.c_custkey)
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"),
