@@ -40,18 +40,27 @@ SIGN_BITS = 8
 
 
 def _dot(a: str, b: str):
-    return sum(
-        F.element_at(F.col(a), i + 1).cast("double")
-        * F.element_at(F.col(b), i + 1).cast("double")
-        for i in range(DIM)
+    # built as ONE parsed SQL string: composing 64 Column operations in a
+    # Python loop costs ~1s of client-side construction PER instance
+    # (measured), F.expr is ~1000x cheaper and yields the identical
+    # left-associative sum of per-term double products. element_at is
+    # 1-based like the DuckDB oracle's list indexing.
+    return F.expr(
+        " + ".join(
+            f"(CAST(element_at({a}, {i + 1}) AS DOUBLE)"
+            f" * CAST(element_at({b}, {i + 1}) AS DOUBLE))"
+            for i in range(DIM)
+        )
     )
 
 
 def _norm2(a: str):
-    return sum(
-        F.element_at(F.col(a), i + 1).cast("double")
-        * F.element_at(F.col(a), i + 1).cast("double")
-        for i in range(DIM)
+    return F.expr(
+        " + ".join(
+            f"(CAST(element_at({a}, {i + 1}) AS DOUBLE)"
+            f" * CAST(element_at({a}, {i + 1}) AS DOUBLE))"
+            for i in range(DIM)
+        )
     )
 
 
