@@ -337,6 +337,17 @@ def q_legacy_merge(spark, sf_dir):
 
 
 # ===================================================================
+# As-of join (custom operator beyond the reference; DuckDB-native oracle)
+# ===================================================================
+
+from .operators import asof as AS  # noqa: E402
+
+register("d9_asof_purchase_state", AS.ASOF_PURCHASE_STATE_SQL)(
+    AS.asof_purchase_state
+)
+
+
+# ===================================================================
 # Standard analytics surface (SURVEY §7.1 M5: E/F/G/H operators)
 # ===================================================================
 
