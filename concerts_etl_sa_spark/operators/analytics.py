@@ -547,3 +547,50 @@ def approx_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4's twin via Spark's native session_window (the streaming-capable
+    operator — same gap-merge semantics, usable under watermarks). The
+    oracle re-derives the identical sessions from the lag/running-sum
+    form: session_end = max(ts) + gap by definition of a session window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_WINDOWS_NATIVE_SQL = f"""
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                  OR epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                     > {SESSION_GAP_S}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+)
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""

@@ -363,6 +363,8 @@ _ANALYTICS = [
     ("f2_order_ranks", A.order_ranks, A.ORDER_RANKS_SQL),
     ("f3_event_lag_lead", A.event_lag_lead, A.EVENT_LAG_LEAD_SQL),
     ("f4_user_sessions", A.user_sessions, A.USER_SESSIONS_SQL),
+    ("f5_session_windows_native", A.session_windows_native,
+     A.SESSION_WINDOWS_NATIVE_SQL),
     ("e6_price_percentiles", A.price_percentiles, A.PRICE_PERCENTILES_SQL),
     ("e7_daily_distinct_users", A.daily_distinct_users,
      A.DAILY_DISTINCT_USERS_SQL),
