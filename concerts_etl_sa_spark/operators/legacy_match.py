@@ -141,12 +141,16 @@ def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
 
     cand = legacy_candidates(sg, dc)
 
-    # best SG per dice: sim desc, then canonical key asc (deterministic)
+    # best SG per dice: sim desc, then canonical key asc (deterministic).
+    # Cached: both the ticket-attach join and the D7 anti-join consume it,
+    # and without materialization the whole candidate lineage (bucket
+    # join + levenshtein) re-executes per consumer.
     w_best = Window.partitionBy("dc_id").orderBy(F.desc("sim"), F.asc("ckey"))
     best = (
         cand.withColumn("rn", F.row_number().over(w_best))
         .filter(F.col("rn") == 1)
         .select("dc_id", "ckey")
+        .cache()
     )
 
     # attach: last (highest-ord) matched dice per SG key wins the ticket slot
