@@ -594,3 +594,40 @@ FROM (
 GROUP BY user_id, session_id
 ORDER BY user_id, session_start
 """
+
+
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: explicit GROUPING SETS (beyond rollup/cube): totals by
+    (priority, status), by priority alone, and grand total, with
+    grouping_id distinguishing the levels."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping(o_orderpriority) AS g_prio,
+               grouping(o_orderstatus) AS g_status,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price,
+               count(*) AS n_orders
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS (
+          (o_orderpriority, o_orderstatus), (o_orderpriority), ()
+        )
+        ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus
+        """
+    )
+
+
+GROUPING_SETS_ORDER_STATS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CASE WHEN grouping(o_orderpriority) THEN 1 ELSE 0 END AS g_prio,
+       CASE WHEN grouping(o_orderstatus) THEN 1 ELSE 0 END AS g_status,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderpriority, o_orderstatus), (o_orderpriority), ()
+)
+ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus
+"""

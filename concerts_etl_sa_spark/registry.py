@@ -359,6 +359,8 @@ _ANALYTICS = [
     ("e3_events_daily_stats", A.events_daily_stats, A.EVENTS_DAILY_STATS_SQL),
     ("e4_rollup_order_stats", A.rollup_order_stats, A.ROLLUP_ORDER_STATS_SQL),
     ("e5_cube_lineitem_stats", A.cube_lineitem_stats, A.CUBE_LINEITEM_STATS_SQL),
+    ("e9_grouping_sets_order_stats", A.grouping_sets_order_stats,
+     A.GROUPING_SETS_ORDER_STATS_SQL),
     ("f1_running_order_total", A.running_order_total, A.RUNNING_ORDER_TOTAL_SQL),
     ("f2_order_ranks", A.order_ranks, A.ORDER_RANKS_SQL),
     ("f3_event_lag_lead", A.event_lag_lead, A.EVENT_LAG_LEAD_SQL),

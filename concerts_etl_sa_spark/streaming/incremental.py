@@ -148,3 +148,58 @@ def snapshot_consolidation(
         .foreachBatch(_write_batch)
         .start()
     )
+
+
+def stream_stream_click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides: each click
+    joined to same-user purchases within the preceding 30 minutes.
+
+    The canonical two-stream pattern: both sides watermarked (bounds the
+    join state store), the join condition carries the event-time band so
+    Spark can expire state once the watermark passes. Batch-equivalent
+    semantics: a band self-join on (user_id, ts range) — the streaming
+    form of the legacy band join (SURVEY §2.D5).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "click_id", F.col("c_user").alias("user_id"), "click_ts",
+        "purchase_id", "purchase_ts", "purchase_value",
+    )
+
+
+def run_stream_stream_join(
+    events: DataFrame, out_path: str, checkpoint: str
+) -> StreamingQuery:
+    return (
+        stream_stream_click_purchase_join(events)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .option("path", out_path)
+        .format("parquet")
+        .start()
+    )

@@ -85,3 +85,30 @@ def test_snapshot_consolidation_rewrites(spark, staged):
     assert snap1.count() > 0
     cols = set(snap1.columns)
     assert {"event_name", "shotgun_event_id", "dice_event_id"} <= cols
+
+
+def test_stream_stream_join_matches_batch(spark, staged):
+    """Two watermarked streams joined on (user, 30-min band) == the batch
+    band join over the same data."""
+    out = str(staged / "ssjoin")
+    ckpt = str(staged / "ckpt4")
+    ev = S.read_events_stream(spark, str(staged / "src"))
+    _await(S.run_stream_stream_join(ev, out, ckpt))
+
+    got = spark.read.parquet(out)
+    batch_ev = load_table(spark, SF_DIR, "events")
+    clicks = batch_ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    purchases = batch_ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    expected = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    assert got.count() == expected
+    assert expected > 0
