@@ -133,3 +133,33 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_via_connections(df: DataFrame, connection_factory, batch_size: int = 500) -> None:
+    """Connection-per-partition push sink (SURVEY §2.A4/K5 mapping: the
+    reference holds one Sheets client per process, gsheet.py:26,39-53;
+    the distributed analog is one connection per PARTITION inside
+    foreachPartition, with batched sends).
+
+    ``connection_factory`` runs on the executor and must return an object
+    with ``send_batch(rows: list) -> None`` and ``close() -> None``.
+    Executor-side construction is what makes this scale: connections are
+    never serialized from the driver, and partition count bounds fan-in
+    to the external system (repartition first to control it).
+    """
+
+    def _handle_partition(rows) -> None:
+        conn = connection_factory()
+        try:
+            buf = []
+            for r in rows:
+                buf.append(r)
+                if len(buf) >= batch_size:
+                    conn.send_batch(buf)
+                    buf = []
+            if buf:
+                conn.send_batch(buf)
+        finally:
+            conn.close()
+
+    df.foreachPartition(_handle_partition)

@@ -186,3 +186,45 @@ def test_append_historized_partition_pruning(spark, tmp_path):
         "PartitionFilters: ["
     )[1].split("]")[0]
     assert back.count() == 50
+
+
+def test_write_via_connections(spark, tmp_path):
+    """foreachPartition sink: one connection per partition, batched sends,
+    every row delivered exactly once."""
+    import glob
+    import os
+    import uuid
+
+    from concerts_etl_sa_spark.sinks.writers import write_via_connections
+
+    out_dir = str(tmp_path / "conns")
+    os.makedirs(out_dir)
+
+    class FileConnection:
+        def __init__(self):
+            self.path = os.path.join(out_dir, f"conn-{uuid.uuid4().hex}.txt")
+            self.fh = open(self.path, "w")
+            self.batches = 0
+
+        def send_batch(self, rows):
+            self.batches += 1
+            for r in rows:
+                self.fh.write(f"{r['event_id']}\n")
+
+        def close(self):
+            self.fh.write(f"#batches={self.batches}\n")
+            self.fh.close()
+
+    df = _events(spark).select("event_id").repartition(4)
+    write_via_connections(df, FileConnection, batch_size=10)
+
+    files = glob.glob(os.path.join(out_dir, "conn-*.txt"))
+    assert len(files) == 4  # one connection per partition
+    ids = []
+    for f in files:
+        for line in open(f):
+            if not line.startswith("#"):
+                ids.append(int(line))
+    assert sorted(ids) == sorted(
+        r["event_id"] for r in _events(spark).select("event_id").collect()
+    )
