@@ -105,7 +105,7 @@ def test_run_all_graceful_source_degradation(spark, tmp_path, monkeypatch):
 
 def test_run_all_from_landing(spark, tmp_path):
     """§3.1 over real landing-zone files: cards JSONL + dice JSONL."""
-    from .test_dice_json_source import NODES, _write_jsonl
+    from .test_dice_json_source import _write_jsonl
     from .test_shotgun_cards_source import _write as write_cards
 
     from concerts_etl_sa_spark.plans.pipeline import run_all_from_landing
