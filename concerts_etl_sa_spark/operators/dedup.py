@@ -334,28 +334,6 @@ ORDER BY a_id, b_id
 
 # ----------------------------------------------------------------- simhash
 
-def _simhash(toks):
-    """32-bit simhash: per-bit majority vote over token hashes.
-
-    Token hash = first 8 hex chars of md5 -> 32-bit int (same recipe the
-    DuckDB oracle can compute); bit i of the signature is 1 iff more token
-    hashes have bit i set than unset.
-    """
-    hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
-    )
-    n = F.size(hashes)
-
-    def bit_set(i):
-        return lambda h: h.bitwiseAND(F.lit(1 << i)) != 0
-
-    sig = F.lit(0).cast("bigint")
-    for i in range(32):
-        ones = F.size(F.filter(hashes, bit_set(i)))
-        sig = sig + F.when(ones * 2 > n, F.lit(1 << i)).otherwise(F.lit(0))
-    return sig
-
-
 def _simhash_sql(toks_e: str) -> str:
     hashes = (
         f"list_transform({toks_e}, "
@@ -373,9 +351,9 @@ def _simhash_sql(toks_e: str) -> str:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash via explode -> per-bit vote aggregation.
 
-    The array-expression form (``_simhash``) inlines the token-hash
-    array into all 32 bit-count subexpressions — Catalyst does not CSE
-    across them, so every token gets md5'd 32x. This formulation
+    A single array-expression form would inline the token-hash array
+    into all 32 bit-count subexpressions — Catalyst does not CSE across
+    them, so every token would get md5'd 32x. This formulation
     computes each token hash ONCE (explode -> one md5 per token row),
     then aggregates 32 cheap +1/-1 bit votes with map-side partial
     aggregation — the shape that scales: narrow (doc_id, hash) rows,
