@@ -399,19 +399,29 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w_ord)
-    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
-    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # All gap/duration arithmetic in INTEGRAL microseconds (unix_micros),
+    # never float epoch seconds: double round-trips truncate nanos and can
+    # land on x.999… exactly at the gap boundary, giving config-dependent
+    # answers. Integral micros are exact on both Spark and DuckDB
+    # (epoch_us) under any session config.
+    us = F.unix_micros(F.col("ts"))
+    gap_us = us - F.lag(us).over(w_ord)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     sess = ev.select(
-        "user_id", "ts", "event_id", new_sess.alias("new_sess")
+        "user_id", us.alias("us"), "event_id", new_sess.alias("new_sess")
     ).withColumn("session_id", F.sum("new_sess").over(w_run))
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")))
-            .cast("bigint")
-            .alias("session_seconds"),
+            F.expr("(max(us) - min(us)) DIV 1000000").alias("session_seconds"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -419,20 +429,20 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 USER_SESSIONS_SQL = f"""
 SELECT user_id, session_id, count(*) AS n_events,
-       CAST(floor(max(epoch(ts)) - min(epoch(ts))) AS BIGINT) AS session_seconds
+       (max(us) - min(us)) // 1000000 AS session_seconds
 FROM (
-  SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM (
-    SELECT user_id, ts, event_id,
-           CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id) IS NULL
-                  OR epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id)
-                     > {SESSION_GAP_S}
+    SELECT user_id, us, event_id,
+           CASE WHEN lag(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) IS NULL
+                  OR us - lag(us) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id)
+                     > {SESSION_GAP_S}::BIGINT * 1000000
                 THEN 1 ELSE 0 END AS new_sess
-    FROM events
+    FROM (SELECT user_id, epoch_us(ts) AS us, event_id FROM events)
   )
 )
 GROUP BY user_id, session_id

@@ -62,12 +62,31 @@ def table_digest(cols, rows):
     return h.hexdigest(), lines
 
 
-def main():
-    from concerts_etl_sa_spark.session import get_spark
+def _build_spark():
+    """PLAIN session by default — the driver's correctness gate runs a
+    config-free ``SparkSession.builder.getOrCreate()`` (none of
+    ``session.py``'s tz/AQE/broadcast configs), and round-1's f4 failure
+    only reproduced there. ``SPARK_GRAFT_VERIFY_SESSION=tuned`` opts back
+    into the tuned engine session."""
+    import os
 
+    if os.environ.get("SPARK_GRAFT_VERIFY_SESSION") == "tuned":
+        from concerts_etl_sa_spark.session import get_spark
+
+        return get_spark("verify_local")
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[*]")
+        .appName("verify_local_plain")
+        .getOrCreate()
+    )
+
+
+def main():
     import __spark_entry__ as E
 
-    spark = get_spark("verify_local")
+    spark = _build_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
