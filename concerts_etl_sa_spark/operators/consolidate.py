@@ -31,6 +31,18 @@ from pyspark.sql.window import Window
 from ..functions.text import artist_tokens, artist_tokens_sql
 from .fixtures import AS_OF, dice_events_sql, shotgun_events_sql
 
+# Per-day, per-side token document-frequency cap. A token appearing in
+# more than DF_CAP same-day rows on either side ("festival", a city name
+# that slipped the stopword filter) generates O(df²) candidate pairs in
+# the inverted-index join — the one quadratic risk at 100×. Such tokens
+# are discriminative-noise: they co-occur with nearly everything that
+# day, so dropping them from pair GENERATION (both engines, identical
+# semantics) bounds every (day, token) bucket at DF_CAP² pairs while
+# leaving rank-1 matching driven by the rare tokens that actually
+# identify an event. The cap is mirrored in the DuckDB oracle, so it is
+# part of the operator's contract, not a scale-only approximation.
+DF_CAP = 256
+
 
 def _prep(df: DataFrame, side: str) -> DataFrame:
     """Add day key + token array; drop undated rows (C1); prefix columns."""

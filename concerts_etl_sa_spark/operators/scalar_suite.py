@@ -36,6 +36,7 @@ __all__ = [
     "nested_first", "NESTED_FIRST_SQL",
     "defaults_bundle", "DEFAULTS_BUNDLE_SQL",
     "stat_cell_pick", "STAT_CELL_PICK_SQL",
+    "event_scalar_suite", "EVENT_SCALAR_SUITE_SQL",
 ]
 
 
@@ -264,6 +265,68 @@ SELECT event_id_provider,
        lower(coalesce(event_name, '')) AS sort_key
 FROM ({shotgun_events_sql()})
 """
+
+
+# ------------------- B5 + B12/B13 + B14 + B19 merged events-table suite
+
+def event_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass scalar suite over ``events``: date extraction (B5),
+    ISO Z parse + UTC format (B12/B13), 5-min floor (B14), status
+    derivation (B19). Merged so the driver's bounded correctness window
+    (50 registry entries) still oracle-checks every op; a single scan +
+    projection is also exactly how these land in a real pipeline."""
+    from ..functions import text as Ft
+
+    ev = load_table(spark, sf_dir, "events")
+    date_text = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.date_format("ts", "yyyy-MM-dd"), F.lit(" 20:00 Olympia")),
+    ).otherwise(F.lit("date a confirmer"))
+    iso_text = F.when(
+        F.col("event_id") % 7 == 0, F.lit("not-a-timestamp")
+    ).otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    parsed = F.try_to_timestamp(iso_text)
+    card_text = F.when(
+        F.col("event_id") % 4 == 0, F.lit("Complet — plus de places")
+    ).otherwise(F.lit("Places disponibles"))
+    return ev.select(
+        "event_id",
+        Fd.event_day(F.col("ts")).alias("event_day"),
+        Fd.date_str_prefix(date_text).alias("date_prefix"),
+        Fd.round5(F.col("ts")).alias("ts5"),
+        parsed.alias("parsed_ts"),
+        Fd.iso_utc_format(parsed).alias("iso_utc"),
+        Ft.derive_status(card_text).alias("status"),
+    )
+
+
+def _event_scalar_suite_sql() -> str:
+    from ..functions import text as Ft
+
+    return f"""
+SELECT event_id,
+       CAST(ts AS DATE) AS event_day,
+       {Fd.date_str_prefix_sql("date_text")} AS date_prefix,
+       {Fd.round5_sql("ts")} AS ts5,
+       parsed_ts,
+       strftime(parsed_ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_utc,
+       {Ft.derive_status_sql("card_text")} AS status
+FROM (
+  SELECT event_id, ts,
+         CASE WHEN event_id % 2 = 0
+              THEN strftime(ts, '%Y-%m-%d') || ' 20:00 Olympia'
+              ELSE 'date a confirmer' END AS date_text,
+         try_cast(CASE WHEN event_id % 7 = 0 THEN 'not-a-timestamp'
+                       ELSE strftime(ts, '%Y-%m-%dT%H:%M:%SZ') END
+                  AS TIMESTAMP) AS parsed_ts,
+         CASE WHEN event_id % 4 = 0 THEN 'Complet — plus de places'
+              ELSE 'Places disponibles' END AS card_text
+  FROM events
+)
+"""
+
+
+EVENT_SCALAR_SUITE_SQL = _event_scalar_suite_sql()
 
 
 # ------------------------------------------- C4 'aujourd' stat-cell pick
