@@ -64,7 +64,9 @@ def _prep(df: DataFrame, side: str) -> DataFrame:
     return out
 
 
-def consolidate(sg: DataFrame, dc: DataFrame, as_of: str = AS_OF) -> DataFrame:
+def consolidate(
+    sg: DataFrame, dc: DataFrame, as_of: str = AS_OF, df_cap: int = DF_CAP
+) -> DataFrame:
     """Day-blocked token-overlap consolidation; returns CONSOLIDATED_EVENT rows.
 
     Physical strategy (100 TB hot path):
@@ -75,9 +77,13 @@ def consolidate(sg: DataFrame, dc: DataFrame, as_of: str = AS_OF) -> DataFrame:
       are ever materialized (a day-only block compares every same-day
       pair, quadratic in day size). Join-key cardinality is
       #days × #tokens, so shuffle parallelism survives any file layout;
-      both sides are explicitly repartitioned on the blocking key (at
-      scale, add a token document-frequency cap to bound bucket skew —
-      AQE skew-join splits oversized buckets meanwhile).
+      both sides are explicitly repartitioned on the blocking key.
+    - **DF_CAP bounds bucket skew**: per-day heavy-hitter tokens (df >
+      ``df_cap`` on either side) are anti-joined out of the postings
+      before the pair join, so no (day, token) bucket can exceed
+      df_cap² pairs. The hot-token set is heavy-hitters-only (tiny) →
+      broadcast anti-join, no extra shuffle; the df aggregation reuses
+      the postings' (day, tok) exchange. Mirrored in the oracle SQL.
     - Matching runs on SLIM rows (ids + overlap); matched ids are
       decorated afterwards by id-equi joins (high-cardinality keys,
       broadcast-able matched set, AQE decides).
@@ -85,12 +91,26 @@ def consolidate(sg: DataFrame, dc: DataFrame, as_of: str = AS_OF) -> DataFrame:
     sgt = _prep(sg, "sg")
     dct = _prep(dc, "dc")
 
-    sg_tok = sgt.select(
-        "sg_id", "day", F.explode("sg_toks").alias("tok")
-    ).repartition("day", "tok")
-    dc_tok = dct.select(
-        "dc_id", "day", F.explode("dc_toks").alias("tok")
-    ).repartition("day", "tok")
+    # Heavy-hitter exclusion with ZERO extra scans/shuffles: a window
+    # count over the postings' own (day, tok) shuffle partitioning. A
+    # pair contribution for token t survives iff its per-day df is
+    # ≤ df_cap on BOTH sides (dropping either side's posting kills the
+    # pair), which is exactly the oracle's "hot on either side" token
+    # exclusion. Cost is one in-partition sort — no broadcast barrier,
+    # no second pass over the inputs.
+    w_df = Window.partitionBy("day", "tok")
+
+    def _capped_postings(side: DataFrame, id_col: str, toks: str) -> DataFrame:
+        return (
+            side.select(id_col, "day", F.explode(toks).alias("tok"))
+            .repartition("day", "tok")
+            .withColumn("df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("df") <= df_cap)
+            .drop("df")
+        )
+
+    sg_tok = _capped_postings(sgt, "sg_id", "sg_toks")
+    dc_tok = _capped_postings(dct, "dc_id", "dc_toks")
     pairs = (
         # shuffle_hash: the per-partition token postings easily fit a hash
         # map and SMJ's sort of both exploded sides is pure overhead
@@ -148,8 +168,9 @@ def consolidate(sg: DataFrame, dc: DataFrame, as_of: str = AS_OF) -> DataFrame:
     )
 
 
-def consolidate_oracle_sql(as_of: str = AS_OF) -> str:
-    """DuckDB oracle: identical semantics over the same derived inputs."""
+def consolidate_oracle_sql(as_of: str = AS_OF, df_cap: int = DF_CAP) -> str:
+    """DuckDB oracle: identical semantics over the same derived inputs,
+    including the DF_CAP heavy-hitter token exclusion."""
     toks = artist_tokens_sql("artist_name", "event_name")
     return f"""
 WITH sg_src AS ({shotgun_events_sql()}),
@@ -168,14 +189,29 @@ dct AS (
          CAST(event_datetime_local AS DATE) AS day, {toks} AS dc_toks
   FROM dc_src WHERE event_datetime_local IS NOT NULL
 ),
+hot AS (
+  SELECT day, tok FROM (
+    SELECT day, unnest(sg_toks) AS tok FROM sgt
+  ) GROUP BY day, tok HAVING count(*) > {df_cap}
+  UNION
+  SELECT day, tok FROM (
+    SELECT day, unnest(dc_toks) AS tok FROM dct
+  ) GROUP BY day, tok HAVING count(*) > {df_cap}
+),
+hot_by_day AS (SELECT day, list(tok) AS hot_toks FROM hot GROUP BY day),
 pairs AS (
   SELECT * FROM (
     SELECT sgt.sg_id, sgt.sg_event_name, sgt.sg_city, sgt.sg_venue_name,
            sgt.sg_artist_name, sgt.sg_tickets, sgt.day,
            dct.dc_id, dct.dc_event_name, dct.dc_city, dct.dc_venue_name,
            dct.dc_artist_name, dct.dc_tickets,
-           len(list_intersect(sgt.sg_toks, dct.dc_toks)) AS overlap
+           len(list_intersect(
+             list_filter(sgt.sg_toks,
+                         t -> NOT coalesce(list_contains(h.hot_toks, t),
+                                           false)),
+             dct.dc_toks)) AS overlap
     FROM sgt JOIN dct ON sgt.day = dct.day
+    LEFT JOIN hot_by_day h ON h.day = sgt.day
   ) WHERE overlap > 0
 ),
 ranked AS (

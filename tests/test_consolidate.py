@@ -113,3 +113,48 @@ def test_output_sorted_by_date_then_name(spark, result):
     _, rows = _run(spark, sg_rows, dc_rows)
     keys = [(r.event_datetime_local, r.event_name.lower()) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_df_cap_drops_heavy_hitter_tokens(spark, result):
+    """A token whose per-day document frequency exceeds df_cap must not
+    generate candidate pairs on its own (the O(df²) skew guard); rare
+    tokens keep matching unchanged."""
+    sg_rows, dc_rows = result
+    # 4 sg + 4 dc rows on one day sharing ONLY the hot token 'toulouse'
+    day = D(2024, 1, 20, 20, 0)
+    hot_sg = [
+        _ev(f"sg-h{i}", f"Toulouse night {i}", day, artist=f"Uniq{i}")
+        for i in range(4)
+    ]
+    hot_dc = [
+        _ev(f"dc-h{i}", f"Toulouse club {i}", day, artist=f"Other{i}")
+        for i in range(4)
+    ]
+    from concerts_etl_sa_spark.schemas import NORMALIZED_EVENT as S
+
+    sg = spark.createDataFrame(sg_rows + hot_sg, S)
+    dc = spark.createDataFrame(dc_rows + hot_dc, S)
+
+    capped = consolidate(sg, dc, as_of=AS_OF, df_cap=3).collect()
+    # every hot-day row surfaces as a residual, never as a matched pair
+    hot_pairs = [
+        r for r in capped
+        if (r.shotgun_event_id or "").startswith("sg-h")
+        and r.dice_event_id is not None
+    ]
+    assert hot_pairs == []
+    # the golden matches elsewhere are untouched by the cap
+    pairs = {
+        (r.shotgun_event_id, r.dice_event_id)
+        for r in capped
+        if r.shotgun_event_id and r.dice_event_id
+    }
+    assert ("sg-1", "dc-1") in pairs and ("sg-2", "dc-3") in pairs
+
+    # with the default (high) cap the same input DOES match hot-day rows
+    # on the shared token — proving the cap, not the data, removed them
+    uncapped = consolidate(sg, dc, as_of=AS_OF).collect()
+    assert any(
+        (r.shotgun_event_id or "").startswith("sg-h") and r.dice_event_id
+        for r in uncapped
+    )
