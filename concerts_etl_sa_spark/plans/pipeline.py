@@ -17,6 +17,7 @@ operator under test, not the network I/O.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,11 +36,40 @@ class RunResult:
     consolidated_count: int
     consolidated: DataFrame
 
+RETRY_ATTEMPTS = 3
+RETRY_BASE_S = 1.0
+RETRY_MAX_S = 10.0
 
-def _safe_source(spark: SparkSession, fn, events: DataFrame) -> DataFrame:
-    """K2: source failure -> log + empty typed frame (cli.py:22-35)."""
+
+def retry_source(fn, *args, attempts: int = RETRY_ATTEMPTS,
+                 base_delay: float = RETRY_BASE_S,
+                 max_delay: float = RETRY_MAX_S, sleep=time.sleep):
+    """K1: source-level retry with exponential backoff (reference
+    adapters/shotgun.py:116, adapters/dice.py:160 — tenacity,
+    3 attempts, 1-10 s exponential). Driver-side loop around the
+    landing-zone load; the LAST failure propagates so K2 degradation
+    above it can decide what an exhausted source means."""
+    delay = base_delay
+    for attempt in range(1, attempts + 1):
+        try:
+            return fn(*args)
+        except Exception as exc:  # noqa: BLE001 — retry is the operator
+            if attempt == attempts:
+                raise
+            print(
+                f'{{"level": "warning", "msg": "source attempt {attempt} '
+                f'failed, retrying in {delay:g}s: {exc}"}}'
+            )
+            sleep(delay)
+            delay = min(delay * 2, max_delay)
+
+
+def _safe_source(spark: SparkSession, fn, events: DataFrame,
+                 sleep=time.sleep) -> DataFrame:
+    """K1+K2: retry w/ backoff, then failure -> log + empty typed frame
+    (cli.py:22-35)."""
     try:
-        return fn(events)
+        return retry_source(fn, events, sleep=sleep)
     except Exception as exc:  # noqa: BLE001 — per-source isolation is the op
         print(f'{{"level": "error", "msg": "source failed: {exc}"}}')
         return spark.createDataFrame([], NORMALIZED_EVENT)
@@ -56,7 +86,11 @@ def run_all(
     sg = _safe_source(spark, shotgun_events, events)
     dc = _safe_source(spark, dice_events, events)
 
-    consolidated = consolidate(sg, dc, as_of=as_of)
+    # cache: the match lineage is consumed by snapshot + preview + count
+    # — without it the full consolidation re-executes per action. The
+    # consolidated snapshot is dimension-sized, so caching is safe at any
+    # input scale; callers can unpersist via RunResult.consolidated.
+    consolidated = consolidate(sg, dc, as_of=as_of).cache()
 
     overwrite_snapshot(consolidated, f"{out_dir}/consolidated")
     export_json_preview(consolidated, f"{out_dir}/preview")
@@ -93,7 +127,7 @@ def run_all_from_landing(
     sg = _safe_source(spark, _sg, None)
     dc = _safe_source(spark, _dc, None)
 
-    consolidated = consolidate(sg, dc, as_of=as_of)
+    consolidated = consolidate(sg, dc, as_of=as_of).cache()
     overwrite_snapshot(consolidated, f"{out_dir}/consolidated")
     export_json_preview(consolidated, f"{out_dir}/preview")
 

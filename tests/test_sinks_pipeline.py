@@ -228,3 +228,75 @@ def test_write_via_connections(spark, tmp_path):
     assert sorted(ids) == sorted(
         r["event_id"] for r in _events(spark).select("event_id").collect()
     )
+
+
+def test_retry_source_backoff_recovers():
+    """K1: fails twice, succeeds third — exponential 1s, 2s backoff."""
+    from concerts_etl_sa_spark.plans.pipeline import retry_source
+
+    calls, sleeps = [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError(f"transient {len(calls)}")
+        return "landed"
+
+    assert retry_source(flaky, sleep=sleeps.append) == "landed"
+    assert len(calls) == 3
+    assert sleeps == [1.0, 2.0]
+
+
+def test_retry_source_exhaustion_raises():
+    from concerts_etl_sa_spark.plans.pipeline import retry_source
+
+    sleeps = []
+
+    def always_down():
+        raise RuntimeError("hard down")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="hard down"):
+        retry_source(always_down, sleep=sleeps.append)
+    assert sleeps == [1.0, 2.0]  # attempts-1 backoffs, capped exponential
+
+
+def test_retry_backoff_caps_at_max():
+    from concerts_etl_sa_spark.plans.pipeline import retry_source
+
+    sleeps = []
+
+    def always_down():
+        raise RuntimeError("down")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        retry_source(always_down, attempts=6, sleep=sleeps.append)
+    assert sleeps == [1.0, 2.0, 4.0, 8.0, 10.0]
+
+
+def test_safe_source_retries_then_degrades(spark):
+    """K1+K2 composition: transient failure recovers via retry; a source
+    that exhausts retries degrades to an empty typed frame."""
+    from concerts_etl_sa_spark.plans.pipeline import _safe_source
+
+    attempts = []
+
+    def transient(events):
+        attempts.append(1)
+        if len(attempts) < 2:
+            raise RuntimeError("scrape timeout")
+        return events
+
+    ev = spark.range(3).withColumnRenamed("id", "event_id")
+    out = _safe_source(spark, transient, ev, sleep=lambda _s: None)
+    assert out.count() == 3 and len(attempts) == 2
+
+    def dead(events):
+        raise RuntimeError("403 forever")
+
+    out = _safe_source(spark, dead, ev, sleep=lambda _s: None)
+    assert out.count() == 0
+    assert "provider" in out.columns  # NORMALIZED_EVENT schema
