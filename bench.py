@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,13 +61,20 @@ def main() -> None:
         for name in HEADLINE:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # p50 of N runs per query: single-shot timings swing with GC/codegen
+    # noise, making round-over-round regressions unattributable. The
+    # total (the driver metric) is the sum of per-query medians.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -76,6 +84,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

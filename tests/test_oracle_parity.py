@@ -53,7 +53,19 @@ def _all_queries():
 
     qs = E.queries()
     oracles = E.oracle_sql()
-    return [(name, qs[name], oracles.get(name)) for name in qs]
+    entries = [(name, qs[name], oracles.get(name)) for name in qs]
+    # Oracle-backed ops NOT in the registry (the driver window holds 50
+    # entries; these signature intermediates are consumed by their
+    # *_pairs registry entries) still get pytest-level oracle parity.
+    from concerts_etl_sa_spark.operators import dedup as D
+
+    entries += [
+        ("unreg_minhash_signatures", D.minhash_signatures,
+         D.MINHASH_SIGNATURES_SQL),
+        ("unreg_simhash_signatures", D.simhash_signatures,
+         D.SIMHASH_SIGNATURES_SQL),
+    ]
+    return entries
 
 
 @pytest.mark.parametrize(
