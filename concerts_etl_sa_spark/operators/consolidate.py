@@ -120,14 +120,39 @@ def consolidate(
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
 
-    w_dc = Window.partitionBy("dc_id").orderBy(F.desc("overlap"), F.asc("sg_id"))
-    w_sg = Window.partitionBy("sg_id").orderBy(F.desc("overlap"), F.asc("dc_id"))
-    matched = (
-        pairs.withColumn("rn_d", F.row_number().over(w_dc))
-        .withColumn("rn_s", F.row_number().over(w_sg))
-        .filter((F.col("rn_d") == 1) & (F.col("rn_s") == 1))
-        .select("sg_id", "dc_id")
+    # Bidirectional rank-1 as two ARGMAX aggregations, not rank windows:
+    # min(struct(-overlap, id)) is exactly "ORDER BY overlap DESC, id ASC
+    # LIMIT 1" per group, but a hash aggregate partially combines on the
+    # map side — the candidate-pair set (quadratic-ish in per-day artist
+    # frequency) collapses to one row per entity BEFORE the shuffle,
+    # where a row_number window would shuffle and fully sort every pair
+    # twice. The two argmax legs share the pairs exchange (identical
+    # subplan → ReusedExchange).
+    best_for_dc = (
+        pairs.groupBy("dc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("overlap")).alias("neg_overlap"),
+                    F.col("sg_id").alias("sg_id"),
+                )
+            ).alias("b")
+        )
+        .select("dc_id", F.col("b.sg_id").alias("sg_id"))
     )
+    best_for_sg = (
+        pairs.groupBy("sg_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("overlap")).alias("neg_overlap"),
+                    F.col("dc_id").alias("dc_id"),
+                )
+            ).alias("b")
+        )
+        .select("sg_id", F.col("b.dc_id").alias("dc_id"))
+    )
+    matched = best_for_dc.join(best_for_sg, ["sg_id", "dc_id"], "inner")
 
     # D4/H1 assembly in ONE pass (matched ∪ SG-residual ∪ DICE-residual):
     # attach each SG row's matched dc_id (null if unmatched), then
