@@ -67,13 +67,17 @@ def _shingles_sql(toks_e: str) -> str:
     )
 
 
+def _with_shingles(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
+
+
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition BEFORE the md5-heavy shingle/signature projections:
     # the documents file is tiny at test sf (1-2 input splits) but the
     # per-doc hash work is CPU-bound — spread it across all cores first.
     # At 100 TB the scan has natural parallelism and AQE elides the no-op.
     d = load_table(spark, sf_dir, "documents").repartition("doc_id")
-    return d.select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
+    return _with_shingles(d)
 
 
 _DOCS_SHINGLES_SQL = (
@@ -183,7 +187,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> self-equi-join on band_key (shuffle on band hash, near-linear)
     -> distinct pairs -> exact Jaccard verify on the (small) candidate set.
     """
-    ds = _docs_with_shingles(spark, sf_dir).cache()
+    return minhash_lsh_pairs_df(_docs_with_shingles(spark, sf_dir))
+
+
+def minhash_lsh_pairs_df(
+    docs: DataFrame, jaccard_threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """df-based core of :func:`minhash_lsh_pairs` — ``docs`` needs
+    (doc_id, text) or a precomputed (doc_id, shingles). Used by the
+    corpus-curation plan over already-filtered survivor sets."""
+    ds = docs if "shingles" in docs.columns else _with_shingles(docs)
+    ds = ds.cache()
     # cache the signature index too: the band self-join consumes it on
     # both legs and Spark's exchange-reuse doesn't fire across the two
     # differently-aliased subtrees — without the cache the md5 minhash
@@ -233,7 +247,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
         .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )

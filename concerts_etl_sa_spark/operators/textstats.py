@@ -109,6 +109,32 @@ FROM (
 """
 
 
+def quality_cols(text=None) -> dict[str, "F.Column"]:
+    """Column builders for the quality heuristic — shared by the oracle
+    query and the corpus-curation plan (one source of truth for the
+    formula)."""
+    text = F.col("text") if text is None else text
+    toks = _tokens(text)
+    stops = F.array(*[F.lit(w) for w in STOP_EN])
+    n = F.greatest(F.size(toks), F.lit(1))
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    stop_ratio = stop_hits.cast("double") / n
+    length_ok = F.when(
+        (F.length(text) >= 50) & (F.length(text) <= 5000), 1.0
+    ).otherwise(0.0)
+    stop_presence = F.when(
+        (stop_ratio > 0.01) & (stop_ratio < 0.6), 1.0
+    ).otherwise(0.0)
+    return {
+        "uniq_ratio": F.round(uniq_ratio, 6),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "quality": F.round(
+            0.4 * uniq_ratio + 0.3 * stop_presence + 0.3 * length_ok, 6
+        ),
+    }
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality: repetition ratio + stopword ratio + length band.
 
@@ -116,25 +142,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a C4/Gopher-style rule filter, deterministic and oracle-checkable.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    stops = F.array(*[F.lit(w) for w in STOP_EN])
-    n = F.greatest(F.size(toks), F.lit(1))
-    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-    stop_ratio = stop_hits.cast("double") / n
-    length_ok = F.when(
-        (F.length("text") >= 50) & (F.length("text") <= 5000), 1.0
-    ).otherwise(0.0)
-    stop_presence = F.when((stop_ratio > 0.01) & (stop_ratio < 0.6), 1.0).otherwise(
-        0.0
-    )
+    qc = quality_cols()
     return d.select(
-        "doc_id",
-        F.round(uniq_ratio, 6).alias("uniq_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(
-            0.4 * uniq_ratio + 0.3 * stop_presence + 0.3 * length_ok, 6
-        ).alias("quality"),
+        "doc_id", *[c.alias(name) for name, c in qc.items()]
     )
 
 
@@ -159,32 +169,38 @@ FROM (
 """
 
 
+def lang_cols(text=None) -> dict[str, "F.Column"]:
+    """Column builders for marker-word language ID (argmax of marker hit
+    counts, lexicographic tie-break) — shared with the curation plan.
+    Single-expression form (no intermediate score_* projection)."""
+    text = F.col("text") if text is None else text
+    toks = _tokens(text)
+
+    def score(lang):
+        m = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(m, t)))
+
+    langs = sorted(LANG_MARKERS)
+    best = score(langs[0])
+    best_lang = F.lit(langs[0])
+    for lang in langs[1:]:
+        s = score(lang)
+        cond = s > best
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best = F.when(cond, s).otherwise(best)
+    return {"lang_detected": best_lang, "marker_hits": best}
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: argmax of per-language marker hit counts,
     ties broken lexicographically ('de' < 'en' < 'es' < 'fr')."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    def marker_hit(lang):
-        m = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
-        return lambda t: F.array_contains(m, t)
-
-    scores = [
-        F.size(F.filter(toks, marker_hit(lang))).alias(f"score_{lang}")
-        for lang in sorted(LANG_MARKERS)
-    ]
-    scored = d.select("doc_id", "lang", *scores)
-    langs = sorted(LANG_MARKERS)
-    best = F.col(f"score_{langs[0]}")
-    best_lang = F.lit(langs[0])
-    for lang in langs[1:]:
-        cond = F.col(f"score_{lang}") > best
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
-    return scored.select(
+    lc = lang_cols()
+    return d.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
-        best_lang.alias("lang_detected"),
-        best.alias("marker_hits"),
+        lc["lang_detected"].alias("lang_detected"),
+        lc["marker_hits"].alias("marker_hits"),
     )
 
 

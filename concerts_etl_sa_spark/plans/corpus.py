@@ -1,0 +1,168 @@
+"""Corpus curation plan: the training-data L-family composed end-to-end.
+
+The canonical large-scale pretraining-data pipeline over the
+``documents`` table (SURVEY §2.L1/L3 operators as stages):
+
+1. **annotate** — one scan adds quality heuristics (L3), language ID
+   (L3), whitespace token count, and the exact-dedup content hash. All
+   scalar projections: whole-stage codegen, no shuffle.
+2. **rule filter** — quality floor + language allowlist (C4/Gopher-style
+   rule filtering).
+3. **exact dedup** — min-doc_id representative per content hash (one
+   hash-partitioned window).
+4. **near-dup collapse** — MinHash-LSH pairs among the exact survivors
+   (``dedup.minhash_lsh_pairs_df``), greedy keep-lowest-id: the higher id
+   of every verified pair is dropped. Deterministic and single-pass; a
+   transitive connected-components collapse would iterate — greedy is the
+   standard LSH-dedup compromise and is documented as such.
+5. **token budget** (optional) — cap total retained tokens. Scale-aware:
+   a single global running-sum window would serialize on one partition,
+   so docs are hash-bucketed into ``n_budget_buckets`` and each bucket
+   keeps a running sum up to ``budget / n_buckets`` under a
+   bucket-partitioned window — parallel, deterministic, within one doc
+   per bucket of the exact cap.
+
+Every stage is a flag column over one lineage; the report's counts come
+from a single aggregation over the (cached, slim) flagged frame, not a
+``.count()`` per stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import minhash_lsh_pairs_df
+from ..operators.textstats import _tokens, lang_cols, quality_cols
+from ..sources.readers import load_table
+
+N_BUDGET_BUCKETS = 32
+
+
+@dataclass
+class CurationReport:
+    n_input: int
+    n_after_rules: int
+    n_after_exact: int
+    n_after_near: int
+    n_final: int
+    tokens_final: int
+    curated: DataFrame
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] | None = None,
+    token_budget: int | None = None,
+    jaccard_threshold: float = 0.5,
+    n_budget_buckets: int = N_BUDGET_BUCKETS,
+) -> CurationReport:
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    return curate_corpus_df(
+        docs,
+        min_quality=min_quality,
+        keep_langs=keep_langs,
+        token_budget=token_budget,
+        jaccard_threshold=jaccard_threshold,
+        n_budget_buckets=n_budget_buckets,
+    )
+
+
+def curate_corpus_df(
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.5,
+    keep_langs: tuple[str, ...] | None = None,
+    token_budget: int | None = None,
+    jaccard_threshold: float = 0.5,
+    n_budget_buckets: int = N_BUDGET_BUCKETS,
+) -> CurationReport:
+    """``docs`` needs (doc_id, text); extra columns ride along."""
+    qc = quality_cols()
+    lc = lang_cols()
+    ann = docs.select(
+        "doc_id",
+        "text",
+        qc["quality"].alias("quality"),
+        lc["lang_detected"].alias("lang_detected"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.md5("text").alias("content_hash"),
+    )
+    rule_pass = F.col("quality") >= min_quality
+    if keep_langs is not None:
+        rule_pass = rule_pass & F.col("lang_detected").isin(*keep_langs)
+    ann = ann.withColumn("rule_pass", rule_pass)
+
+    rules = ann.filter("rule_pass")
+    w_hash = Window.partitionBy("content_hash")
+    exact = rules.withColumn(
+        "exact_kept", F.col("doc_id") == F.min("doc_id").over(w_hash)
+    )
+    exact_kept = exact.filter("exact_kept")
+
+    near_pairs = minhash_lsh_pairs_df(
+        exact_kept.select("doc_id", "text"), jaccard_threshold=jaccard_threshold
+    )
+    near_dropped = (
+        near_pairs.select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dropped", F.lit(True))
+    )
+    near = (
+        exact_kept.join(near_dropped, "doc_id", "left")
+        .withColumn("near_kept", F.col("near_dropped").isNull())
+        .drop("near_dropped")
+    )
+    survivors = near.filter("near_kept")
+
+    if token_budget is not None:
+        per_bucket = max(1, token_budget // n_budget_buckets)
+        w_budget = (
+            Window.partitionBy("bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        flagged = (
+            survivors.withColumn(
+                "bucket", F.pmod(F.hash("doc_id"), F.lit(n_budget_buckets))
+            )
+            .withColumn("run_tokens", F.sum("n_tokens").over(w_budget))
+            .withColumn("in_budget", F.col("run_tokens") <= per_bucket)
+            .drop("bucket", "run_tokens")
+        )
+    else:
+        flagged = survivors.withColumn("in_budget", F.lit(True))
+
+    # slim cache: one lineage execution serves the report aggregation AND
+    # the curated output (text column is re-read only for final rows)
+    flagged = flagged.cache()
+    curated = flagged.filter("in_budget").select(
+        "doc_id", "text", "quality", "lang_detected", "n_tokens"
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_after_near"),
+        F.sum(F.when(F.col("in_budget"), 1).otherwise(0)).alias("n_final"),
+        F.sum(F.when(F.col("in_budget"), F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_final"
+        ),
+    ).collect()[0]
+    pre = ann.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("rule_pass"), 1).otherwise(0)).alias("n_after_rules"),
+    ).collect()[0]
+    n_after_exact = exact_kept.select(F.count(F.lit(1))).collect()[0][0]
+    return CurationReport(
+        n_input=pre["n_input"],
+        n_after_rules=pre["n_after_rules"],
+        n_after_exact=n_after_exact,
+        n_after_near=stats["n_after_near"],
+        n_final=stats["n_final"] or 0,
+        tokens_final=stats["tokens_final"] or 0,
+        curated=curated,
+    )

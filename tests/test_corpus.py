@@ -1,0 +1,103 @@
+"""Corpus-curation plan: stage invariants, determinism, annotation parity.
+
+The composed pipeline (quality/lang rules -> exact dedup -> MinHash-LSH
+near-dup collapse -> bucketed token budget) over driver testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from concerts_etl_sa_spark.operators.dedup import minhash_lsh_pairs_df
+from concerts_etl_sa_spark.operators.textstats import lang_id, quality_score
+from concerts_etl_sa_spark.plans.corpus import curate_corpus
+from concerts_etl_sa_spark.sources.readers import load_table
+
+from .conftest import SF_DIR
+
+
+def test_curation_stage_invariants(spark):
+    rep = curate_corpus(spark, SF_DIR, min_quality=0.3)
+    assert (
+        rep.n_input
+        >= rep.n_after_rules
+        >= rep.n_after_exact
+        >= rep.n_after_near
+        >= rep.n_final
+        > 0
+    )
+    rows = rep.curated.collect()
+    assert len(rows) == rep.n_final
+    # quality floor holds on every retained doc
+    assert all(r.quality >= 0.3 for r in rows)
+    # no exact duplicates among retained texts
+    texts = [r.text for r in rows]
+    assert len(set(texts)) == len(texts)
+
+
+def test_curation_no_near_dup_pair_retained(spark):
+    rep = curate_corpus(spark, SF_DIR, min_quality=0.0)
+    kept = {r.doc_id for r in rep.curated.select("doc_id").collect()}
+    pairs = minhash_lsh_pairs_df(
+        rep.curated.select("doc_id", "text")
+    ).collect()
+    both = [(p.a_id, p.b_id) for p in pairs if p.a_id in kept and p.b_id in kept]
+    assert both == []
+
+
+def test_curation_token_budget_bucketed(spark):
+    unbudgeted = curate_corpus(spark, SF_DIR, min_quality=0.0)
+    budget = max(1, unbudgeted.tokens_final // 2)
+    rep = curate_corpus(spark, SF_DIR, min_quality=0.0, token_budget=budget)
+    # the bucketed cap is exact within one doc per bucket; total tokens
+    # must never exceed the budget itself
+    assert 0 < rep.tokens_final <= budget
+    assert rep.n_final < unbudgeted.n_final
+
+
+def test_curation_language_filter(spark):
+    rep = curate_corpus(spark, SF_DIR, min_quality=0.0, keep_langs=("en",))
+    langs = {r.lang_detected for r in rep.curated.collect()}
+    assert langs <= {"en"}
+
+
+def test_curation_deterministic(spark):
+    a = curate_corpus(spark, SF_DIR, min_quality=0.4)
+    b = curate_corpus(spark, SF_DIR, min_quality=0.4)
+    ids_a = sorted(r.doc_id for r in a.curated.collect())
+    ids_b = sorted(r.doc_id for r in b.curated.collect())
+    assert ids_a == ids_b and a.tokens_final == b.tokens_final
+
+
+def test_curation_annotations_match_l3_queries(spark):
+    """The plan's quality/lang annotations must equal the oracle-checked
+    l3 query outputs — guards formula drift between the suite and the
+    composed pipeline."""
+    rep = curate_corpus(spark, SF_DIR, min_quality=0.0)
+    q = quality_score(spark, SF_DIR).select("doc_id", "quality")
+    l = lang_id(spark, SF_DIR).select("doc_id", "lang_detected")
+    joined = (
+        rep.curated.select(
+            "doc_id",
+            F.col("quality").alias("p_quality"),
+            F.col("lang_detected").alias("p_lang"),
+        )
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+    )
+    bad = joined.filter(
+        (F.col("p_quality") != F.col("quality"))
+        | (F.col("p_lang") != F.col("lang_detected"))
+    ).count()
+    assert bad == 0
+
+
+def test_curation_df_extra_columns_ride_along(spark):
+    from concerts_etl_sa_spark.plans.corpus import curate_corpus_df
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    rep = curate_corpus_df(docs, min_quality=0.0)
+    assert rep.n_input == 50
+    assert {"doc_id", "text", "quality", "lang_detected", "n_tokens"} <= set(
+        rep.curated.columns
+    )
