@@ -1,0 +1,81 @@
+"""Incremental corpus ingest: streaming documents -> curated parquet.
+
+The streaming face of ``plans/corpus.py``: new document files land in a
+directory, each micro-batch is quality-annotated (same ``quality_cols``
+expressions as the batch plan — one source of truth), rule-filtered, and
+exact-deduplicated BOTH within the batch and against everything already
+curated, then appended with batch-id lineage (I2).
+
+Dedup-across-restarts design: a stream-side ``dropDuplicates`` on
+content hash keeps unbounded state (every hash ever seen) in the state
+store — at corpus scale that state IS the dataset, so the scalable
+pattern is **merge-on-write**: each batch left-anti joins the curated
+sink's own hash column. The sink is the state. On a cluster the sink
+hash lookup is a broadcast or shuffle join against a hash-only column
+pruned from the curated parquet (ReadSchema: one string column), which
+also makes the ingest idempotent under micro-batch replay —
+re-delivered docs anti-join away, so the sink stays exactly-once even
+though foreachBatch is at-least-once.
+
+Reference analog: the landing-zone ingest boundary (A5/A6 scroll-until-
+fixpoint + content-hash card dedup, adapters/shotgun.py:116-478) —
+re-expressed as availableNow backlog drains over a document lake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textstats import quality_cols
+from ..schemas import DOCUMENTS
+
+
+def annotate_documents_stream(
+    docs: DataFrame, min_quality: float = 0.5
+) -> DataFrame:
+    """Scalar stage (works identically on batch and stream frames)."""
+    qc = quality_cols()
+    return docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        qc["quality"].alias("quality"),
+        F.md5("text").alias("content_hash"),
+    ).filter(F.col("quality") >= min_quality)
+
+
+def run_corpus_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    min_quality: float = 0.5,
+) -> None:
+    """Drain the landing directory (availableNow) into curated parquet."""
+    stream = spark.readStream.schema(DOCUMENTS).parquet(src_dir)
+    ann = annotate_documents_stream(stream, min_quality=min_quality)
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        fresh = batch.dropDuplicates(["content_hash"])
+        try:
+            seen = spark_b.read.parquet(out_dir).select("content_hash")
+        except Exception:  # noqa: BLE001 — first batch: no sink yet
+            seen = None
+        if seen is not None:
+            fresh = fresh.join(seen, "content_hash", "left_anti")
+        (
+            fresh.withColumn("ingest_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        ann.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

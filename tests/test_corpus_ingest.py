@@ -1,0 +1,64 @@
+"""Streaming corpus ingest: incremental dedup against the sink,
+quality gating, idempotent re-drain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from concerts_etl_sa_spark.sources.readers import load_table
+from concerts_etl_sa_spark.streaming.corpus_ingest import run_corpus_ingest
+
+from .conftest import SF_DIR
+
+
+def _land(spark, docs, path):
+    docs.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_corpus_ingest_dedups_across_batches(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, SF_DIR, "documents").limit(40).cache()
+    first = docs.filter(F.col("doc_id") < 20)
+    _land(spark, first, src)
+    run_corpus_ingest(spark, src, out, ckpt, min_quality=0.0)
+    curated1 = spark.read.parquet(out)
+    n1 = curated1.count()
+    assert 0 < n1 <= 20
+    # hashes unique after first drain
+    assert curated1.select("content_hash").distinct().count() == n1
+
+    # second landing: 10 overlapping docs (same text => same hash) + 20 new
+    second = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 40))
+    _land(spark, second, src)
+    run_corpus_ingest(spark, src, out, ckpt, min_quality=0.0)
+    curated2 = spark.read.parquet(out)
+    # overlap rows anti-joined away: every content_hash appears once
+    assert (
+        curated2.groupBy("content_hash").count().filter("count > 1").count() == 0
+    )
+    assert curated2.count() > n1
+
+
+def test_corpus_ingest_quality_gate_and_lineage(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    _land(spark, load_table(spark, SF_DIR, "documents").limit(60), src)
+    run_corpus_ingest(spark, src, out, ckpt, min_quality=0.4)
+    curated = spark.read.parquet(out)
+    rows = curated.collect()
+    assert rows and all(r.quality >= 0.4 for r in rows)
+    assert all(r.ingest_batch_id is not None for r in rows)
+
+
+def test_corpus_ingest_rerun_without_new_files_is_noop(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    _land(spark, load_table(spark, SF_DIR, "documents").limit(20), src)
+    run_corpus_ingest(spark, src, out, ckpt, min_quality=0.0)
+    n1 = spark.read.parquet(out).count()
+    run_corpus_ingest(spark, src, out, ckpt, min_quality=0.0)
+    assert spark.read.parquet(out).count() == n1
