@@ -66,6 +66,7 @@ def main() -> None:
     # total (the driver metric) is the sum of per-query medians.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spark.catalog.clearCache()  # drop warmup-era cached indexes
     for name in HEADLINE:
         fn = qs[name]
         samples = []
@@ -75,6 +76,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # index-building queries (minhash/simhash) cache per invocation;
+        # without an unpersist the heap accumulates every run's indexes
+        # and later queries pay the GC bill
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
