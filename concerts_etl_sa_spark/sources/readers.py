@@ -12,11 +12,21 @@ predicates hit partition columns.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_SCHEMAS
+
+# Below this size a parquet source is a single scan split (one row group),
+# so every downstream projection — however CPU-heavy — runs on ONE core
+# until the first shuffle. ``load_table`` round-robins such scans to
+# ``defaultParallelism`` so tokenize/regex/hash projections parallelize.
+# At real scale (100 TB, many >=128 MB files) the gate never fires and no
+# extra exchange is added; this is a small-file shim, not a plan strategy.
+_SMALL_SCAN_BYTES = 64 << 20
 
 # Driver parquet stores timestamps as TIMESTAMP(NANOS,false) (INT64).
 # Spark's vectorized reader has no NANOS type, so the session sets
@@ -46,9 +56,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         reader = spark.read.schema(T.StructType(fields))
     else:
         reader = spark.read
-    df = reader.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = reader.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    if os.path.isfile(path) and os.path.getsize(path) < _SMALL_SCAN_BYTES:
+        # Catalyst pushes later filters/pruning through the exchange into
+        # the scan (asserted in tests/test_plan_hygiene.py), so pushdown
+        # is unaffected; only the post-scan work spreads across cores.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

@@ -82,9 +82,19 @@ def test_small_dim_join_broadcasts(spark):
 
 
 def test_whole_stage_codegen_covers_scalar_cascade(spark):
-    """The B-row scalar cascades must stay JVM-side (no Python eval)."""
-    sg, _ = _events_frames(spark)
-    plan = plan_of(sg)
-    # '*(n)' prefixes mark WholeStageCodegen spans in the compact form
-    assert "*(1)" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    """The B-row scalar cascades must stay JVM-side (no Python eval).
+
+    AQE wraps any plan containing an exchange (the small-scan repartition
+    in ``load_table``) in AdaptiveSparkPlan, whose pre-execution string
+    hides codegen ``*(n)`` markers — so assert on a non-adaptive plan to
+    keep the codegen check strong.
+    """
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sg, _ = _events_frames(spark)
+        plan = plan_of(sg)
+        # '*(n)' prefixes mark WholeStageCodegen spans in the compact form
+        assert "*(1)" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
