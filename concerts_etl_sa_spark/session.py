@@ -27,6 +27,15 @@ def get_spark(app_name: str = "concerts_etl_sa_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions from MAP-side bytes; a join
+        # that fans out (token-postings self-joins, exploded LSH bands)
+        # has tiny map output but 10-100x join output, and the default
+        # 1 MB floor coalesces those stages to 1-2 tasks — serializing
+        # the most expensive joins in the engine. A 16 KB floor keeps
+        # fan-out stages at full parallelism; for normally-sized
+        # shuffles the parallelismFirst target (defaultParallelism)
+        # still governs, so large-scale behavior is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
