@@ -125,6 +125,12 @@ def consolidate(
         .join(dc_tok, ["day", "tok"], "inner")
         .groupBy("sg_id", "dc_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
+        # Both argmax legs consume the candidate set, and AQE's exchange
+        # reuse does not reliably cover the whole pair lineage — persist
+        # the SLIM (id, id, overlap) rows so the expensive postings join
+        # runs once. MEMORY_AND_DISK: at 100 TB this spills rather than
+        # recomputing two token-index joins.
+        .persist()
     )
 
     # Bidirectional rank-1 as two ARGMAX aggregations, not rank windows:

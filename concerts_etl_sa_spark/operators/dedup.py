@@ -456,13 +456,16 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(r, "block_key")
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+        # hamming is pair-deterministic, so filtering BEFORE the
+        # dropDuplicates shuffle is equivalent — and the dedup exchange
+        # then carries only near-pairs instead of every blocked candidate
         .withColumn(
             "hamming",
             F.bit_count(F.expr("a_sig ^ b_sig")),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("a_id", "b_id", "hamming")
+        .dropDuplicates(["a_id", "b_id"])
         .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )
 
