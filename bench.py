@@ -35,8 +35,10 @@ HEADLINE = [
     "l1_simhash_near_pairs",
     "l2_topk_cosine_bruteforce",
     "l2_topk_cosine_ivf",
-    "l3_token_stats",
-    "l3_bpe_token_count",
+    "l1_decontaminate",
+    "l3_text_suite",
+    "l3_pii_redact",
+    "l5_mixture_sample",
 ]
 
 

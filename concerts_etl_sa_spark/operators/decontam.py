@@ -1,0 +1,136 @@
+"""Benchmark decontamination (SURVEY §2.L1 extension): flag corpus
+documents that share n-grams with an evaluation set.
+
+The standard training-data hygiene step (as in GPT-3/PaLM data cards):
+a document is contaminated if it shares >= MIN_HITS distinct N_GRAM-word
+n-grams with any benchmark/eval document. Here the eval set is a
+deterministic split of ``documents`` (doc_id % 10 == 7) so the DuckDB
+oracle reproduces it exactly; in production it would be a separate
+benchmark table with the same shape.
+
+Scale design (100 TB corpus, benchmark-sized eval set):
+- The eval n-gram set is DISTINCT and typically tiny relative to the
+  corpus (benchmarks are MBs, corpora are TBs) — it is explicitly
+  ``broadcast()``, so the corpus postings NEVER shuffle on the n-gram
+  key: the contamination join is map-side, and the only shuffle is the
+  narrow (doc_id, count) aggregation. Drop the hint if the "eval" side
+  is ever corpus-sized and AQE picks the strategy.
+- Corpus n-grams are per-doc DISTINCT arrays exploded to slim
+  (doc_id, gram) postings; no pairwise doc-doc join exists anywhere —
+  contamination is doc-vs-set, linear in corpus size.
+
+Reference parity: generalizes the token-overlap theme of
+concerts_etl/core/consolidate_events.py:91-104 from event matching to
+corpus-vs-benchmark set intersection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .dedup import _tokens, _tokens_sql
+from .util import sorted_small
+
+N_GRAM = 5       # n-gram width (words)
+MIN_HITS = 2     # distinct shared n-grams to flag contamination
+EVAL_MOD = 10    # eval split: doc_id % EVAL_MOD == EVAL_REM
+EVAL_REM = 7
+
+
+def _ngram_fps(toks):
+    """Distinct 64-bit fingerprints of the N_GRAM-word shingles.
+
+    The Spark side never materializes the n-gram STRINGS: each window is
+    fingerprinted directly from its 5 token columns with ``xxhash64`` —
+    the production decontamination representation (hashed n-gram sets /
+    Bloom membership), ~10x cheaper than building + broadcasting 30-byte
+    shingle strings. The DuckDB oracle counts exact string n-grams; the
+    two agree unless a 64-bit collision occurs inside one doc's gram set
+    or across the eval set (p < 1e-7 at benchmark scale, and the driver
+    comparison is deterministic). Docs shorter than N_GRAM yield one
+    ragged window — xxhash64 skips the out-of-range NULLs exactly like
+    the oracle's concat_ws.
+    """
+    raw = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - F.lit(N_GRAM - 1), F.lit(1))
+        ),
+        lambda i: F.xxhash64(
+            *[F.element_at(toks, i + j) for j in range(N_GRAM)]
+        ),
+    )
+    return F.array_distinct(raw)
+
+
+def _ngrams_sql(toks_e: str) -> str:
+    cols = ", ".join(f"{toks_e}[i+{j}]" for j in range(N_GRAM))
+    return (
+        "list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks_e}) - {N_GRAM - 1}, 1)), "
+        f"i -> concat_ws(' ', {cols})))"
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-corpus-doc eval-overlap counts: (doc_id, n_hit_ngrams,
+    is_contaminated) over every non-eval document."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    # filter BEFORE fingerprinting: the gram projection is the CPU-heavy
+    # stage, so each split runs it exactly once over its own rows
+    eval_grams = (
+        d.filter(is_eval)
+        .select(F.explode(_ngram_fps(_tokens(F.col("text")))).alias("gram"))
+        .distinct()
+    )
+    postings = d.filter(~is_eval).select(
+        "doc_id", F.explode(_ngram_fps(_tokens(F.col("text")))).alias("gram")
+    )
+    hits = (
+        postings.join(F.broadcast(eval_grams), "gram")
+        # grams are per-doc distinct, so count(*) IS the distinct
+        # shared-n-gram count
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        d.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hit_ngrams"),
+            (F.coalesce("n_hits", F.lit(0)) >= MIN_HITS).alias(
+                "is_contaminated"
+            ),
+        )
+        .transform(lambda df: sorted_small(df, "doc_id"))
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, {_ngrams_sql('toks')} AS grams FROM t
+),
+eval_grams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g
+  WHERE doc_id % {EVAL_MOD} = {EVAL_REM}
+),
+corpus AS (SELECT doc_id, grams FROM g WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+  JOIN eval_grams USING (gram)
+  GROUP BY c.doc_id
+)
+SELECT corpus.doc_id,
+       coalesce(hits.n_hits, 0) AS n_hit_ngrams,
+       coalesce(hits.n_hits, 0) >= {MIN_HITS} AS is_contaminated
+FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
+ORDER BY corpus.doc_id
+"""

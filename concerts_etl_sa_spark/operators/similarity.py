@@ -406,3 +406,53 @@ WHERE a.vec_id < b.vec_id
   AND {_cosine_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
 ORDER BY a_id, b_id
 """
+
+
+# ------------------------------------------------------------ ANN recall
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-LSH ANN against the brute-force ground truth.
+
+    The evaluation harness every approximate index needs: per query,
+    |approx top-k ∩ exact top-k| / k. Composes the two existing plans —
+    the exact baseline stays broadcast-bounded, the LSH side stays
+    bucket-blocked — and adds only a slim (q_id, c_id) equi-join plus a
+    per-query count, so the evaluation itself is scale-free.
+    """
+    bf = topk_cosine_bruteforce(spark, sf_dir).select("q_id", "c_id")
+    approx = topk_cosine_lsh(spark, sf_dir).select("q_id", "c_id")
+    hits = (
+        bf.join(approx, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        bf.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(TOP_K), 6
+            ).alias("recall_at_k"),
+        )
+        .transform(lambda d: sorted_small(d, "q_id"))
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH bf AS ({TOPK_COSINE_BRUTEFORCE_SQL}),
+approx AS ({TOPK_COSINE_LSH_SQL}),
+hits AS (
+  SELECT bf.q_id, count(*) AS n_hits
+  FROM bf JOIN approx ON bf.q_id = approx.q_id AND bf.c_id = approx.c_id
+  GROUP BY bf.q_id
+)
+SELECT q.q_id,
+       coalesce(hits.n_hits, 0) AS n_hits,
+       round(coalesce(hits.n_hits, 0) / {TOP_K}.0, 6) AS recall_at_k
+FROM (SELECT DISTINCT q_id FROM bf) q
+LEFT JOIN hits ON q.q_id = hits.q_id
+ORDER BY q.q_id
+"""

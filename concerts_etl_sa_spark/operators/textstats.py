@@ -267,3 +267,209 @@ FROM (
   FROM (SELECT doc_id, text, {_tokens_sql('text')} AS toks FROM documents)
 )
 """
+
+
+# ------------------------------------------------------------- text suite
+
+_BPE_PAT = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document text-analysis projection in ONE scan: token
+    stats + BPE-ish counts + quality + lang-ID + fingerprints.
+
+    The single-scan suite is also the correct 100 TB plan — five separate
+    passes over a petabyte-scale ``documents`` table to compute scalar
+    projections is four scans too many; a curation pipeline annotates
+    once. The standalone per-op queries remain exported for composition
+    (`quality_cols`/`lang_cols` are shared builders).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(f"({_BPE_PAT})"), 1)
+    shingles = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - F.lit(2), F.lit(1))
+        ),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    qc = quality_cols()
+    lc = lang_cols()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.round(
+            F.size(pieces).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("bpe_per_word"),
+        qc["uniq_ratio"].alias("uniq_ratio"),
+        qc["stop_ratio"].alias("stop_ratio"),
+        qc["quality"].alias("quality"),
+        F.col("lang").alias("lang_declared"),
+        lc["lang_detected"].alias("lang_detected"),
+        lc["marker_hits"].alias("marker_hits"),
+        F.md5("text").alias("content_hash"),
+        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_hash"),
+    )
+
+
+def _text_suite_sql() -> str:
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+        score_cols.append(
+            f"len(list_filter(toks, t -> list_contains({markers}, t)))"
+            f" AS score_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = f"score_{langs[0]}"
+    best_lang = f"'{langs[0]}'"
+    for lang in langs[1:]:
+        best_lang = (
+            f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {best_lang} END"
+        )
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+    return f"""
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct,
+  len(text) AS n_chars_computed,
+  round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS avg_token_len,
+  len(pieces) AS n_bpe_tokens,
+  round(CAST(len(pieces) AS DOUBLE) / greatest(len(toks), 1), 6) AS bpe_per_word,
+  round(uniq_ratio, 6) AS uniq_ratio,
+  round(stop_ratio, 6) AS stop_ratio,
+  round(0.4 * uniq_ratio
+        + 0.3 * (CASE WHEN stop_ratio > 0.01 AND stop_ratio < 0.6
+                 THEN 1.0 ELSE 0.0 END)
+        + 0.3 * (CASE WHEN len(text) >= 50 AND len(text) <= 5000
+                 THEN 1.0 ELSE 0.0 END), 6) AS quality,
+  lang AS lang_declared,
+  {best_lang} AS lang_detected,
+  {best} AS marker_hits,
+  md5(text) AS content_hash,
+  list_min(list_transform(shingles, s -> md5(s))) AS min_shingle_hash
+FROM (
+  SELECT doc_id, text, lang, toks, pieces, shingles,
+    CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)
+      AS uniq_ratio,
+    CAST(len(list_filter(toks, t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE)
+      / greatest(len(toks), 1) AS stop_ratio,
+    {', '.join(score_cols)}
+  FROM (
+    SELECT doc_id, text, lang, toks,
+      regexp_extract_all(text, '( ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+)', 1)
+        AS pieces,
+      list_transform(
+        generate_series(1, greatest(len(toks) - 2, 1)),
+        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      ) AS shingles
+    FROM (SELECT doc_id, text, lang, {_tokens_sql('text')} AS toks
+          FROM documents)
+  )
+)
+"""
+
+
+TEXT_SUITE_SQL = _text_suite_sql()
+
+
+# ---------------------------------------------------------- PII redaction
+
+# RE2- and Java-regex-compatible patterns (no lookaround, no backrefs)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 ]{6,}[0-9]"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace emails / IPv4s / intl phone numbers with
+    typed placeholders and count each class per document.
+
+    The synthetic corpus contains no PII, so deterministic PII-shaped
+    suffixes are appended from ``doc_id`` (same derivation in the oracle,
+    like the b_money_suite fixture texts) — the redaction regexes then do
+    real work on every third/fifth/seventh document. Pure scalar
+    projections: linear scan, zero shuffles, WholeStageCodegen at any
+    scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" node 10."), did % 200, F.lit(".3."), did % 250
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" tel +33 6123 45"), did % 10, F.lit("8")),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(pii_text, PII_EMAIL, "<EMAIL>"),
+            PII_IP,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(pii_text, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(pii_text, F.lit(PII_IP)).alias("n_ips"),
+        F.regexp_count(pii_text, F.lit(PII_PHONE)).alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )
+
+
+_PII_TEXT_SQL = (
+    "text"
+    " || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id"
+    "      || '@mail.example.com' ELSE '' END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN ' node 10.' || (doc_id % 200)"
+    "      || '.3.' || (doc_id % 250) ELSE '' END)"
+    " || (CASE WHEN doc_id % 7 = 0 THEN ' tel +33 6123 45' || (doc_id % 10)"
+    "      || '8' ELSE '' END)"
+)
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP_SQL = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE_SQL = "\\+[0-9][0-9 ]{6,}[0-9]"
+
+PII_REDACT_SQL = f"""
+SELECT doc_id,
+  len(regexp_extract_all(pii_text, '{_PII_EMAIL_SQL}')) AS n_emails,
+  len(regexp_extract_all(pii_text, '{_PII_IP_SQL}')) AS n_ips,
+  len(regexp_extract_all(pii_text, '{_PII_PHONE_SQL}')) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(pii_text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+      '{_PII_IP_SQL}', '<IP>', 'g'),
+    '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS redacted_text
+FROM (SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM documents)
+"""

@@ -90,8 +90,10 @@ def q_consolidate(spark, sf_dir):
 # 4-20: North-star L-family (SURVEY §2.L) — dedup, ANN, multimodal, text
 # ===================================================================
 
+from .operators import decontam as DC  # noqa: E402
 from .operators import dedup as D  # noqa: E402
 from .operators import multimodal as MM  # noqa: E402
+from .operators import sampling as SMP  # noqa: E402
 from .operators import similarity as S  # noqa: E402
 from .operators import textstats as TS  # noqa: E402
 
@@ -102,20 +104,23 @@ _L_FAMILY = [
     ("l1_minhash_lsh_pairs", D.minhash_lsh_pairs, D.MINHASH_LSH_PAIRS_SQL),
     ("l1_simhash_near_pairs", D.simhash_near_pairs, D.SIMHASH_NEAR_PAIRS_SQL),
     ("l1_ngram_jaccard_pairs", D.ngram_jaccard_pairs, D.NGRAM_JACCARD_PAIRS_SQL),
+    ("l1_decontaminate", DC.decontaminate, DC.DECONTAMINATE_SQL),
     ("l2_topk_cosine_bruteforce", S.topk_cosine_bruteforce,
      S.TOPK_COSINE_BRUTEFORCE_SQL),
     ("l2_topk_cosine_lsh", S.topk_cosine_lsh, S.TOPK_COSINE_LSH_SQL),
     ("l2_topk_cosine_ivf", S.topk_cosine_ivf, S.TOPK_COSINE_IVF_SQL),
     ("l2_embedding_near_dup", S.embedding_near_dup_pairs,
      S.EMBEDDING_NEAR_DUP_SQL),
+    ("l2_ann_recall", S.ann_recall, S.ANN_RECALL_SQL),
     ("l4_media_features", MM.media_features, MM.MEDIA_FEATURES_SQL),
     ("l4_media_resize", MM.media_resize, MM.MEDIA_RESIZE_SQL),
     ("l4_frame_sample", MM.frame_sample, MM.FRAME_SAMPLE_SQL),
-    ("l3_token_stats", TS.token_stats, TS.TOKEN_STATS_SQL),
-    ("l3_bpe_token_count", TS.bpe_token_count, TS.BPE_TOKEN_COUNT_SQL),
-    ("l3_quality_score", TS.quality_score, TS.QUALITY_SCORE_SQL),
-    ("l3_lang_id", TS.lang_id, TS.LANG_ID_SQL),
-    ("l3_fingerprint", TS.fingerprint, TS.FINGERPRINT_SQL),
+    # one-scan suite of every per-doc text projection (token stats,
+    # BPE-ish counts, quality, lang-id, fingerprints) — the standalone
+    # per-op queries remain exported and pytest-covered
+    ("l3_text_suite", TS.text_suite, TS.TEXT_SUITE_SQL),
+    ("l3_pii_redact", TS.pii_redact, TS.PII_REDACT_SQL),
+    ("l5_mixture_sample", SMP.mixture_sample, SMP.MIXTURE_SAMPLE_SQL),
 ]
 
 for _name, _fn, _sql in _L_FAMILY:

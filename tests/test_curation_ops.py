@@ -1,0 +1,174 @@
+"""Semantics tests for the round-2 curation operators: benchmark
+decontamination, PII redaction, mixture sampling, ANN recall, and the
+one-scan text suite."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from concerts_etl_sa_spark.operators import decontam as DC
+from concerts_etl_sa_spark.operators import sampling as SMP
+from concerts_etl_sa_spark.operators import similarity as S
+from concerts_etl_sa_spark.operators import textstats as TS
+from concerts_etl_sa_spark.sources.readers import load_table
+
+from .conftest import SF_DIR
+
+
+# ------------------------------------------------------------ decontam
+
+def test_decontaminate_excludes_eval_and_counts_real_overlap(spark):
+    out = DC.decontaminate(spark, SF_DIR).collect()
+    corpus_n = (
+        load_table(spark, SF_DIR, "documents")
+        .filter((F.col("doc_id") % DC.EVAL_MOD) != DC.EVAL_REM)
+        .count()
+    )
+    assert len(out) == corpus_n
+    assert all(r.doc_id % DC.EVAL_MOD != DC.EVAL_REM for r in out)
+    # flag agrees with the count everywhere
+    assert all(
+        r.is_contaminated == (r.n_hit_ngrams >= DC.MIN_HITS) for r in out
+    )
+
+
+def test_decontaminate_hit_counts_match_python_ngrams(spark):
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+
+    def grams(text):
+        toks = [t for t in re.split(r"\s+", text.lower()) if t]
+        n = max(len(toks) - (DC.N_GRAM - 1), 1)
+        return {
+            " ".join(toks[i : i + DC.N_GRAM]) for i in range(n)
+        }
+
+    eval_grams = set()
+    for did, text in docs.items():
+        if did % DC.EVAL_MOD == DC.EVAL_REM:
+            eval_grams |= grams(text)
+    out = DC.decontaminate(spark, SF_DIR).collect()
+    for r in out:
+        expected = len(grams(docs[r.doc_id]) & eval_grams)
+        assert r.n_hit_ngrams == expected, r.doc_id
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    plan = (
+        DC.decontaminate(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the corpus postings must never shuffle on the n-gram key: the eval
+    # set joins as a broadcast hint in the logical plan
+    assert "BROADCAST" in plan.upper()
+
+
+# ------------------------------------------------------------ sampling
+
+def test_mixture_sample_matches_hash_gate(spark):
+    rows = SMP.mixture_sample(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source"
+    ).collect()
+
+    def threshold(source):
+        idx = int(source[3:])
+        if idx < 2:
+            return 1 << 32
+        return (1 << 31) if idx % 2 == 0 else (1 << 30)
+
+    expected = set()
+    for r in docs:
+        u32 = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        if u32 < threshold(r.source):
+            expected.add(r.doc_id)
+    got = {r.doc_id for r in rows}
+    assert got == expected
+    weights = {r.sample_weight for r in rows}
+    assert weights <= {1.0, 2.0, 4.0}
+    # src0/src1 are keep-all
+    assert all(
+        r.sample_weight == 1.0 for r in rows if r.source in ("src0", "src1")
+    )
+
+
+def test_mixture_sample_deterministic(spark):
+    a = [tuple(r) for r in SMP.mixture_sample(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in SMP.mixture_sample(spark, SF_DIR).collect()]
+    assert a == b
+
+
+# ------------------------------------------------------------ PII redact
+
+def test_pii_redact_scrubs_everything(spark):
+    rows = TS.pii_redact(spark, SF_DIR).collect()
+    email = re.compile(TS.PII_EMAIL)
+    ip = re.compile(TS.PII_IP)
+    phone = re.compile(TS.PII_PHONE)
+    for r in rows:
+        assert not email.search(r.redacted_text), r.doc_id
+        assert not ip.search(r.redacted_text), r.doc_id
+        assert not phone.search(r.redacted_text), r.doc_id
+        # every counted hit left a placeholder behind
+        assert r.redacted_text.count("<EMAIL>") == r.n_emails
+        assert r.redacted_text.count("<IP>") == r.n_ips
+        assert r.redacted_text.count("<PHONE>") == r.n_phones
+        if r.doc_id % 3 == 0:
+            assert r.n_emails >= 1
+        if r.doc_id % 5 == 0:
+            assert r.n_ips >= 1
+        if r.doc_id % 7 == 0:
+            assert r.n_phones >= 1
+
+
+def test_pii_redact_stays_jvm_side(spark):
+    plan = (
+        TS.pii_redact(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------ ANN recall
+
+def test_ann_recall_bounds_and_coverage(spark):
+    rows = S.ann_recall(spark, SF_DIR).collect()
+    assert len(rows) == S.N_QUERIES
+    for r in rows:
+        assert 0 <= r.n_hits <= S.TOP_K
+        assert abs(r.recall_at_k - r.n_hits / S.TOP_K) < 1e-9
+    # the sign-LSH index should find SOMETHING at this sf — an all-zero
+    # recall means the bucketing broke, not that the data is hard
+    assert sum(r.n_hits for r in rows) > 0
+
+
+# ------------------------------------------------------------ text suite
+
+def test_text_suite_matches_standalone_ops(spark):
+    suite = {r.doc_id: r for r in TS.text_suite(spark, SF_DIR).collect()}
+    for r in TS.token_stats(spark, SF_DIR).collect():
+        s = suite[r.doc_id]
+        assert (s.n_tokens, s.n_distinct, s.avg_token_len) == (
+            r.n_tokens, r.n_distinct, r.avg_token_len
+        )
+    for r in TS.lang_id(spark, SF_DIR).collect():
+        s = suite[r.doc_id]
+        assert (s.lang_detected, s.marker_hits) == (
+            r.lang_detected, r.marker_hits
+        )
+    for r in TS.quality_score(spark, SF_DIR).collect():
+        assert suite[r.doc_id].quality == r.quality
+    for r in TS.fingerprint(spark, SF_DIR).collect():
+        s = suite[r.doc_id]
+        assert (s.content_hash, s.min_shingle_hash) == (
+            r.content_hash, r.min_shingle_hash
+        )
