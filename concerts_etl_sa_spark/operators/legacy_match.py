@@ -130,7 +130,11 @@ def legacy_candidates(sg: DataFrame, dc: DataFrame) -> DataFrame:
 
 def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
     """Full legacy merge -> one row per canonical_event_key (matching.py:46-99)."""
-    sgi = _sg_indexed(sg)
+    # cached: the candidate join (via legacy_candidates -> _sg_indexed)
+    # and the SG-side assembly both consume the deduped index, and the
+    # canonical_key regex cascade + dedup window are the per-row-heavy
+    # part of this plan
+    sgi = _sg_indexed(sg).cache()
     dcd = dc.select(
         F.col("event_id_provider").alias("dc_id"),
         F.col("event_name").alias("dc_name"),

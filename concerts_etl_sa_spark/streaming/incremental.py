@@ -203,3 +203,40 @@ def run_stream_stream_join(
         .format("parquet")
         .start()
     )
+
+
+def drain_until_fixpoint(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    checkpoint: str,
+    max_rounds: int = 10,
+) -> dict:
+    """A5: scroll-until-fixpoint exhaust (reference shotgun.py scroll loop
+    — keep fetching until a pass surfaces nothing new).
+
+    Each round is an ``availableNow`` drain of the file source; the
+    checkpoint makes every round ingest only files that appeared since
+    the previous one (exactly the scraper's "scroll, collect the new
+    cards, stop when a scroll adds none"). The fixpoint is a round whose
+    micro-batches ingest zero rows — robust to files landing WHILE a
+    round is running, which a single availableNow pass would miss.
+
+    Returns {"rounds": n, "rows": total_ingested}.
+    """
+    total = 0
+    for rnd in range(1, max_rounds + 1):
+        q = incremental_append(
+            read_events_stream(spark, src_dir), out_path, checkpoint
+        )
+        q.awaitTermination()
+        ingested = sum(
+            int(p["numInputRows"]) for p in (q.recentProgress or [])
+        )
+        total += ingested
+        if ingested == 0:
+            return {"rounds": rnd, "rows": total}
+    raise RuntimeError(
+        f"no fixpoint after {max_rounds} rounds ({total} rows ingested) — "
+        "source is producing faster than it drains"
+    )

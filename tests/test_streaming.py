@@ -112,3 +112,22 @@ def test_stream_stream_join_matches_batch(spark, staged):
     ).count()
     assert got.count() == expected
     assert expected > 0
+
+
+def test_drain_until_fixpoint(spark, staged):
+    out = str(staged / "fx_out")
+    ckpt = str(staged / "fx_ckpt")
+    src = str(staged / "src")
+    n_src = load_table(spark, SF_DIR, "events").count()
+
+    # one backlog file: round 1 ingests it, round 2 sees nothing -> stop
+    res = S.drain_until_fixpoint(spark, src, out, ckpt)
+    assert res["rows"] == n_src
+    assert res["rounds"] == 2
+    assert spark.read.parquet(out).count() == n_src
+
+    # new file lands after the fixpoint: a fresh drain picks up ONLY it
+    shutil.copy(SRC, staged / "src" / "day2.parquet")
+    res2 = S.drain_until_fixpoint(spark, src, out, ckpt)
+    assert res2["rows"] == n_src
+    assert spark.read.parquet(out).count() == 2 * n_src
