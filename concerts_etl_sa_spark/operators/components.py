@@ -1,0 +1,132 @@
+"""Connected components over near-duplicate pairs (SURVEY §2.L1 closure).
+
+The pair operators (``dedup.minhash_lsh_pairs`` / ``simhash_near_pairs``)
+emit EDGES; production dedup must collapse them into CLUSTERS and keep
+one representative per cluster (near-dup groups are transitive chains:
+A~B, B~C => {A,B,C} even when A!~C directly). That closure is a
+connected-components computation.
+
+Algorithm: iterative min-label propagation —
+``label(v) <- min(label(v), min(label(n)) for n in neighbors(v))``
+until no label changes. Labels only ever decrease, so the global label
+sum is a strictly decreasing monotone; an unchanged sum IS the fixpoint
+(one cheap scalar action per round, no full-join diff).
+
+Scale design (100 TB):
+- Per round: one equi-join of the symmetrized edge list against the
+  label table + one groupBy-min — both shuffle on vertex id, partial
+  aggregation map-side. Edges are cached once; labels are cached per
+  round and the PREVIOUS round is explicitly unpersisted.
+- ``localCheckpoint`` every round truncates the lineage — the classic
+  iterative-algorithm failure on Spark is a plan that doubles per round
+  until analysis/GC dominates (same pattern as ``operators/kmeans.py``).
+- Each round is propagate + POINTER-DOUBLING shortcut
+  (``label <- label(label)``): plain propagation moves the min one edge
+  hop per round (a length-n chain needs n rounds); composing the label
+  map with itself halves the remaining path every round, giving the
+  O(log n) behavior of the large-star/small-star family with two plain
+  equi-joins. Near-dup clusters are near-cliques, so 2-3 rounds in
+  practice; ``max_iters`` bounds pathological chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .dedup import simhash_near_pairs
+from .util import sorted_small
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(vertex, component) for every vertex in ``edges``; the component
+    id is the minimum vertex id of the connected component."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select("u").distinct().withColumn("label", F.col("u")).cache()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), "label"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        propagated = labels.join(nbr_min, "u", "left").select(
+            "u",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("label"),
+        )
+        # pointer doubling: follow one indirection through the label map
+        # (labels are always real vertex ids, so the self-join resolves)
+        new_labels = (
+            propagated.join(
+                propagated.select(
+                    F.col("u").alias("label"),
+                    F.col("label").alias("label2"),
+                ),
+                "label",
+                "left",
+            )
+            .select(
+                "u", F.coalesce("label2", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iters} rounds"
+        )
+    sym.unpersist()
+    return labels.select(F.col("u").alias("vertex"), F.col("label").alias("component"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over ``documents``: every doc with its cluster
+    representative (min doc_id of its simhash-connected component) and
+    the cluster size. Docs with no near-dup edges are their own
+    singleton cluster — the frame a curation pipeline anti-joins or
+    groups on to keep exactly one doc per cluster."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = connected_components(simhash_near_pairs(spark, sf_dir))
+    assigned = docs.join(
+        comp.select(F.col("vertex").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_rep"),
+    )
+    sizes = assigned.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        assigned.join(sizes, "cluster_rep")
+        .select(
+            "doc_id",
+            "cluster_rep",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_rep")).alias("is_representative"),
+        )
+        .transform(lambda d: sorted_small(d, "doc_id"))
+    )

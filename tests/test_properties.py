@@ -175,3 +175,42 @@ def test_norm_basic_idempotent(spark, texts):
     once = _batch(spark, texts, Ft.norm_basic)
     twice = _batch(spark, once, Ft.norm_basic)
     assert twice == once
+
+
+def test_consolidate_invariant_to_input_partitioning(spark):
+    """The D3 re-spec's selling point: bidirectional argmax matching is
+    order- and partitioning-independent, unlike the reference's greedy
+    first-come-first-served loop. Re-run the flagship over reshuffled /
+    coalesced inputs and require the identical row MULTISET (the output
+    sort key (day, lower(name)) admits ties, so row order among tied
+    rows is partition-dependent — exactly what the order-insensitive
+    oracle hash accepts)."""
+    from collections import Counter
+
+    from concerts_etl_sa_spark.operators import consolidate as C
+    from concerts_etl_sa_spark.operators import fixtures as FX
+    from concerts_etl_sa_spark.sources.readers import load_table
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    base = Counter(
+        tuple(r)
+        for r in C.consolidate(
+            FX.shotgun_events(ev), FX.dice_events(ev)
+        ).collect()
+    )
+    assert sum(base.values()) > 0
+
+    for mangle in (
+        lambda d: d.repartition(17),
+        lambda d: d.coalesce(1),
+        lambda d: d.repartition(7, "event_id"),
+    ):
+        ev2 = mangle(load_table(spark, SF_DIR, "events"))
+        out = Counter(
+            tuple(r)
+            for r in C.consolidate(
+                FX.shotgun_events(ev2), FX.dice_events(ev2)
+            ).collect()
+        )
+        assert out == base
