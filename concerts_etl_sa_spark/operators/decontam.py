@@ -73,19 +73,21 @@ def _ngrams_sql(toks_e: str) -> str:
     )
 
 
-def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-corpus-doc eval-overlap counts: (doc_id, n_hit_ngrams,
-    is_contaminated) over every non-eval document."""
-    d = load_table(spark, sf_dir, "documents")
-    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
-    # filter BEFORE fingerprinting: the gram projection is the CPU-heavy
-    # stage, so each split runs it exactly once over its own rows
+def decontaminate_df(
+    corpus: DataFrame, eval_docs: DataFrame, min_hits: int = MIN_HITS
+) -> DataFrame:
+    """DataFrame form over arbitrary (doc_id, text) frames — the curation
+    plan composes this with a real benchmark table; the registry query
+    wraps it over the deterministic split."""
+    # filter/split happens in the callers BEFORE fingerprinting: the gram
+    # projection is the CPU-heavy stage, each split runs it exactly once
     eval_grams = (
-        d.filter(is_eval)
-        .select(F.explode(_ngram_fps(_tokens(F.col("text")))).alias("gram"))
+        eval_docs.select(
+            F.explode(_ngram_fps(_tokens(F.col("text")))).alias("gram")
+        )
         .distinct()
     )
-    postings = d.filter(~is_eval).select(
+    postings = corpus.select(
         "doc_id", F.explode(_ngram_fps(_tokens(F.col("text")))).alias("gram")
     )
     hits = (
@@ -96,18 +98,27 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        d.filter(~is_eval)
-        .select("doc_id")
+        corpus.select("doc_id")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hit_ngrams"),
-            (F.coalesce("n_hits", F.lit(0)) >= MIN_HITS).alias(
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias(
                 "is_contaminated"
             ),
         )
-        .transform(lambda df: sorted_small(df, "doc_id"))
     )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-corpus-doc eval-overlap counts: (doc_id, n_hit_ngrams,
+    is_contaminated) over every non-eval document."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    return decontaminate_df(
+        d.filter(~is_eval).select("doc_id", "text"),
+        d.filter(is_eval).select("doc_id", "text"),
+    ).transform(lambda df: sorted_small(df, "doc_id"))
 
 
 DECONTAMINATE_SQL = f"""

@@ -10,12 +10,18 @@ The canonical large-scale pretraining-data pipeline over the
    rule filtering).
 3. **exact dedup** — min-doc_id representative per content hash (one
    hash-partitioned window).
-4. **near-dup collapse** — MinHash-LSH pairs among the exact survivors
-   (``dedup.minhash_lsh_pairs_df``), greedy keep-lowest-id: the higher id
-   of every verified pair is dropped. Deterministic and single-pass; a
-   transitive connected-components collapse would iterate — greedy is the
-   standard LSH-dedup compromise and is documented as such.
-5. **token budget** (optional) — cap total retained tokens. Scale-aware:
+4. **decontamination** (optional) — drop documents sharing >=
+   ``decontam_min_hits`` distinct 5-gram fingerprints with an eval frame
+   (``operators.decontam.decontaminate_df``: broadcast eval-gram set,
+   doc-vs-set, no pairwise join). Runs on exact-dedup survivors so the
+   n-gram pass sees each retained text once.
+5. **near-dup collapse** — MinHash-LSH pairs among the survivors
+   (``dedup.minhash_lsh_pairs_df``), then either greedy keep-lowest-id
+   (the higher id of every verified pair is dropped — single-pass, the
+   standard LSH-dedup compromise) or, with ``transitive_dedup=True``,
+   a full connected-components collapse (``operators.components``) that
+   keeps exactly one representative per transitive near-dup group.
+6. **token budget** (optional) — cap total retained tokens. Scale-aware:
    a single global running-sum window would serialize on one partition,
    so docs are hash-bucketed into ``n_budget_buckets`` and each bucket
    keeps a running sum up to ``budget / n_buckets`` under a
@@ -35,6 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.components import connected_components
+from ..operators.decontam import decontaminate_df
 from ..operators.dedup import minhash_lsh_pairs_df
 from ..operators.textstats import _tokens, lang_cols, quality_cols
 from ..sources.readers import load_table
@@ -47,6 +55,7 @@ class CurationReport:
     n_input: int
     n_after_rules: int
     n_after_exact: int
+    n_after_decontam: int
     n_after_near: int
     n_final: int
     tokens_final: int
@@ -62,6 +71,9 @@ def curate_corpus(
     token_budget: int | None = None,
     jaccard_threshold: float = 0.5,
     n_budget_buckets: int = N_BUDGET_BUCKETS,
+    eval_docs: DataFrame | None = None,
+    decontam_min_hits: int = 2,
+    transitive_dedup: bool = False,
 ) -> CurationReport:
     docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     return curate_corpus_df(
@@ -71,6 +83,9 @@ def curate_corpus(
         token_budget=token_budget,
         jaccard_threshold=jaccard_threshold,
         n_budget_buckets=n_budget_buckets,
+        eval_docs=eval_docs,
+        decontam_min_hits=decontam_min_hits,
+        transitive_dedup=transitive_dedup,
     )
 
 
@@ -82,6 +97,9 @@ def curate_corpus_df(
     token_budget: int | None = None,
     jaccard_threshold: float = 0.5,
     n_budget_buckets: int = N_BUDGET_BUCKETS,
+    eval_docs: DataFrame | None = None,
+    decontam_min_hits: int = 2,
+    transitive_dedup: bool = False,
 ) -> CurationReport:
     """``docs`` needs (doc_id, text); extra columns ride along."""
     qc = quality_cols()
@@ -106,16 +124,46 @@ def curate_corpus_df(
     )
     exact_kept = exact.filter("exact_kept")
 
+    if eval_docs is not None:
+        contam = decontaminate_df(
+            exact_kept.select("doc_id", "text"),
+            eval_docs.select("doc_id", "text"),
+            min_hits=decontam_min_hits,
+        ).select("doc_id", "is_contaminated")
+        clean = (
+            exact_kept.join(contam, "doc_id", "left")
+            .withColumn(
+                "decontam_pass",
+                ~F.coalesce("is_contaminated", F.lit(False)),
+            )
+            .drop("is_contaminated")
+            .filter("decontam_pass")
+        )
+        n_after_decontam = clean.count()
+    else:
+        clean = exact_kept
+        n_after_decontam = None
+
     near_pairs = minhash_lsh_pairs_df(
-        exact_kept.select("doc_id", "text"), jaccard_threshold=jaccard_threshold
+        clean.select("doc_id", "text"), jaccard_threshold=jaccard_threshold
     )
-    near_dropped = (
-        near_pairs.select(F.col("b_id").alias("doc_id"))
-        .distinct()
-        .withColumn("near_dropped", F.lit(True))
-    )
+    if transitive_dedup:
+        # full transitive closure: keep only each component's min-id
+        # representative — A~B, B~C drops BOTH B and C even when A!~C
+        comp = connected_components(near_pairs)
+        near_dropped = (
+            comp.filter(F.col("vertex") != F.col("component"))
+            .select(F.col("vertex").alias("doc_id"))
+            .withColumn("near_dropped", F.lit(True))
+        )
+    else:
+        near_dropped = (
+            near_pairs.select(F.col("b_id").alias("doc_id"))
+            .distinct()
+            .withColumn("near_dropped", F.lit(True))
+        )
     near = (
-        exact_kept.join(near_dropped, "doc_id", "left")
+        clean.join(near_dropped, "doc_id", "left")
         .withColumn("near_kept", F.col("near_dropped").isNull())
         .drop("near_dropped")
     )
@@ -161,6 +209,9 @@ def curate_corpus_df(
         n_input=pre["n_input"],
         n_after_rules=pre["n_after_rules"],
         n_after_exact=n_after_exact,
+        n_after_decontam=(
+            n_after_decontam if n_after_decontam is not None else n_after_exact
+        ),
         n_after_near=stats["n_after_near"],
         n_final=stats["n_final"] or 0,
         tokens_final=stats["tokens_final"] or 0,

@@ -101,3 +101,37 @@ def test_curation_df_extra_columns_ride_along(spark):
     assert {"doc_id", "text", "quality", "lang_detected", "n_tokens"} <= set(
         rep.curated.columns
     )
+
+
+def test_curation_decontam_and_transitive_stages(spark):
+    from concerts_etl_sa_spark.plans.corpus import curate_corpus
+    from concerts_etl_sa_spark.operators.decontam import decontaminate_df
+    from concerts_etl_sa_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+
+    base = curate_corpus(spark, SF_DIR)
+    rep = curate_corpus(
+        spark, SF_DIR, eval_docs=eval_docs, transitive_dedup=True
+    )
+    # eval docs themselves pass rules/dedup like any other doc; the
+    # decontam stage only ever REMOVES docs relative to the base run
+    assert rep.n_after_decontam <= rep.n_after_exact
+    assert rep.n_after_near <= rep.n_after_decontam
+    assert rep.n_final <= base.n_final
+    # base run reports the pass-through decontam count
+    assert base.n_after_decontam == base.n_after_exact
+
+    # no contaminated doc survives into the curated output
+    kept = {r.doc_id for r in rep.curated.select("doc_id").collect()}
+    contam = {
+        r.doc_id
+        for r in decontaminate_df(
+            docs.select("doc_id", "text"), eval_docs
+        ).filter("is_contaminated").collect()
+    }
+    assert not (kept & contam)
