@@ -217,3 +217,49 @@ def curate_corpus_df(
         tokens_final=stats["tokens_final"] or 0,
         curated=curated,
     )
+
+
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) data-card statistics — the reporting rollup a
+    training-data release ships: volume, token mass, quality, exact-dup
+    rate, and benchmark-contamination rate per stratum.
+
+    One annotation scan (scalar projections) + one content-hash window +
+    one broadcast-gated contamination pass + ONE groupBy — no per-metric
+    re-scans. At 100 TB every input is touched once; the output is
+    strata-sized (sources x langs).
+    """
+    from ..operators.decontam import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    qc = quality_cols()
+    ann = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        qc["quality"].alias("quality"),
+        F.md5("text").alias("content_hash"),
+    )
+    w_hash = Window.partitionBy("content_hash")
+    ann = ann.withColumn(
+        "is_exact_dup", F.col("doc_id") != F.min("doc_id").over(w_hash)
+    )
+    contam = decontaminate(spark, sf_dir).select("doc_id", "is_contaminated")
+    return (
+        ann.join(contam, "doc_id", "left")
+        .withColumn(
+            "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum(F.col("is_exact_dup").cast("int")).alias("n_exact_dups"),
+            F.sum(F.col("is_contaminated").cast("int")).alias(
+                "n_contaminated"
+            ),
+        )
+        .orderBy("source", "lang")
+    )

@@ -135,3 +135,35 @@ def test_curation_decontam_and_transitive_stages(spark):
         ).filter("is_contaminated").collect()
     }
     assert not (kept & contam)
+
+
+def test_corpus_datacard_consistency(spark):
+    from concerts_etl_sa_spark.plans.corpus import corpus_datacard
+    from concerts_etl_sa_spark.operators.decontam import decontaminate
+    from concerts_etl_sa_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    card = corpus_datacard(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+
+    # strata cover the whole corpus exactly once
+    assert sum(r.n_docs for r in card) == docs.count()
+    # totals agree with direct whole-table computation
+    direct = docs.select(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("toks")
+    ).collect()[0]["toks"]
+    assert sum(r.total_tokens for r in card) == direct
+    # contamination totals agree with the operator
+    n_contam = decontaminate(spark, SF_DIR).filter("is_contaminated").count()
+    assert sum(r.n_contaminated for r in card) == n_contam
+    for r in card:
+        assert 0.0 <= r.avg_quality <= 1.0
+        assert 0 <= r.n_exact_dups < r.n_docs or r.n_docs == 0
