@@ -122,6 +122,15 @@ def legacy_candidates(sg: DataFrame, dc: DataFrame) -> DataFrame:
                 <= BAND_SECONDS
             )
         )
+        # sound levenshtein prefilter: sim >= t implies the length gap is
+        # <= (1-t) * max_len (an edit is needed per missing char), so the
+        # O(len^2) levenshtein runs only on length-compatible pairs —
+        # cheap integer guard first, quadratic similarity second
+        .filter(
+            F.abs(F.length("sg_norm") - F.length("dc_norm"))
+            <= (1.0 - SIM_THRESHOLD)
+            * F.greatest(F.length("sg_norm"), F.length("dc_norm"))
+        )
         .withColumn("sim", similarity_norm(F.col("sg_norm"), F.col("dc_norm")))
         .filter(F.col("sim") >= SIM_THRESHOLD)
         .drop("bkt", "sg_norm", "dc_norm")
