@@ -251,3 +251,110 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------- media embedding + dedup
+
+EMBED_DIM = 16
+
+EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def embed_media(media: DataFrame) -> DataFrame:
+    """STUB embedding extraction (the CLIP/CLAP slot): deterministic
+    pseudo-embedding from the payload digest, centered to [-1, 1].
+
+    Same Arrow/mapInPandas boundary as ``extract_features`` — a real
+    model swaps into the batch loop; the Spark-side contract (binary in,
+    ``array<float>`` out, narrow stage, bytes never shuffled) is the
+    tested part. Identical payloads get identical embeddings, which is
+    the invariant the downstream dedup relies on.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for p in pdf["payload"]:
+                dig = hashlib.md5(p).digest()
+                vecs.append(
+                    [(dig[i % 16] - 127.5) / 127.5 for i in range(EMBED_DIM)]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "embedding": vecs,
+                }
+            )
+
+    flat = media.select(
+        "doc_id", "payload", F.col("media_meta.kind").alias("kind")
+    )
+    return flat.mapInPandas(batches, EMBED_SCHEMA)
+
+
+def media_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.99
+) -> DataFrame:
+    """L4 -> L2 composition over the synthesized media table."""
+    return media_near_dup_df(media_table(spark, sf_dir), threshold)
+
+
+def media_near_dup_df(media: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """L4 -> L2 composition: decode-stub embeddings fed through the
+    sign-LSH near-dup shape (bucket on the signs of the first 8
+    components, cosine-verify in-bucket pairs only). The end-to-end
+    media-dedup pipeline a multimodal lake runs: bytes stay in the
+    narrow embed stage, the pair join shuffles only
+    (doc_id, 16-float vector, bucket)."""
+    emb = embed_media(media)
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+            for i in range(8)
+        ],
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.col("b_emb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    keyed = emb.withColumn("bucket", bucket)
+    left = keyed.select(
+        F.col("doc_id").alias("a_id"), F.col("embedding"), "bucket"
+    )
+    right = keyed.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        "bucket",
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("b_emb"))), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+        .transform(lambda d: sorted_small(d, "a_id", "b_id"))
+    )

@@ -172,3 +172,47 @@ def test_text_suite_matches_standalone_ops(spark):
         assert (s.content_hash, s.min_shingle_hash) == (
             r.content_hash, r.min_shingle_hash
         )
+
+
+# ------------------------------------------------------- media embeddings
+
+def test_media_near_dup_finds_exactly_payload_duplicates(spark):
+    """The stub embedding is a function of the payload, so near-dup at
+    threshold ~1.0 must recover exactly the identical-payload pairs.
+    The base table has no duplicate payloads, so inject some: relabeled
+    copies of a doc_id slice unioned onto the media frame."""
+    from itertools import combinations
+
+    from concerts_etl_sa_spark.operators import multimodal as MM
+
+    base = MM.media_table(spark, SF_DIR)
+    dup = base.filter(F.col("doc_id") % 50 == 1).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    media = base.unionByName(dup)
+
+    by_md5 = {}
+    for r in media.select("doc_id", F.md5("payload").alias("h")).collect():
+        by_md5.setdefault(r.h, []).append(r.doc_id)
+    expected = set()
+    for ids in by_md5.values():
+        for a, b in combinations(sorted(ids), 2):
+            expected.add((a, b))
+    assert expected, "injected duplicates must exist"
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in MM.media_near_dup_df(media, threshold=0.999999).collect()
+    }
+    assert got == expected
+
+
+def test_embed_media_shape_and_determinism(spark):
+    from concerts_etl_sa_spark.operators import multimodal as MM
+
+    emb = MM.embed_media(MM.media_table(spark, SF_DIR))
+    rows = emb.collect()
+    assert all(len(r.embedding) == MM.EMBED_DIM for r in rows)
+    assert all(-1.0 <= v <= 1.0 for r in rows for v in r.embedding)
+    again = {r.doc_id: r.embedding for r in emb.collect()}
+    assert all(again[r.doc_id] == r.embedding for r in rows)
