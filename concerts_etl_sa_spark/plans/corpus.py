@@ -263,3 +263,44 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+def materialize_training_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    max_tokens: int = 2048,
+    n_shard_dirs: int = 16,
+    **curate_kwargs,
+) -> DataFrame:
+    """End of the line: curate -> pack -> write trainer-ready shards.
+
+    Composes the full pipeline (rules, exact dedup, optional
+    decontamination, near-dup collapse, optional token budget) with
+    sequence packing, then writes:
+    - ``{out_dir}/shards/`` — curated docs + shard_id, parquet
+      partitioned by ``shard_dir = shard_id % n_shard_dirs`` (bounded
+      directory fan-out; a trainer streams one dir per worker), and
+    - ``{out_dir}/manifest/`` — per-shard doc/token totals.
+
+    Returns the manifest frame. One curation lineage feeds both writes
+    (the curated frame is already cached by ``curate_corpus``).
+    """
+    from ..operators.packing import pack_sequences, shard_stats
+
+    report = curate_corpus(spark, sf_dir, **curate_kwargs)
+    packed = pack_sequences(report.curated, max_tokens)
+    packed = packed.withColumn(
+        "shard_dir", F.pmod("shard_id", F.lit(n_shard_dirs))
+    )
+    (
+        packed.write.mode("overwrite")
+        .partitionBy("shard_dir")
+        .parquet(f"{out_dir}/shards")
+    )
+    manifest = shard_stats(
+        spark.read.parquet(f"{out_dir}/shards")
+    )
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    return spark.read.parquet(f"{out_dir}/manifest")

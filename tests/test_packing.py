@@ -64,3 +64,32 @@ def test_oversized_doc_gets_own_shard(spark):
     # the 5000-token doc sits alone in its shard
     n_docs, total = stats[shards[2]]
     assert n_docs == 1 and total == 5000
+
+
+def test_materialize_training_shards_end_to_end(spark, tmp_path):
+    from concerts_etl_sa_spark.plans.corpus import materialize_training_shards
+
+    from .conftest import SF_DIR
+
+    out = str(tmp_path / "release")
+    manifest = materialize_training_shards(
+        spark, SF_DIR, out, max_tokens=1024
+    ).collect()
+    assert manifest, "at least one shard"
+
+    shards = spark.read.parquet(f"{out}/shards")
+    rows = shards.collect()
+    # every curated doc in exactly one shard; shard totals match manifest
+    assert shards.select("doc_id").distinct().count() == len(rows)
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    for r in rows:
+        totals[r.shard_id] += r.n_tokens
+    by_shard = {m.shard_id: m for m in manifest}
+    assert set(totals) == set(by_shard)
+    for sid, tok in totals.items():
+        assert by_shard[sid].total_tokens == tok
+        # budget respected unless a single doc overflows alone
+        if by_shard[sid].n_docs > 1:
+            assert tok <= 1024
