@@ -432,8 +432,12 @@ SELECT user_id, session_id, count(*) AS n_events,
        (max(us) - min(us)) // 1000000 AS session_seconds
 FROM (
   SELECT user_id, us,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         -- DuckDB window-sums INTEGER into HUGEINT, which Arrow/pandas
+         -- canonicalize as decimal128 -> float64 (1.0 != Spark's bigint
+         -- 1); CAST keeps the oracle's result type integral end-to-end.
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM (
     SELECT user_id, us, event_id,
            CASE WHEN lag(us) OVER (PARTITION BY user_id

@@ -125,10 +125,13 @@ def legacy_candidates(sg: DataFrame, dc: DataFrame) -> DataFrame:
         # sound levenshtein prefilter: sim >= t implies the length gap is
         # <= (1-t) * max_len (an edit is needed per missing char), so the
         # O(len^2) levenshtein runs only on length-compatible pairs —
-        # cheap integer guard first, quadratic similarity second
+        # cheap integer guard first, quadratic similarity second.
+        # Exact integer arithmetic: (1.0 - 0.90) is 0.09999… in IEEE
+        # double, which drops pairs whose gap is EXACTLY (1-t)*max_len
+        # (sim exactly t, kept by the threshold). Scale both sides by 100.
         .filter(
-            F.abs(F.length("sg_norm") - F.length("dc_norm"))
-            <= (1.0 - SIM_THRESHOLD)
+            F.abs(F.length("sg_norm") - F.length("dc_norm")) * 100
+            <= int(round((1.0 - SIM_THRESHOLD) * 100))
             * F.greatest(F.length("sg_norm"), F.length("dc_norm"))
         )
         .withColumn("sim", similarity_norm(F.col("sg_norm"), F.col("dc_norm")))

@@ -28,27 +28,68 @@ from ..schemas import TESTDATA_SCHEMAS
 # extra exchange is added; this is a small-file shim, not a plan strategy.
 _SMALL_SCAN_BYTES = 64 << 20
 
-# Driver parquet stores timestamps as TIMESTAMP(NANOS,false) (INT64).
-# Spark's vectorized reader has no NANOS type, so the session sets
-# spark.sql.legacy.parquet.nanosAsLong=true and these columns are read as
-# long nanos then converted via integer division (ns -> us).  Plain
-# float/floor would corrupt: 2024 epoch-nanos ~1.7e18 exceeds the double
-# exact-integer range.
-# Only events.ts is TIMESTAMP(NANOS); orders/lineitem are TIMESTAMP(MILLIS)
-# which the native reader handles directly.
-_NANO_TS_COLUMNS: dict[str, list[str]] = {
-    "events": ["ts"],
-}
+# Parquet timestamp physical units vary across driver testdata versions
+# (events.ts has shipped as TIMESTAMP(NANOS,false) and TIMESTAMP(MICROS)).
+# Spark's vectorized reader has no NANOS type, so nano columns are read as
+# long (session sets spark.sql.legacy.parquet.nanosAsLong=true) and
+# converted via integer division (ns -> us); plain float/floor would
+# corrupt: 2024 epoch-nanos ~1.7e18 exceeds the double exact-integer range.
+# MICROS/MILLIS columns read directly as TimestampType (session tz pinned
+# UTC, so no-tz micros == DuckDB's naive TIMESTAMP, epoch-identical).
+# The unit is detected from the file footer, never assumed.
+_TS_UNIT_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _parquet_ts_units(path: str) -> dict[str, str]:
+    """{column: arrow unit ('ns'/'us'/'ms'/'s')} from the parquet footer.
+
+    Driver-side only, one footer read per path per process — never touches
+    row data, so it costs nothing at 100 TB (and with a partitioned
+    dataset, one member file's footer is authoritative for the dataset).
+    """
+    cached = _TS_UNIT_CACHE.get(path)
+    if cached is not None:
+        return cached
+    units: dict[str, str] = {}
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            members = sorted(
+                m for m in os.listdir(path) if m.endswith(".parquet")
+            )
+            if members:
+                probe = os.path.join(path, members[0])
+        sch = pq.read_schema(probe)
+        units = {
+            f.name: f.type.unit
+            for f in sch
+            if pa.types.is_timestamp(f.type)
+        }
+    except Exception:
+        units = {}
+    _TS_UNIT_CACHE[path] = units
+    return units
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its pinned schema (never inferSchema)."""
-    schema = TESTDATA_SCHEMAS.get(name)
-    nano_cols = _NANO_TS_COLUMNS.get(name, [])
-    if schema is not None:
-        # swap declared TimestampType -> LongType for the raw nano columns
-        from pyspark.sql import types as T
+    from pyspark.sql import types as T
 
+    schema = TESTDATA_SCHEMAS.get(name)
+    path = f"{sf_dir}/{name}.parquet"
+    nano_cols: list[str] = []
+    if schema is not None:
+        units = _parquet_ts_units(path)
+        nano_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, T.TimestampType)
+            and units.get(f.name) == "ns"
+        ]
+        # swap declared TimestampType -> LongType for the raw nano columns
         fields = [
             T.StructField(f.name, T.LongType() if f.name in nano_cols else f.dataType, f.nullable)
             for f in schema.fields
@@ -56,7 +97,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         reader = spark.read.schema(T.StructType(fields))
     else:
         reader = spark.read
-    path = f"{sf_dir}/{name}.parquet"
     df = reader.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))

@@ -37,29 +37,43 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..schemas import EVENTS
 
-# events.ts is TIMESTAMP(NANOS) in the driver parquet (see sources.readers);
-# the stream reads it as long and converts ns -> us.
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField(
-            f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable
-        )
-        for f in EVENTS.fields
-    ]
-)
-
 LOOKBACK = "90 days"      # I3: dice.py:85-87
 LATE_TOLERANCE = "2 days" # I4 watermark: late rows beyond this are dropped
 
 
 def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    """File-source stream over a directory of events parquet files (A1/I1)."""
+    """File-source stream over a directory of events parquet files (A1/I1).
+
+    Driver parquet has shipped events.ts as both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across testdata versions; like the batch reader
+    (sources.readers), the physical unit is probed from an existing file's
+    footer — nanos are read as long and integer-divided to micros, any
+    other unit reads directly as TimestampType.
+    """
+    from ..sources.readers import _parquet_ts_units
+
+    ts_is_nanos = _parquet_ts_units(src_dir).get("ts") == "ns"
+    if ts_is_nanos:
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.LongType() if f.name == "ts" else f.dataType,
+                    f.nullable,
+                )
+                for f in EVENTS.fields
+            ]
+        )
+    else:
+        schema = EVENTS
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(src_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def incremental_append(

@@ -56,6 +56,35 @@ def test_similarity_bounds(spark):
     assert 0.0 <= s2 < 0.9
 
 
+def test_legacy_prefilter_length_band_boundary(spark):
+    """Pin the D5/D6 prefilter's exact-boundary arithmetic (round-2 bug).
+
+    A pair whose length gap is EXACTLY (1-t)*max_len has sim exactly t and
+    must survive both the prefilter and the threshold: with float
+    arithmetic (1.0-0.90)*20 = 1.9999... < 2 drops it (the
+    'Rone x Désiré Dubois' / 'Rone & Désiré Dubois' regression); the
+    integer-scaled guard keeps it.
+    """
+    from concerts_etl_sa_spark.operators.legacy_match import SIM_THRESHOLD
+
+    # norm lengths 20 vs 18: gap 2 == (1-0.9)*20, levenshtein 2 => sim 0.90
+    a, b = F.lit("rone x desire dubois"), F.lit("rone desire dubois")
+    la, lb = F.length(a), F.length(b)
+    guard = _one(
+        spark,
+        (
+            F.abs(la - lb) * 100
+            <= int(round((1.0 - SIM_THRESHOLD) * 100)) * F.greatest(la, lb)
+        ),
+    )
+    assert guard is True
+    sim = _one(spark, Ft.similarity_norm(a, b))
+    assert sim == SIM_THRESHOLD
+    # and the float form really is broken on this input (regression pin)
+    broken = _one(spark, F.abs(la - lb) <= (1.0 - SIM_THRESHOLD) * F.greatest(la, lb))
+    assert broken is False
+
+
 def test_money_parse_fr_formats(spark):
     cases = {
         "1 234,56 €": 1234.56,
