@@ -112,6 +112,33 @@ def main():
             print(f"ok?   {name}: rows={len(srows)} (no oracle, rows-only)")
             continue
         try:
+            # Arrow-dtype hazard gate first: the driver canonicalizes the
+            # oracle result through Arrow/pandas, where DuckDB HUGEINT (an
+            # un-CAST integer sum()) becomes decimal128 -> float64 and
+            # hashes '1.0' against Spark's bigint '1'.  fetchall() returns
+            # Python ints and structurally cannot see this, so check the
+            # Arrow schema explicitly (the round-1/2 f4 failure class).
+            import pyarrow as pa
+
+            atbl = con.execute(oracles[name]).arrow()
+            spark_integral = {
+                c
+                for c, t in sdf.dtypes
+                if t in ("tinyint", "smallint", "int", "bigint")
+            }
+            hazards = [
+                f.name
+                for f in atbl.schema
+                if pa.types.is_decimal(f.type) and f.name in spark_integral
+            ]
+            if hazards:
+                print(
+                    f"FAIL  {name}: oracle columns {hazards} are Arrow "
+                    "decimal128 (DuckDB HUGEINT?) while the Spark twin is "
+                    "integral — CAST the oracle expression to BIGINT"
+                )
+                failed.append(name)
+                continue
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
