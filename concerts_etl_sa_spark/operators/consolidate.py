@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import artist_tokens, artist_tokens_sql
+from ._cachescope import begin_scope, scoped_persist
 from .fixtures import AS_OF, dice_events_sql, shotgun_events_sql
 
 # Per-day, per-side token document-frequency cap. A token appearing in
@@ -95,6 +96,7 @@ def consolidate(
       decorated afterwards by id-equi joins (high-cardinality keys,
       broadcast-able matched set, AQE decides).
     """
+    begin_scope("consolidate")
     sgt = _prep(sg, "sg")
     dct = _prep(dc, "dc")
 
@@ -129,9 +131,10 @@ def consolidate(
         # reuse does not reliably cover the whole pair lineage — persist
         # the SLIM (id, id, overlap) rows so the expensive postings join
         # runs once. MEMORY_AND_DISK: at 100 TB this spills rather than
-        # recomputing two token-index joins.
-        .persist()
+        # recomputing two token-index joins. Scoped: released when the
+        # next consolidate() call begins (no per-session accumulation).
     )
+    pairs = scoped_persist("consolidate", pairs)
 
     # Bidirectional rank-1 as two ARGMAX aggregations, not rank windows:
     # min(struct(-overlap, id)) is exactly "ORDER BY overlap DESC, id ASC

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
+from ._cachescope import begin_scope, scoped_persist
 from .util import sorted_small
 
 N_MINHASH = 8          # minhash signature length
@@ -200,13 +201,18 @@ def minhash_lsh_pairs_df(
     (doc_id, text) or a precomputed (doc_id, shingles). Used by the
     corpus-curation plan over already-filtered survivor sets."""
     ds = docs if "shingles" in docs.columns else _with_shingles(docs)
-    ds = ds.cache()
+    begin_scope("minhash_lsh_pairs")
+    ds = scoped_persist("minhash_lsh_pairs", ds)
     # cache the signature index too: the band self-join consumes it on
     # both legs and Spark's exchange-reuse doesn't fire across the two
     # differently-aliased subtrees — without the cache the md5 minhash
     # computation runs twice (an index build is materialized once at any
-    # scale; this is that materialization)
-    sig = ds.select("doc_id", *_minhash_cols(F.col("shingles"))).cache()
+    # scale; this is that materialization). Scoped: released on the next
+    # call, so registry re-runs don't accumulate cached RDDs.
+    sig = scoped_persist(
+        "minhash_lsh_pairs",
+        ds.select("doc_id", *_minhash_cols(F.col("shingles"))),
+    )
     # SLIM band join: only (doc_id, band_key) shuffles through the
     # self-join and pair-dedup; shingle arrays are re-attached to the
     # (much smaller) candidate set afterwards by doc_id equi-joins.
@@ -310,8 +316,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # cache the shingle index: BOTH self-join legs consume it, and
     # exchange reuse doesn't fire across differently-aliased legs —
-    # uncached, the (expensive) shingle pass runs twice per query
-    ds = _docs_with_shingles(spark, sf_dir).cache()
+    # uncached, the (expensive) shingle pass runs twice per query.
+    # Scoped: released on the next call (no per-session accumulation).
+    begin_scope("ngram_jaccard_pairs")
+    ds = scoped_persist("ngram_jaccard_pairs", _docs_with_shingles(spark, sf_dir))
     keyed = ds.select(
         "doc_id", "shingles", F.array_min("shingles").alias("min_sh")
     )
@@ -429,8 +437,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates sharing at least one signature byte (4-block blocking).
 
     The signature index is cached — both self-join legs consume it and
-    exchange reuse doesn't fire across the aliased subtrees."""
-    sig = simhash_signatures(spark, sf_dir).cache()
+    exchange reuse doesn't fire across the aliased subtrees. Scoped:
+    released on the next call (no per-session accumulation)."""
+    begin_scope("simhash_near_pairs")
+    sig = scoped_persist("simhash_near_pairs", simhash_signatures(spark, sf_dir))
     blocks = sig.select(
         "doc_id",
         "simhash",

@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 
 from ..functions.dates import canonical_key, canonical_key_sql
 from ..functions.text import norm_name, similarity_norm, similarity_sql
+from ._cachescope import begin_scope, scoped_persist
 from .fixtures import dice_events_sql, shotgun_events_sql
 
 BAND_SECONDS = 30 * 60  # hour_tolerance_min=30 (matching.py:47)
@@ -145,8 +146,10 @@ def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
     # cached: the candidate join (via legacy_candidates -> _sg_indexed)
     # and the SG-side assembly both consume the deduped index, and the
     # canonical_key regex cascade + dedup window are the per-row-heavy
-    # part of this plan
-    sgi = _sg_indexed(sg).cache()
+    # part of this plan. Scoped: released when the next legacy_merge()
+    # call begins, so registry re-runs don't accumulate cached RDDs.
+    begin_scope("legacy_merge")
+    sgi = scoped_persist("legacy_merge", _sg_indexed(sg))
     dcd = dc.select(
         F.col("event_id_provider").alias("dc_id"),
         F.col("event_name").alias("dc_name"),
@@ -162,11 +165,11 @@ def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
     # and without materialization the whole candidate lineage (bucket
     # join + levenshtein) re-executes per consumer.
     w_best = Window.partitionBy("dc_id").orderBy(F.desc("sim"), F.asc("ckey"))
-    best = (
+    best = scoped_persist(
+        "legacy_merge",
         cand.withColumn("rn", F.row_number().over(w_best))
         .filter(F.col("rn") == 1)
-        .select("dc_id", "ckey")
-        .cache()
+        .select("dc_id", "ckey"),
     )
 
     # attach: last (highest-ord) matched dice per SG key wins the ticket slot

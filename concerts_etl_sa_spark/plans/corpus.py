@@ -188,8 +188,12 @@ def curate_corpus_df(
         flagged = survivors.withColumn("in_budget", F.lit(True))
 
     # slim cache: one lineage execution serves the report aggregation AND
-    # the curated output (text column is re-read only for final rows)
-    flagged = flagged.cache()
+    # the curated output (text column is re-read only for final rows).
+    # Scoped: released when the next curation run begins.
+    from ..operators._cachescope import begin_scope, scoped_persist
+
+    begin_scope("curate_corpus")
+    flagged = scoped_persist("curate_corpus", flagged)
     curated = flagged.filter("in_budget").select(
         "doc_id", "text", "quality", "lang_detected", "n_tokens"
     )
