@@ -89,6 +89,130 @@ def _decode_stub(payload: bytes, kind: str) -> dict:
     }
 
 
+def _load_real_decoders() -> dict:
+    """Import-gated real decoders (mirrors functions/dates.py's dateparser
+    gate): a deployment that ships PIL / soundfile gets real media decode
+    with no code changes; this container falls back to the stub. Probed
+    once at import — never inside the Arrow batch loop."""
+    decoders: dict = {}
+    try:  # pragma: no cover - exercised only where Pillow is installed
+        import io
+
+        from PIL import Image
+
+        def _decode_image(payload: bytes) -> dict:
+            im = Image.open(io.BytesIO(payload))
+            im.load()
+            return {
+                "width": im.width,
+                "height": im.height,
+                "channels": len(im.getbands()),
+                "decoder": "pillow",
+            }
+
+        decoders["image"] = _decode_image
+    except Exception:
+        pass
+    try:  # pragma: no cover - exercised only where soundfile is installed
+        import io
+
+        import soundfile as _sf
+
+        def _decode_audio(payload: bytes) -> dict:
+            with _sf.SoundFile(io.BytesIO(payload)) as f:
+                return {
+                    "sample_rate": int(f.samplerate),
+                    "channels": int(f.channels),
+                    "duration_s": float(len(f)) / float(f.samplerate),
+                    "decoder": "soundfile",
+                }
+
+        decoders["audio"] = _decode_audio
+    except Exception:
+        pass
+    return decoders
+
+
+REAL_DECODERS = _load_real_decoders()
+
+_DECODED_FIELDS = (
+    "width", "height", "channels", "sample_rate", "duration_s"
+)
+
+
+def decode_media(payload: bytes, kind: str) -> dict:
+    """Real decode when a gated decoder exists for ``kind`` (and the bytes
+    actually parse), stub otherwise. Always returns the stub's
+    deterministic fields plus nullable real-decode fields + ``decoder``
+    provenance, so the output schema is environment-independent."""
+    out = {f: None for f in _DECODED_FIELDS}
+    out.update(_decode_stub(payload, kind))
+    out["decoder"] = "stub"
+    real = REAL_DECODERS.get(kind)
+    if real is not None:
+        try:
+            out.update(real(bytes(payload)))
+        except Exception:
+            pass  # undecodable bytes -> keep stub fields (K3 row isolation)
+    return out
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload_md5", T.StringType()),
+        T.StructField("feature_dim", T.IntegerType()),
+        T.StructField("decoder", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def extract_decoded(media: DataFrame) -> DataFrame:
+    """mapInPandas decode with the import-gated real path. Environment-
+    independent schema: real fields are null (decoder='stub') where the
+    libs are absent or the bytes don't parse."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                decode_media(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "payload_md5": [r["payload_md5"] for r in rows],
+                    "feature_dim": pd.array(
+                        [r["feature_dim"] for r in rows], dtype="int32"
+                    ),
+                    "decoder": [r["decoder"] for r in rows],
+                    "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                    "height": pd.array([r["height"] for r in rows], dtype="Int32"),
+                    "channels": pd.array(
+                        [r["channels"] for r in rows], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [r["sample_rate"] for r in rows], dtype="Int32"
+                    ),
+                    "duration_s": pd.array(
+                        [r["duration_s"] for r in rows], dtype="Float64"
+                    ),
+                }
+            )
+
+    flat = media.select(
+        "doc_id", "payload", F.col("media_meta.kind").alias("kind")
+    )
+    return flat.mapInPandas(batches, DECODED_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (mapInPandas).
 

@@ -216,3 +216,49 @@ def test_embed_media_shape_and_determinism(spark):
     assert all(-1.0 <= v <= 1.0 for r in rows for v in r.embedding)
     again = {r.doc_id: r.embedding for r in emb.collect()}
     assert all(again[r.doc_id] == r.embedding for r in rows)
+
+
+def test_decode_media_real_path_gate(monkeypatch):
+    """The import-gated real decoder is used when present, stub fields are
+    always retained, and undecodable bytes fall back per-row (K3)."""
+    from concerts_etl_sa_spark.operators import multimodal as MM
+
+    # real decoder present and succeeding
+    monkeypatch.setitem(
+        MM.REAL_DECODERS, "image",
+        lambda p: {"width": 8, "height": 4, "channels": 3, "decoder": "fake"},
+    )
+    out = MM.decode_media(b"pretend-png", "image")
+    assert out["decoder"] == "fake"
+    assert (out["width"], out["height"], out["channels"]) == (8, 4, 3)
+    assert out["feature_dim"] == 2048  # stub fields retained
+    assert out["payload_md5"]
+
+    # real decoder present but the bytes don't parse -> per-row fallback
+    def _boom(p):
+        raise ValueError("not an image")
+
+    monkeypatch.setitem(MM.REAL_DECODERS, "image", _boom)
+    out = MM.decode_media(b"junk", "image")
+    assert out["decoder"] == "stub"
+    assert out["width"] is None
+
+    # no decoder for the kind -> stub
+    out = MM.decode_media(b"vid", "video")
+    assert out["decoder"] == "stub"
+
+
+def test_extract_decoded_stub_in_this_container(spark):
+    """No PIL/soundfile here: every row comes back decoder='stub' with
+    null real-decode fields, same md5/dim as the oracle-checked stub."""
+    from concerts_etl_sa_spark.operators import multimodal as MM
+
+    media = MM.media_table(spark, SF_DIR)
+    rows = MM.extract_decoded(media).collect()
+    assert rows
+    stub = {r.doc_id: r for r in MM.extract_features(media).collect()}
+    for r in rows:
+        assert r.decoder == "stub"
+        assert r.width is None and r.sample_rate is None
+        assert r.payload_md5 == stub[r.doc_id].payload_md5
+        assert r.feature_dim == stub[r.doc_id].feature_dim
