@@ -97,8 +97,13 @@ def consolidate(
       broadcast-able matched set, AQE decides).
     """
     begin_scope("consolidate")
-    sgt = _prep(sg, "sg")
-    dct = _prep(dc, "dc")
+    # The prepped sides are consumed twice each (token postings + final
+    # assembly) and their lineage is the regex-heavy fixture derivation —
+    # persist the slim prepped rows so it runs once per side. They are
+    # dimension-sized (the events being consolidated, not the token
+    # explosion), so this is a small cache at any scale.
+    sgt = scoped_persist("consolidate", _prep(sg, "sg"))
+    dct = scoped_persist("consolidate", _prep(dc, "dc"))
 
     # Heavy-hitter exclusion with ZERO extra scans/shuffles: a window
     # count over the postings' own (day, tok) shuffle partitioning. A

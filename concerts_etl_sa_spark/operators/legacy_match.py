@@ -150,12 +150,18 @@ def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
     # call begins, so registry re-runs don't accumulate cached RDDs.
     begin_scope("legacy_merge")
     sgi = scoped_persist("legacy_merge", _sg_indexed(sg))
-    dcd = dc.select(
-        F.col("event_id_provider").alias("dc_id"),
-        F.col("event_name").alias("dc_name"),
-        F.col("event_datetime_local").alias("dc_dt"),
-        F.col("tickets_sold_total").alias("dc_tickets"),
-        _ord(F.col("event_id_provider")).alias("dc_ord"),
+    # dcd is consumed by the ticket-attach join AND the D7 anti-join, and
+    # its lineage is the regex-heavy dice fixture derivation — persist the
+    # slim projection so that derivation runs once.
+    dcd = scoped_persist(
+        "legacy_merge",
+        dc.select(
+            F.col("event_id_provider").alias("dc_id"),
+            F.col("event_name").alias("dc_name"),
+            F.col("event_datetime_local").alias("dc_dt"),
+            F.col("tickets_sold_total").alias("dc_tickets"),
+            _ord(F.col("event_id_provider")).alias("dc_ord"),
+        ),
     )
 
     cand = legacy_candidates(sg, dc)
