@@ -34,7 +34,7 @@ def _dsum(c, alias):
 # ------------------------------------------------- E: pricing summary (Q1)
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
     # decimal-FIRST arithmetic: the raw doubles are exact 2-dp values, so
     # the casts are exact and all products stay exact — double products
     # cast to decimal would tie-round differently across engines
@@ -84,10 +84,10 @@ ORDER BY l_returnflag, l_linestatus
 
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-way join: fact lineitem ⨝ orders ⨝ broadcast(customer ⨝ nation)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
+    o = load_table(spark, sf_dir, "orders", spread=False)
+    c = load_table(spark, sf_dir, "customer", spread=False)
+    n = load_table(spark, sf_dir, "nation", spread=False)
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
     )
@@ -121,8 +121,8 @@ ORDER BY n_name
 # ---------------------------------------------------- G: top-k customers
 
 def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders", spread=False)
+    c = load_table(spark, sf_dir, "customer", spread=False)
     return (
         o.groupBy("o_custkey")
         .agg(_dsum("o_totalprice", "total_spent"), F.count(F.lit(1)).alias("n_orders"))
@@ -147,7 +147,7 @@ LIMIT 10
 # --------------------------------------- F: windows (running / rank / lag)
 
 def running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", spread=False)
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -173,7 +173,7 @@ FROM orders
 
 
 def order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", spread=False)
     w = Window.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
@@ -195,7 +195,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 
 
 def event_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=False)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "user_id",
@@ -219,7 +219,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 def topk_parts_per_brand(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
+    p = load_table(spark, sf_dir, "part", spread=False)
     w = Window.partitionBy("p_brand").orderBy(
         F.desc("p_retailprice"), F.asc("p_partkey")
     )
@@ -243,7 +243,7 @@ SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
 # ------------------------------------------------------- E: rollup / cube
 
 def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", spread=False)
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice", "total"))
@@ -264,7 +264,7 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 
 
 def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"), _dsum("l_quantity", "qty"))
@@ -290,7 +290,7 @@ def intersect_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with URGENT orders but no LOW-priority orders
     (INTERSECT/EXCEPT table-level set ops — absent from the reference,
     SURVEY §2.H note)."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", spread=False)
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
     all_cust = o.select("o_custkey")
@@ -314,7 +314,7 @@ ORDER BY o_custkey
 # ----------------------------------------- E: events daily facts (stream-ish)
 
 def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=False)
     return (
         ev.groupBy(F.to_date("ts").alias("day"), "event_type")
         .agg(
@@ -344,8 +344,8 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
     Phrased as "no URGENT order" because every customer in the testdata has
     at least one order (a plain no-orders anti-join is trivially empty)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer", spread=False)
+    o = load_table(spark, sf_dir, "orders", spread=False)
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
@@ -366,8 +366,8 @@ ORDER BY c_custkey
 
 def suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_semi (EXISTS)."""
-    s = load_table(spark, sf_dir, "supplier")
-    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier", spread=False)
+    li = load_table(spark, sf_dir, "lineitem", spread=False)
     returned = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
     return (
         s.join(returned, s.s_suppkey == returned.l_suppkey, "left_semi")
@@ -397,7 +397,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id — high cardinality, so sorts are per-user partitions, no
     single-node bottleneck at scale.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=False)
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # All gap/duration arithmetic in INTEGRAL microseconds (unix_micros),
     # never float epoch seconds: double round-trips truncate nanos and can
@@ -459,7 +459,7 @@ ORDER BY user_id, session_id
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per order priority (Spark
     ``percentile`` == DuckDB ``quantile_cont``)."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", spread=False)
     return (
         o.groupBy("o_orderpriority")
         .agg(
@@ -492,7 +492,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values pinned explicitly (TPC-H statuses F/O/P) — never let pivot
     scan for distinct values on a 100 TB fact table.
     """
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", spread=False)
     return (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
@@ -519,7 +519,7 @@ def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count_distinct per day+type (the oracle-checkable half of
     the distinct-count story; approx_count_distinct/HLL is the 100 TB
     fast path — same plan shape, sketch instead of exact set)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=False)
     return (
         ev.groupBy(F.to_date("ts").alias("event_date"), "event_type")
         .agg(
@@ -551,7 +551,7 @@ def approx_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (partial sketch merge map-side), which is the point: swapping
     exact -> sketch changes constants, not the shuffle structure.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=False)
     return (
         ev.groupBy(F.to_date("ts").alias("event_date"))
         .agg(
@@ -569,7 +569,7 @@ def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the identical sessions from the lag/running-sum
     form: session_end = max(ts) + gap by definition of a session window.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=False)
     return (
         ev.groupBy(
             "user_id",
@@ -614,7 +614,7 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E: explicit GROUPING SETS (beyond rollup/cube): totals by
     (priority, status), by priority alone, and grand total, with
     grouping_id distinguishing the levels."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", spread=False)
     o.createOrReplaceTempView("v_orders_gs")
     return spark.sql(
         """

@@ -84,7 +84,7 @@ def asof_join(
 def asof_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every click event: the user's most recent purchase state
     (at-or-before the click)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", spread=False)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )

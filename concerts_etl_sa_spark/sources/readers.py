@@ -74,8 +74,18 @@ def _parquet_ts_units(path: str) -> dict[str, str]:
     return units
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table with its pinned schema (never inferSchema)."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    """Read one testdata table with its pinned schema (never inferSchema).
+
+    ``spread=False`` skips the small-scan round-robin repartition: a
+    query whose first real operator is a shuffle (join/agg on the raw
+    columns) gains nothing from pre-spreading the scan — the exchange it
+    already owns redistributes the rows — and measurably loses the extra
+    shuffle (~0.5 s on the sf0.1 4-way join). Keep the default for
+    CPU-heavy projections (regex/tokenize/hash) that would otherwise run
+    on a single task of a one-row-group file."""
     from pyspark.sql import types as T
 
     schema = TESTDATA_SCHEMAS.get(name)
@@ -100,7 +110,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = reader.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    if os.path.isfile(path) and os.path.getsize(path) < _SMALL_SCAN_BYTES:
+    if spread and os.path.isfile(path) and os.path.getsize(path) < _SMALL_SCAN_BYTES:
         # Catalyst pushes later filters/pruning through the exchange into
         # the scan (asserted in tests/test_plan_hygiene.py), so pushdown
         # is unaffected; only the post-scan work spreads across cores.
