@@ -32,6 +32,13 @@ from pyspark.sql import DataFrame
 _SCOPES: dict[str, dict[str, list]] = {}
 
 
+def _same_semantics(a: DataFrame, b: DataFrame) -> bool:
+    try:
+        return a.sameSemantics(b)
+    except Exception:
+        return False
+
+
 def _release(entries: list) -> None:
     for _, df in entries:
         try:
@@ -60,7 +67,12 @@ def scoped_persist(scope: str, df: DataFrame) -> DataFrame:
     if h is not None:
         for bucket in (st["cur"], st["stale"]):
             for i, (ph, prev) in enumerate(bucket):
-                if ph == h:
+                # semanticHash is 32-bit — a collision between different
+                # plans would silently serve wrong RESULTS, not a perf
+                # miss. Confirm with sameSemantics (cheap, driver-side)
+                # before resurrecting; mismatch falls through to a fresh
+                # persist.
+                if ph == h and _same_semantics(df, prev):
                     if bucket is st["stale"]:
                         st["cur"].append(bucket.pop(i))
                     # no-op if still cached; re-registers if an external

@@ -34,7 +34,10 @@ def _dsum(c, alias):
 # ------------------------------------------------- E: pricing summary (Q1)
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem", spread=False)
+    # spread=True (default): the partial HashAggregate runs in the SCAN
+    # stage, before any exchange — on a single-row-group file that means
+    # all the decimal products run on one core unless the scan is spread.
+    li = load_table(spark, sf_dir, "lineitem")
     # decimal-FIRST arithmetic: the raw doubles are exact 2-dp values, so
     # the casts are exact and all products stay exact — double products
     # cast to decimal would tie-round differently across engines
@@ -264,7 +267,9 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 
 
 def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem", spread=False)
+    # spread=True: cube's partial aggregate (4x row expansion + decimal
+    # sums) runs map-side in the scan stage — see pricing_summary.
+    li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"), _dsum("l_quantity", "qty"))

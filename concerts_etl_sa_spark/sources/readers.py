@@ -40,36 +40,60 @@ _SMALL_SCAN_BYTES = 64 << 20
 _TS_UNIT_CACHE: dict[str, dict[str, str]] = {}
 
 
+# Footers probed per directory dataset: one member's footer is usually
+# authoritative, but a writer mix (e.g. a compaction that switched nanos
+# -> micros mid-dataset) would make member[0] silently wrong — probe a
+# few and require homogeneity.
+_TS_PROBE_MEMBERS = 3
+
+
 def _parquet_ts_units(path: str) -> dict[str, str]:
     """{column: arrow unit ('ns'/'us'/'ms'/'s')} from the parquet footer.
 
-    Driver-side only, one footer read per path per process — never touches
-    row data, so it costs nothing at 100 TB (and with a partitioned
-    dataset, one member file's footer is authoritative for the dataset).
+    Driver-side only, a few footer reads per path per process — never
+    touches row data, so it costs nothing at 100 TB. For a directory
+    dataset the first ``_TS_PROBE_MEMBERS`` members are probed and must
+    agree per column; mixed units raise (a mixed dataset needs per-file
+    handling, and reading it with one schema would corrupt timestamps).
+    Failures/empty probes are NOT cached: an empty streaming source dir
+    re-probes once files land instead of pinning units={} forever.
     """
     cached = _TS_UNIT_CACHE.get(path)
     if cached is not None:
         return cached
-    units: dict[str, str] = {}
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        probe = path
+        probes = [path]
         if os.path.isdir(path):
             members = sorted(
                 m for m in os.listdir(path) if m.endswith(".parquet")
             )
-            if members:
-                probe = os.path.join(path, members[0])
-        sch = pq.read_schema(probe)
-        units = {
-            f.name: f.type.unit
-            for f in sch
-            if pa.types.is_timestamp(f.type)
-        }
+            if not members:
+                return {}  # uncached: re-probe when files appear
+            probes = [
+                os.path.join(path, m) for m in members[:_TS_PROBE_MEMBERS]
+            ]
+        units: dict[str, str] = {}
+        for probe in probes:
+            sch = pq.read_schema(probe)
+            got = {
+                f.name: f.type.unit
+                for f in sch
+                if pa.types.is_timestamp(f.type)
+            }
+            for col, unit in got.items():
+                if col in units and units[col] != unit:
+                    raise ValueError(
+                        f"mixed parquet timestamp units in {path}: "
+                        f"{col} is {units[col]} and {unit} across members"
+                    )
+            units.update(got)
+    except ValueError:
+        raise
     except Exception:
-        units = {}
+        return {}  # transient probe failure: uncached, next call retries
     _TS_UNIT_CACHE[path] = units
     return units
 
@@ -79,13 +103,16 @@ def load_table(
 ) -> DataFrame:
     """Read one testdata table with its pinned schema (never inferSchema).
 
-    ``spread=False`` skips the small-scan round-robin repartition: a
-    query whose first real operator is a shuffle (join/agg on the raw
-    columns) gains nothing from pre-spreading the scan — the exchange it
-    already owns redistributes the rows — and measurably loses the extra
-    shuffle (~0.5 s on the sf0.1 4-way join). Keep the default for
-    CPU-heavy projections (regex/tokenize/hash) that would otherwise run
-    on a single task of a one-row-group file."""
+    ``spread=False`` skips the small-scan round-robin repartition. Use it
+    ONLY when the scan stage does light per-row work before its first
+    exchange — joins and windows on raw columns — where the exchange the
+    query already owns redistributes the rows and the extra shuffle
+    measurably loses (~0.5 s on the sf0.1 4-way join). Keep the default
+    whenever the scan stage runs heavy per-row CPU: regex/tokenize/hash
+    projections AND partial aggregates over non-trivial expressions — a
+    groupBy's partial HashAggregate executes BEFORE the exchange, inside
+    the scan stage, so on a one-row-group file ``spread=False`` pins all
+    of it to a single core (the round-4 e1 regression: 0.78 s -> 1.55 s)."""
     from pyspark.sql import types as T
 
     schema = TESTDATA_SCHEMAS.get(name)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+from collections import Counter
 
 import pyarrow.parquet as pq
 import pytest
@@ -36,18 +37,22 @@ def _canon(v):
 def test_load_table_matches_arrow(spark, table):
     at = pq.read_table(f"{SF_DIR}/{table}.parquet")
     cols = at.column_names
-    arrow_rows = {
+    # Counter, not set: a multiplicity swap between two existing rows
+    # ({A:2,B:1} read as {A:1,B:2}) preserves the row SET and the total
+    # count — comparing multisets catches it (and subsumes num_rows).
+    arrow_rows = Counter(
         tuple(_canon(row[c]) for c in cols)
         for row in at.to_pylist()
-    }
+    )
     spark_df = load_table(spark, SF_DIR, table).select(*cols)
-    spark_rows = {
+    spark_rows = Counter(
         tuple(_canon(v) for v in row) for row in spark_df.collect()
-    }
-    assert spark_df.count() == at.num_rows
-    missing = list(arrow_rows - spark_rows)[:3]
-    extra = list(spark_rows - arrow_rows)[:3]
+    )
+    diff = arrow_rows - spark_rows
+    rdiff = spark_rows - arrow_rows
+    missing = list(diff.items())[:3]
+    extra = list(rdiff.items())[:3]
     assert not missing and not extra, (
-        f"{table}: spark/arrow divergence\n"
+        f"{table}: spark/arrow divergence (row, count-delta)\n"
         f"  arrow-only: {missing}\n  spark-only: {extra}"
     )
