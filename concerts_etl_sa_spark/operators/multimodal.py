@@ -386,42 +386,158 @@ EMBED_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("kind", T.StringType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("model_embedding", T.ArrayType(T.FloatType())),
+        T.StructField("embed_model", T.StringType()),
     ]
 )
 
 
-def embed_media(media: DataFrame) -> DataFrame:
-    """STUB embedding extraction (the CLIP/CLAP slot): deterministic
-    pseudo-embedding from the payload digest, centered to [-1, 1].
+def _probe_embed_backend():
+    """Import-gated real embedding model at the CLIP/CLAP slot (mirrors
+    ``_load_real_decoders``): returns ``(backend_name, factory)`` or
+    ``None``. The probe only checks AVAILABILITY at import; ``factory()``
+    — which loads model weights — runs lazily ONCE PER EXECUTOR PROCESS
+    inside the pandas batch loop. Loading at import would serialize the
+    weights into every task closure; loading per batch would reload them
+    thousands of times.
 
-    Same Arrow/mapInPandas boundary as ``extract_features`` — a real
-    model swaps into the batch loop; the Spark-side contract (binary in,
-    ``array<float>`` out, narrow stage, bytes never shuffled) is the
-    tested part. Identical payloads get identical embeddings, which is
-    the invariant the downstream dedup relies on.
+    Backends, first match wins:
+    - ``SPARK_GRAFT_EMBED_FACTORY=module:callable`` — deployment hook
+      (an ONNX session wrapper, a custom tower). The callable takes no
+      args and returns ``embed(payloads, kinds) -> list[list[float]]``.
+    - ``sentence-transformers`` (e.g. a CLIP checkpoint named by
+      ``SPARK_GRAFT_EMBED_MODEL``): images decode via PIL when possible,
+      anything else embeds as utf-8 text.
     """
-    import hashlib
+    import importlib
+    import os
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            vecs = []
-            for p in pdf["payload"]:
-                dig = hashlib.md5(p).digest()
-                vecs.append(
-                    [(dig[i % 16] - 127.5) / 127.5 for i in range(EMBED_DIM)]
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "kind": pdf["kind"],
-                    "embedding": vecs,
-                }
-            )
+    spec = os.environ.get("SPARK_GRAFT_EMBED_FACTORY")
+    if spec and ":" in spec:
+        mod_name, _, fn_name = spec.partition(":")
+        try:  # availability probe only — import the module, not the model
+            getattr(importlib.import_module(mod_name), fn_name)
+        except Exception:
+            pass
+        else:
 
+            def entry_factory(spec=spec):
+                mod_name, _, fn_name = spec.partition(":")
+                mod = importlib.import_module(mod_name)
+                return getattr(mod, fn_name)()
+
+            return (f"factory:{spec}", entry_factory)
+    try:  # pragma: no cover - exercised only where the lib is installed
+        import sentence_transformers  # noqa: F401
+
+        def st_factory():
+            import io
+
+            from sentence_transformers import SentenceTransformer
+
+            name = os.environ.get("SPARK_GRAFT_EMBED_MODEL", "clip-ViT-B-32")
+            model = SentenceTransformer(name)
+
+            def embed(payloads, kinds):
+                inputs = []
+                for p, k in zip(payloads, kinds):
+                    if k == "image":
+                        try:
+                            from PIL import Image
+
+                            inputs.append(Image.open(io.BytesIO(bytes(p))))
+                            continue
+                        except Exception:
+                            pass
+                    inputs.append(bytes(p).decode("utf-8", errors="replace"))
+                return [list(map(float, v)) for v in model.encode(inputs)]
+
+            return embed
+
+        return ("sentence-transformers", st_factory)
+    except Exception:
+        pass
+    return None
+
+
+EMBED_BACKEND = _probe_embed_backend()
+
+# per-process memo: (name, embed_fn|None); False = not yet initialized
+_WORKER_EMBEDDER: tuple | bool = False
+
+
+def _worker_embedder() -> tuple:
+    """(backend_name, embed_fn|None), instantiating the backend at most
+    once per python worker process. A factory that fails to build (model
+    file missing on the executor image) degrades to the stub-only path
+    for the life of the process instead of failing the job (K2)."""
+    global _WORKER_EMBEDDER
+    if _WORKER_EMBEDDER is False:
+        if EMBED_BACKEND is None:
+            _WORKER_EMBEDDER = ("stub", None)
+        else:
+            name, factory = EMBED_BACKEND
+            try:
+                _WORKER_EMBEDDER = (name, factory())
+            except Exception:
+                _WORKER_EMBEDDER = ("stub", None)
+    return _WORKER_EMBEDDER
+
+
+def embed_media(media: DataFrame) -> DataFrame:
+    """Embedding extraction at the CLIP/CLAP slot.
+
+    Always emits the deterministic STUB column ``embedding`` (md5-derived
+    pseudo-vector in [-1, 1]) — the column the oracle rows and the
+    downstream near-dup contract are pinned to — plus the import-gated
+    real-model columns: ``model_embedding`` (null when no backend is
+    installed or the batch fails to embed) and ``embed_model``
+    provenance. Same Arrow/mapInPandas boundary as ``extract_features``;
+    binary in, ``array<float>`` out, narrow stage, bytes never shuffled.
+    Identical payloads get identical stub embeddings, the invariant the
+    downstream dedup relies on.
+    """
     flat = media.select(
         "doc_id", "payload", F.col("media_meta.kind").alias("kind")
     )
-    return flat.mapInPandas(batches, EMBED_SCHEMA)
+    return flat.mapInPandas(_embed_batches, EMBED_SCHEMA)
+
+
+def _embed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The embed_media pandas stage, module-level so the gate logic is
+    unit-testable without a worker process."""
+    import hashlib
+
+    name, model_embed = _worker_embedder()
+    for pdf in it:
+        vecs = []
+        for p in pdf["payload"]:
+            dig = hashlib.md5(p).digest()
+            vecs.append(
+                [(dig[i % 16] - 127.5) / 127.5 for i in range(EMBED_DIM)]
+            )
+        model_vecs = [None] * len(pdf)
+        model_name = "stub"
+        if model_embed is not None:
+            try:
+                model_vecs = model_embed(
+                    list(pdf["payload"]), list(pdf["kind"])
+                )
+                model_name = name
+            except Exception:
+                # batch-level isolation: a failing model batch keeps the
+                # deterministic stub rows (K3); models are batch APIs,
+                # so per-row retry would defeat the batching
+                model_vecs = [None] * len(pdf)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "embedding": vecs,
+                "model_embedding": model_vecs,
+                "embed_model": [model_name] * len(pdf),
+            }
+        )
 
 
 def media_near_dup(
@@ -437,7 +553,12 @@ def media_near_dup_df(media: DataFrame, threshold: float = 0.99) -> DataFrame:
     components, cosine-verify in-bucket pairs only). The end-to-end
     media-dedup pipeline a multimodal lake runs: bytes stay in the
     narrow embed stage, the pair join shuffles only
-    (doc_id, 16-float vector, bucket)."""
+    (doc_id, 16-float vector, bucket).
+
+    Deliberately consumes the deterministic ``embedding`` column, not
+    ``model_embedding``: the dedup contract (identical payloads ->
+    cosine 1.0) and the oracle rows are pinned to the stub; a deployment
+    that wants model-space near-dup swaps the column name here."""
     emb = embed_media(media)
     bucket = F.concat_ws(
         "",

@@ -216,6 +216,118 @@ def test_embed_media_shape_and_determinism(spark):
     assert all(-1.0 <= v <= 1.0 for r in rows for v in r.embedding)
     again = {r.doc_id: r.embedding for r in emb.collect()}
     assert all(again[r.doc_id] == r.embedding for r in rows)
+    # no model backend in this container: provenance says stub, model
+    # column is all-null — the environment-independent schema holds
+    assert all(r.embed_model == "stub" for r in rows)
+    assert all(r.model_embedding is None for r in rows)
+
+
+def _embed_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "payload": [b"alpha", b"beta"],
+            "kind": ["image", "audio"],
+        }
+    )
+
+
+def _reset_embed_state(monkeypatch, backend):
+    from concerts_etl_sa_spark.operators import multimodal as MM
+
+    monkeypatch.setattr(MM, "EMBED_BACKEND", backend)
+    monkeypatch.setattr(MM, "_WORKER_EMBEDDER", False)
+    return MM
+
+
+def test_embed_gate_uses_fake_model(monkeypatch):
+    """A present backend populates model_embedding + provenance while the
+    deterministic stub column is unchanged (oracle contract)."""
+    from concerts_etl_sa_spark.operators import multimodal as MM_ref
+
+    calls = {}
+
+    def fake_factory():
+        calls["built"] = calls.get("built", 0) + 1
+
+        def embed(payloads, kinds):
+            calls["kinds"] = list(kinds)
+            return [[float(len(p))] * 4 for p in payloads]
+
+        return embed
+
+    MM = _reset_embed_state(monkeypatch, ("fake-clip", fake_factory))
+    stub_rows = None
+    out = list(MM._embed_batches(iter([_embed_pdf()])))[0]
+    assert list(out["embed_model"]) == ["fake-clip", "fake-clip"]
+    assert list(out["model_embedding"]) == [[5.0] * 4, [4.0] * 4]
+    assert calls == {"built": 1, "kinds": ["image", "audio"]}
+    stub_rows = list(out["embedding"])
+
+    # second batch through the same process: factory NOT rebuilt
+    list(MM._embed_batches(iter([_embed_pdf()])))
+    assert calls["built"] == 1
+
+    # stub column identical to the no-backend run (oracle determinism)
+    MM = _reset_embed_state(monkeypatch, None)
+    base = list(MM._embed_batches(iter([_embed_pdf()])))[0]
+    assert list(base["embedding"]) == stub_rows
+    assert list(base["embed_model"]) == ["stub", "stub"]
+
+
+def test_embed_gate_degrades_on_failure(monkeypatch):
+    """A backend whose factory or batch call raises degrades to stub rows
+    instead of failing the job (K2/K3)."""
+
+    def broken_factory():
+        raise RuntimeError("model file missing on executor")
+
+    MM = _reset_embed_state(monkeypatch, ("broken", broken_factory))
+    out = list(MM._embed_batches(iter([_embed_pdf()])))[0]
+    assert list(out["embed_model"]) == ["stub", "stub"]
+    assert list(out["model_embedding"]) == [None, None]
+
+    def flaky_factory():
+        def embed(payloads, kinds):
+            raise ValueError("OOM on batch")
+
+        return embed
+
+    MM = _reset_embed_state(monkeypatch, ("flaky", flaky_factory))
+    out = list(MM._embed_batches(iter([_embed_pdf()])))[0]
+    assert list(out["embed_model"]) == ["stub", "stub"]
+    assert list(out["model_embedding"]) == [None, None]
+    assert all(len(v) == MM.EMBED_DIM for v in out["embedding"])
+
+
+def test_embed_factory_env_probe(monkeypatch, tmp_path):
+    """SPARK_GRAFT_EMBED_FACTORY=module:callable is discovered by the
+    probe and built lazily by the worker memo."""
+    import sys
+
+    mod = tmp_path / "fake_embed_mod.py"
+    mod.write_text(
+        "def build():\n"
+        "    return lambda payloads, kinds: [[1.0, 2.0] for _ in payloads]\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_EMBED_FACTORY", "fake_embed_mod:build")
+    sys.modules.pop("fake_embed_mod", None)
+
+    from concerts_etl_sa_spark.operators import multimodal as MM
+
+    backend = MM._probe_embed_backend()
+    assert backend is not None
+    name, factory = backend
+    assert name == "factory:fake_embed_mod:build"
+    assert factory()([b"x"], ["image"]) == [[1.0, 2.0]]
+
+    MM = _reset_embed_state(monkeypatch, backend)
+    out = list(MM._embed_batches(iter([_embed_pdf()])))[0]
+    assert list(out["embed_model"]) == [name, name]
+    assert list(out["model_embedding"]) == [[1.0, 2.0], [1.0, 2.0]]
 
 
 def test_decode_media_real_path_gate(monkeypatch):

@@ -249,6 +249,35 @@ def test_legacy_merge_invariant_to_input_partitioning(spark):
         assert out == base
 
 
+def test_minhash_lsh_pairs_invariant_to_input_partitioning(spark):
+    """minhash_lsh_pairs_df is pure per-row hashing + equi-joins, so its
+    pair set must not depend on input partitioning — the one L-family
+    join without this pin (flagship/legacy_merge have it). Multiset
+    compare under repartition(1/7/32), mirroring those pins."""
+    from collections import Counter
+
+    from concerts_etl_sa_spark.operators.dedup import minhash_lsh_pairs_df
+    from concerts_etl_sa_spark.sources.readers import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = Counter(tuple(r) for r in minhash_lsh_pairs_df(docs).collect())
+    assert sum(base.values()) > 0
+
+    for mangle in (
+        lambda d: d.repartition(1),
+        lambda d: d.repartition(7, "doc_id"),
+        lambda d: d.repartition(32).sortWithinPartitions("text"),
+    ):
+        docs2 = mangle(
+            load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        )
+        out = Counter(
+            tuple(r) for r in minhash_lsh_pairs_df(docs2).collect()
+        )
+        assert out == base
+
+
 def test_scoped_persist_releases_previous_run(spark):
     """Repeated operator runs in one session must not accumulate cached
     RDDs (round-2 judge finding): each begin_scope releases the previous
