@@ -84,18 +84,31 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+    # advisory regression check against the best prior round, to stderr:
+    # every bench run (incl. the driver's) gets the audit for free, while
+    # stdout stays the single-JSON-line driver contract and the exit code
+    # stays 0 (the hard gate is `python tools/bench_audit.py <json>`).
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from bench_audit import audit
+
+        regressions, _lines = audit(result)
+        for r in regressions:
+            print(f"bench-audit ADVISORY regression: {r}", file=sys.stderr)
+        if not regressions:
+            print("bench-audit: pass (vs best prior round)", file=sys.stderr)
+    except Exception as exc:  # never fail the driver run over the audit
+        print(f"bench-audit skipped: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -444,7 +444,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = sig.select(
         "doc_id",
         "simhash",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
                     F.concat_ws(
@@ -455,27 +455,44 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for b in range(4)
                 ]
             )
-        ).alias("block_key"),
+        ).alias("blk", "block_key"),
     )
     l = blocks.select(
-        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig"), "block_key"
+        F.col("doc_id").alias("a_id"),
+        F.col("simhash").alias("a_sig"),
+        "blk",
+        "block_key",
     )
     r = blocks.select(
         F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig"), "block_key"
     )
+
+    def _blk(sig_col: str, b: int):
+        return F.shiftright(sig_col, 8 * b).bitwiseAND(F.lit(255))
+
+    # FIRST-shared-block emission: a pair sharing k of the 4 blocks would
+    # match the join k times; instead of shuffling the duplicates into a
+    # dropDuplicates exchange (every blocked candidate, ~4x the near-pair
+    # volume), emit the pair only from its lowest shared block — "no
+    # earlier block b' also matches", a per-row filter computable straight
+    # from the two signatures already on the joined row. Each qualifying
+    # pair then appears EXACTLY once and the dedup shuffle disappears.
+    first_match = [
+        (F.col("blk") <= bp) | (_blk("a_sig", bp) != _blk("b_sig", bp))
+        for bp in range(3)
+    ]
     return (
         l.join(r, "block_key")
         .filter(F.col("a_id") < F.col("b_id"))
-        # hamming is pair-deterministic, so filtering BEFORE the
-        # dropDuplicates shuffle is equivalent — and the dedup exchange
-        # then carries only near-pairs instead of every blocked candidate
+        .filter(first_match[0] & first_match[1] & first_match[2])
+        # hamming is pair-deterministic, so filtering before the final
+        # sort carries only near-pairs forward
         .withColumn(
             "hamming",
             F.bit_count(F.expr("a_sig ^ b_sig")),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("a_id", "b_id", "hamming")
-        .dropDuplicates(["a_id", "b_id"])
         .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )
 

@@ -268,10 +268,36 @@ NPROBE = 2
 
 
 def _assign_buckets(emb: DataFrame, centroids: DataFrame, n_keep: int) -> DataFrame:
-    """IVF assignment: each vector's n_keep nearest centroids by cosine."""
+    """IVF assignment: each vector's n_keep nearest centroids by cosine.
+
+    n_keep=1 (the candidate side, N rows) is an ARGMAX aggregate rather
+    than a rank window: min(struct(-cos, centroid_id)) partially combines
+    map-side, so the K-fanned rows (each carrying the 64-float embedding
+    AND a centroid copy) collapse back to one row per vector BEFORE the
+    exchange — the window form shuffles and sorts the full N*K fat rows.
+    Tie-break identical to the window (cos DESC, centroid_id ASC).
+    n_keep>1 (the query side, Q*K rows, Q broadcast-sized) keeps the
+    window — a top-n aggregate buys nothing at that cardinality."""
     scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
         "c_cos", _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2")
     )
+    if n_keep == 1:
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c_cos")).alias("neg_cos"),
+                        F.col("centroid_id").alias("centroid_id"),
+                    )
+                ).alias("b"),
+                # functionally dependent on vec_id: every row in the
+                # group carries the same vector
+                F.first("embedding").alias("embedding"),
+                F.first("norm2").alias("norm2"),
+            )
+            .select("vec_id", "embedding", "norm2", F.col("b.centroid_id").alias("centroid_id"))
+        )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
     return (
         scored.withColumn("crn", F.row_number().over(w))

@@ -170,6 +170,10 @@ def main():
     print()
     total = len([n for n in qs if not ONLY or n in ONLY])
     print(f"{total - len(failed)}/{total} queries pass vs oracle @ {SF_DIR}")
+    if failed:
+        # name the failures in the summary: a truncated log (tail -n) must
+        # still identify WHAT failed, not just how many
+        print(f"failed: {', '.join(failed)}")
     return 1 if failed else 0
 
 
