@@ -213,34 +213,62 @@ def minhash_lsh_pairs_df(
         "minhash_lsh_pairs",
         ds.select("doc_id", *_minhash_cols(F.col("shingles"))),
     )
-    # SLIM band join: only (doc_id, band_key) shuffles through the
-    # self-join and pair-dedup; shingle arrays are re-attached to the
-    # (much smaller) candidate set afterwards by doc_id equi-joins.
+    # SLIM band join: the ~70-char string band key is folded to a 64-bit
+    # xxhash64 fingerprint, so the self-join shuffles (doc_id, band_id,
+    # 8-byte key, 4x8-byte fingerprint array) — slimmer than the string
+    # form — and shingle arrays are re-attached to the (much smaller)
+    # candidate set afterwards by doc_id equi-joins. Philosophically
+    # consistent: the minhashes being banded are themselves md5s, so the
+    # operator is already probabilistic-by-hash; a fingerprint collision
+    # makes a spurious candidate the exact-Jaccard verify discards.
+    band_fps = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.col(f"mh{b * ROWS_PER_BAND + r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
     bands = sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(b)),
-                        *[
-                            F.col(f"mh{b * ROWS_PER_BAND + r}")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band_key"),
+        band_fps.alias("bfps"),
+        F.posexplode(band_fps).alias("band_id", "band_fp"),
     )
 
+    # FIRST-shared-band emission (same trick as simhash_near_pairs): a
+    # pair sharing k bands matches the join k times; keep only the match
+    # at the lowest shared band — per-row comparisons of the fingerprint
+    # arrays already on the joined row — and the pair-dedup exchange
+    # disappears. The residual risk (a 64-bit collision at an earlier
+    # band making two DIFFERENT bands look shared, dropping a pair) is
+    # p < 1e-15 at corpus-bucket cardinalities.
+    first_band = [
+        (F.col("band_id") <= bp)
+        | (F.element_at("a_bfps", bp + 1) != F.element_at("b_bfps", bp + 1))
+        for bp in range(N_BANDS - 1)
+    ]
     cand = (
-        bands.select(F.col("doc_id").alias("a_id"), "band_key")
-        .join(bands.select(F.col("doc_id").alias("b_id"), "band_key"), "band_key")
+        bands.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("bfps").alias("a_bfps"),
+            "band_id",
+            "band_fp",
+        )
+        .join(
+            bands.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("bfps").alias("b_bfps"),
+                "band_fp",
+            ),
+            "band_fp",
+        )
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(first_band[0] & first_band[1] & first_band[2])
         .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
     )
     pairs = cand.join(
         ds.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")),

@@ -190,27 +190,33 @@ def _band_keys(vec: str):
 
 
 def topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates share >= 1 of two sign-LSH bands."""
+    """Approximate top-k: candidates share >= 1 of two sign-LSH bands.
+
+    First-shared-band emission (the simhash/minhash trick, exact here
+    because the band-0 key rides along as a plain int): a pair matching
+    both bands is emitted only from band 0, so no dedup shuffle exists —
+    scored rows flow straight into the per-query top-k window."""
     emb = _emb_normed(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         F.col("norm2").alias("q_n2"),
-        F.explode(_band_keys("embedding")).alias("band_key"),
+        F.element_at(_band_keys("embedding"), 1).alias("q_bk0"),
+        F.posexplode(_band_keys("embedding")).alias("band_id", "band_key"),
     )
     c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_vec"),
         F.col("norm2").alias("c_n2"),
+        F.element_at(_band_keys("embedding"), 1).alias("c_bk0"),
         F.explode(_band_keys("embedding")).alias("band_key"),
     )
     scored = (
         c.join(F.broadcast(q), "band_key")
+        # emit from band 1 only when band 0 did NOT also match
+        .filter((F.col("band_id") == 0) | (F.col("q_bk0") != F.col("c_bk0")))
         .withColumn("cosine", _cosine_pre("q_vec", "c_vec", "q_n2", "c_n2"))
-        # dedup AFTER scoring, on slim (ids, cosine) rows — the embedding
-        # arrays must not ride through the dedup shuffle
         .select("q_id", "c_id", "cosine")
-        .dropDuplicates(["q_id", "c_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
