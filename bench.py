@@ -46,6 +46,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # contention sentinel: concurrent load inflates sub-second queries
+    # 2-5x (BASELINE.md variance band). Record it so an anomalous result
+    # is attributable without rerunning.
+    try:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        if load1 > 4.0:
+            print(
+                f"bench WARNING: 1-min loadavg {load1:.1f} at start — "
+                "timings will be inflated by CPU contention; rerun idle",
+                file=sys.stderr,
+            )
+    except Exception:
+        load1 = None
+
     from concerts_etl_sa_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -92,6 +106,8 @@ def main() -> None:
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if load1 is not None:
+        result["loadavg_start"] = load1
     print(json.dumps(result))
 
     # advisory regression check against the best prior round, to stderr:
