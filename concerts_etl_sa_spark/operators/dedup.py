@@ -521,7 +521,14 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("a_id", "b_id", "hamming")
-        .transform(lambda d: sorted_small(d, "a_id", "b_id"))
+        # NOT sorted_small: at sf0.1 this emits ~900k pairs (the synthetic
+        # docs are highly self-similar) — a fact-sized output, and the
+        # single-partition total sort was measured at ~1.1 s, 60% of the
+        # query. In-partition sort keeps parallelism and file-stat-friendly
+        # locally-ordered runs; the row SET is deterministic, the driver's
+        # value hash is order-insensitive, and the downstream consumer
+        # (connected components) is order-independent.
+        .sortWithinPartitions("a_id", "b_id")
     )
 
 
