@@ -28,6 +28,38 @@ from ..schemas import TESTDATA_SCHEMAS
 # extra exchange is added; this is a small-file shim, not a plan strategy.
 _SMALL_SCAN_BYTES = 64 << 20
 
+# Above the byte gate a single FILE can still be unsplittable: Spark
+# assigns parquet tasks by byte ranges but a task reads whole row groups,
+# so a 200 MB file written as ONE row group scans on one core no matter
+# how it is range-split. The footer (already probed for timestamp units)
+# tells us the real split count.
+_SPREAD_PROBE_MAX_BYTES = 1 << 30
+_RG_COUNT_CACHE: dict[str, int] = {}
+
+
+def _needs_spread(path: str, parallelism: int) -> bool:
+    """True when a single-file parquet scan cannot fill ``parallelism``
+    cores: small files (byte gate) OR files whose row-group count — the
+    true upper bound on scan splits — is below the core count. Directory
+    datasets (the real-scale layout) never spread."""
+    if not os.path.isfile(path):
+        return False
+    size = os.path.getsize(path)
+    if size < _SMALL_SCAN_BYTES:
+        return True
+    if size > _SPREAD_PROBE_MAX_BYTES:
+        return False  # big enough that a repartition would be a real cost
+    n_rg = _RG_COUNT_CACHE.get(path)
+    if n_rg is None:
+        try:
+            import pyarrow.parquet as pq
+
+            n_rg = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            return False  # unreadable footer: don't add an exchange
+        _RG_COUNT_CACHE[path] = n_rg
+    return n_rg < parallelism
+
 # Parquet timestamp physical units vary across driver testdata versions
 # (events.ts has shipped as TIMESTAMP(NANOS,false) and TIMESTAMP(MICROS)).
 # Spark's vectorized reader has no NANOS type, so nano columns are read as
@@ -137,7 +169,7 @@ def load_table(
     df = reader.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    if spread and os.path.isfile(path) and os.path.getsize(path) < _SMALL_SCAN_BYTES:
+    if spread and _needs_spread(path, spark.sparkContext.defaultParallelism):
         # Catalyst pushes later filters/pruning through the exchange into
         # the scan (asserted in tests/test_plan_hygiene.py), so pushdown
         # is unaffected; only the post-scan work spreads across cores.
