@@ -245,8 +245,6 @@ def _reset_embed_state(monkeypatch, backend):
 def test_embed_gate_uses_fake_model(monkeypatch):
     """A present backend populates model_embedding + provenance while the
     deterministic stub column is unchanged (oracle contract)."""
-    from concerts_etl_sa_spark.operators import multimodal as MM_ref
-
     calls = {}
 
     def fake_factory():
