@@ -246,7 +246,7 @@ SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
 # ------------------------------------------------------- E: rollup / cube
 
 def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders", spread=False)
+    o = load_table(spark, sf_dir, "orders")  # agg-first: keep spread
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice", "total"))
@@ -319,7 +319,7 @@ ORDER BY o_custkey
 # ----------------------------------------- E: events daily facts (stream-ish)
 
 def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events", spread=False)
+    ev = load_table(spark, sf_dir, "events")  # agg-first: keep spread
     return (
         ev.groupBy(F.to_date("ts").alias("day"), "event_type")
         .agg(
@@ -464,7 +464,7 @@ ORDER BY user_id, session_id
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per order priority (Spark
     ``percentile`` == DuckDB ``quantile_cont``)."""
-    o = load_table(spark, sf_dir, "orders", spread=False)
+    o = load_table(spark, sf_dir, "orders")  # agg-first: keep spread
     return (
         o.groupBy("o_orderpriority")
         .agg(
@@ -497,7 +497,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values pinned explicitly (TPC-H statuses F/O/P) — never let pivot
     scan for distinct values on a 100 TB fact table.
     """
-    o = load_table(spark, sf_dir, "orders", spread=False)
+    o = load_table(spark, sf_dir, "orders")  # agg-first: keep spread
     return (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
@@ -524,7 +524,7 @@ def daily_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact count_distinct per day+type (the oracle-checkable half of
     the distinct-count story; approx_count_distinct/HLL is the 100 TB
     fast path — same plan shape, sketch instead of exact set)."""
-    ev = load_table(spark, sf_dir, "events", spread=False)
+    ev = load_table(spark, sf_dir, "events")  # agg-first: keep spread
     return (
         ev.groupBy(F.to_date("ts").alias("event_date"), "event_type")
         .agg(
@@ -556,7 +556,7 @@ def approx_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (partial sketch merge map-side), which is the point: swapping
     exact -> sketch changes constants, not the shuffle structure.
     """
-    ev = load_table(spark, sf_dir, "events", spread=False)
+    ev = load_table(spark, sf_dir, "events")  # agg-first: keep spread
     return (
         ev.groupBy(F.to_date("ts").alias("event_date"))
         .agg(
@@ -619,7 +619,7 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E: explicit GROUPING SETS (beyond rollup/cube): totals by
     (priority, status), by priority alone, and grand total, with
     grouping_id distinguishing the levels."""
-    o = load_table(spark, sf_dir, "orders", spread=False)
+    o = load_table(spark, sf_dir, "orders")  # agg-first: keep spread
     o.createOrReplaceTempView("v_orders_gs")
     return spark.sql(
         """
