@@ -124,6 +124,13 @@ ORDER BY n_name
 # ---------------------------------------------------- G: top-k customers
 
 def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    # spread=False DESPITE being agg-first — the documented exception to
+    # load_table's rule: the partial aggregate here is a plain decimal sum
+    # + count over columns already in scan order (no regex/tokenize/hash,
+    # no multi-term decimal products like e1's), so single-core map-side
+    # work is trivially cheap and the spread exchange buys nothing
+    # (spread=False is g1's in-repo best at 0.31 s; e1's regression came
+    # from its per-row decimal arithmetic, absent here).
     o = load_table(spark, sf_dir, "orders", spread=False)
     c = load_table(spark, sf_dir, "customer", spread=False)
     return (
@@ -295,6 +302,9 @@ def intersect_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with URGENT orders but no LOW-priority orders
     (INTERSECT/EXCEPT table-level set ops — absent from the reference,
     SURVEY §2.H note)."""
+    # spread=False despite agg-first (same exception as top_customers):
+    # the partial work is hash-distinct over a single int column — cheaper
+    # than the exchange the spread would add.
     o = load_table(spark, sf_dir, "orders", spread=False)
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")

@@ -23,6 +23,9 @@ speed without changing the shape.
 
 from __future__ import annotations
 
+import functools
+import operator as _op
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -267,7 +270,10 @@ def minhash_lsh_pairs_df(
             "band_fp",
         )
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(first_band[0] & first_band[1] & first_band[2])
+        # reduce over the whole list (not a hardcoded conjunct count): the
+        # filter must cover every earlier band or raising N_BANDS would
+        # silently re-admit duplicate pairs
+        .filter(functools.reduce(_op.and_, first_band))
         .select("a_id", "b_id")
     )
     pairs = cand.join(
@@ -512,7 +518,9 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(r, "block_key")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(first_match[0] & first_match[1] & first_match[2])
+        # reduce, not hardcoded conjuncts — covers every earlier block
+        # even if the block count changes
+        .filter(functools.reduce(_op.and_, first_match))
         # hamming is pair-deterministic, so filtering before the final
         # sort carries only near-pairs forward
         .withColumn(

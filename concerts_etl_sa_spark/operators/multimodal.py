@@ -520,9 +520,18 @@ def _embed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model_name = "stub"
         if model_embed is not None:
             try:
-                model_vecs = model_embed(
+                got = model_embed(
                     list(pdf["payload"]), list(pdf["kind"])
                 )
+                # validate INSIDE the guard: a backend returning the wrong
+                # row count would otherwise blow up later in the Arrow
+                # conversion, failing the task instead of degrading (K2/K3)
+                if len(got) != len(pdf):
+                    raise ValueError(
+                        f"embed backend returned {len(got)} vectors "
+                        f"for {len(pdf)} rows"
+                    )
+                model_vecs = got
                 model_name = name
             except Exception:
                 # batch-level isolation: a failing model batch keeps the

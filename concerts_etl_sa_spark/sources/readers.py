@@ -34,7 +34,31 @@ _SMALL_SCAN_BYTES = 64 << 20
 # how it is range-split. The footer (already probed for timestamp units)
 # tells us the real split count.
 _SPREAD_PROBE_MAX_BYTES = 1 << 30
-_RG_COUNT_CACHE: dict[str, int] = {}
+_RG_COUNT_CACHE: dict[tuple, int] = {}
+
+
+class MixedTimestampUnits(RuntimeError):
+    """A directory dataset's members disagree on a timestamp column's
+    physical unit. Reading it under one schema would corrupt values, so
+    the probe refuses instead of guessing. Deliberately NOT a ValueError:
+    pyarrow's ArrowInvalid subclasses ValueError, and the probe must let
+    transient footer failures (a file mid-write in a streaming landing
+    dir) degrade to ``{}``-and-retry rather than crash ``load_table``."""
+
+
+def _stat_key(path: str) -> tuple:
+    """Footer-cache key: (path, mtime_ns, size). A file rewritten in
+    place (compaction, re-export with different row grouping or units)
+    changes mtime/size and misses the cache, forcing a re-probe; the
+    previous path-only key served stale metadata for the process
+    lifetime. For directories the stat covers membership changes (add/
+    remove re-probes); an in-place member rewrite that leaves the dir
+    mtime unchanged is accepted as a process-lifetime assumption."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (path, -1, -1)
+    return (path, st.st_mtime_ns, st.st_size)
 
 
 def _needs_spread(path: str, parallelism: int) -> bool:
@@ -49,7 +73,8 @@ def _needs_spread(path: str, parallelism: int) -> bool:
         return True
     if size > _SPREAD_PROBE_MAX_BYTES:
         return False  # big enough that a repartition would be a real cost
-    n_rg = _RG_COUNT_CACHE.get(path)
+    key = _stat_key(path)
+    n_rg = _RG_COUNT_CACHE.get(key)
     if n_rg is None:
         try:
             import pyarrow.parquet as pq
@@ -57,7 +82,7 @@ def _needs_spread(path: str, parallelism: int) -> bool:
             n_rg = pq.ParquetFile(path).metadata.num_row_groups
         except Exception:
             return False  # unreadable footer: don't add an exchange
-        _RG_COUNT_CACHE[path] = n_rg
+        _RG_COUNT_CACHE[key] = n_rg
     return n_rg < parallelism
 
 # Parquet timestamp physical units vary across driver testdata versions
@@ -69,7 +94,7 @@ def _needs_spread(path: str, parallelism: int) -> bool:
 # MICROS/MILLIS columns read directly as TimestampType (session tz pinned
 # UTC, so no-tz micros == DuckDB's naive TIMESTAMP, epoch-identical).
 # The unit is detected from the file footer, never assumed.
-_TS_UNIT_CACHE: dict[str, dict[str, str]] = {}
+_TS_UNIT_CACHE: dict[tuple, dict[str, str]] = {}
 
 
 # Footers probed per directory dataset: one member's footer is usually
@@ -90,7 +115,8 @@ def _parquet_ts_units(path: str) -> dict[str, str]:
     Failures/empty probes are NOT cached: an empty streaming source dir
     re-probes once files land instead of pinning units={} forever.
     """
-    cached = _TS_UNIT_CACHE.get(path)
+    key = _stat_key(path)
+    cached = _TS_UNIT_CACHE.get(key)
     if cached is not None:
         return cached
     try:
@@ -117,16 +143,16 @@ def _parquet_ts_units(path: str) -> dict[str, str]:
             }
             for col, unit in got.items():
                 if col in units and units[col] != unit:
-                    raise ValueError(
+                    raise MixedTimestampUnits(
                         f"mixed parquet timestamp units in {path}: "
                         f"{col} is {units[col]} and {unit} across members"
                     )
             units.update(got)
-    except ValueError:
+    except MixedTimestampUnits:
         raise
     except Exception:
         return {}  # transient probe failure: uncached, next call retries
-    _TS_UNIT_CACHE[path] = units
+    _TS_UNIT_CACHE[key] = units
     return units
 
 

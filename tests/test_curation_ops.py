@@ -299,6 +299,20 @@ def test_embed_gate_degrades_on_failure(monkeypatch):
     assert list(out["model_embedding"]) == [None, None]
     assert all(len(v) == MM.EMBED_DIM for v in out["embedding"])
 
+    # wrong ROW COUNT from the backend is caught inside the guard and
+    # degrades like a failed batch — previously it surfaced later in the
+    # Arrow conversion and failed the task (round-5 ADVICE finding)
+    def short_factory():
+        def embed(payloads, kinds):
+            return [[1.0, 2.0]]  # one vector for a two-row batch
+
+        return embed
+
+    MM = _reset_embed_state(monkeypatch, ("short", short_factory))
+    out = list(MM._embed_batches(iter([_embed_pdf()])))[0]
+    assert list(out["embed_model"]) == ["stub", "stub"]
+    assert list(out["model_embedding"]) == [None, None]
+
 
 def test_embed_factory_env_probe(monkeypatch, tmp_path):
     """SPARK_GRAFT_EMBED_FACTORY=module:callable is discovered by the

@@ -42,7 +42,7 @@ def test_midsize_single_row_group_spreads(tmp_path, monkeypatch):
     monkeypatch.setattr(
         R.os.path, "getsize", lambda p: 100 << 20
     )
-    R._RG_COUNT_CACHE.pop(str(f), None)
+    R._RG_COUNT_CACHE.pop(R._stat_key(str(f)), None)
     assert R._needs_spread(str(f), parallelism=32)
 
 
@@ -50,7 +50,7 @@ def test_midsize_many_row_groups_does_not_spread(tmp_path, monkeypatch):
     f = tmp_path / "many.parquet"
     _write(str(f), 6400, 100)  # 64 row groups
     monkeypatch.setattr(R.os.path, "getsize", lambda p: 100 << 20)
-    R._RG_COUNT_CACHE.pop(str(f), None)
+    R._RG_COUNT_CACHE.pop(R._stat_key(str(f)), None)
     assert not R._needs_spread(str(f), parallelism=32)
 
 
@@ -58,4 +58,19 @@ def test_huge_file_does_not_spread(tmp_path, monkeypatch):
     f = tmp_path / "huge.parquet"
     _write(str(f), 1000, 1000)
     monkeypatch.setattr(R.os.path, "getsize", lambda p: 2 << 30)
+    assert not R._needs_spread(str(f), parallelism=32)
+
+
+def test_rewritten_file_row_groups_reprobed(tmp_path, monkeypatch):
+    """In-place rewrite changing the row grouping must re-probe, not
+    serve the stale row-group count (cache keys on path+mtime+size)."""
+    import os
+
+    f = tmp_path / "rw.parquet"
+    _write(str(f), 5000, 5000)  # ONE row group -> spread
+    monkeypatch.setattr(R.os.path, "getsize", lambda p: 100 << 20)
+    assert R._needs_spread(str(f), parallelism=32)
+    _write(str(f), 6400, 100)  # 64 row groups -> no spread
+    st = os.stat(str(f))
+    os.utime(str(f), ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     assert not R._needs_spread(str(f), parallelism=32)
