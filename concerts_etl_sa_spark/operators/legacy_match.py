@@ -34,7 +34,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.dates import canonical_key, canonical_key_sql
 from ..functions.text import norm_name, similarity_norm, similarity_sql
@@ -51,24 +50,38 @@ def _ord(id_col):
 
 
 def _sg_indexed(sg: DataFrame) -> DataFrame:
-    """SG rows deduped by canonical key, last (highest-ord) wins (D8)."""
-    w = Window.partitionBy("ckey").orderBy(F.desc("ord"))
-    return (
-        sg.select(
-            canonical_key(F.col("event_name"), F.col("event_datetime_local")).alias("ckey"),
+    """SG rows deduped by canonical key, last (highest-ord) wins (D8).
+
+    ARGMAX aggregate, not a rank window (the round-5 IVF-assignment
+    template): ``max(struct(ord, payload...))`` picks the identical row —
+    ``ord`` is unique per provider row, so the payload fields never
+    decide, and a null ord loses to any non-null exactly like the
+    window's default nulls-last DESC — but a hash aggregate partially
+    combines map-side, collapsing each key's rows BEFORE the exchange,
+    where the window form shuffled and fully sorted every input row."""
+    keyed = sg.select(
+        canonical_key(F.col("event_name"), F.col("event_datetime_local")).alias("ckey"),
+        F.struct(
+            _ord(F.col("event_id_provider")).alias("ord"),
             F.col("event_name").alias("sg_name"),
             F.col("event_datetime_local").alias("sg_dt"),
             F.col("tickets_sold_total").alias("sg_tickets"),
-            _ord(F.col("event_id_provider")).alias("ord"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "ord")
+        ).alias("row"),
+    )
+    return (
+        keyed.groupBy("ckey")
+        .agg(F.max("row").alias("b"))
+        .select("ckey", "b.sg_name", "b.sg_dt", "b.sg_tickets")
     )
 
 
-def legacy_candidates(sg: DataFrame, dc: DataFrame) -> DataFrame:
+def legacy_candidates(
+    sg: DataFrame, dc: DataFrame, sgi: DataFrame | None = None
+) -> DataFrame:
     """D5+D6 candidate pairs: same day, |Δt| <= 30 min, sim >= 0.90.
+
+    ``sgi`` lets :func:`legacy_merge` pass its already-persisted SG index
+    so the dedup aggregate isn't re-derived as a second lineage.
 
     Physical strategy (100 TB hot path):
     - Block the band join on 30-min epoch buckets, not just the calendar
@@ -81,7 +94,7 @@ def legacy_candidates(sg: DataFrame, dc: DataFrame) -> DataFrame:
       the join; the per-pair work is a single levenshtein.
     """
     sgi = (
-        _sg_indexed(sg)
+        (_sg_indexed(sg) if sgi is None else sgi)
         .filter(F.col("sg_dt").isNotNull())
         .withColumn("sg_norm", norm_name(F.col("sg_name")))
         .withColumn(
@@ -164,27 +177,45 @@ def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
         ),
     )
 
-    cand = legacy_candidates(sg, dc)
+    cand = legacy_candidates(sg, dc, sgi=sgi)
 
     # best SG per dice: sim desc, then canonical key asc (deterministic).
-    # Cached: both the ticket-attach join and the D7 anti-join consume it,
-    # and without materialization the whole candidate lineage (bucket
-    # join + levenshtein) re-executes per consumer.
-    w_best = Window.partitionBy("dc_id").orderBy(F.desc("sim"), F.asc("ckey"))
+    # ARGMAX aggregate, not a rank window: min(struct(-sim, ckey)) is the
+    # same rank-1 row (tie-break identical), but partially combines
+    # map-side so the candidate-pair set collapses to one row per dc_id
+    # BEFORE the exchange — the window form shuffled and sorted every
+    # candidate pair. Cached: both the ticket-attach join and the D7
+    # anti-join consume it, and without materialization the whole
+    # candidate lineage (bucket join + levenshtein) re-executes per
+    # consumer.
     best = scoped_persist(
         "legacy_merge",
-        cand.withColumn("rn", F.row_number().over(w_best))
-        .filter(F.col("rn") == 1)
-        .select("dc_id", "ckey"),
+        cand.groupBy("dc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sim")).alias("neg_sim"),
+                    F.col("ckey").alias("ckey"),
+                )
+            ).alias("b")
+        )
+        .select("dc_id", F.col("b.ckey").alias("ckey")),
     )
 
-    # attach: last (highest-ord) matched dice per SG key wins the ticket slot
-    attach_src = best.join(dcd, "dc_id")
-    w_attach = Window.partitionBy("ckey").orderBy(F.desc("dc_ord"))
+    # attach: last (highest-ord) matched dice per SG key wins the ticket
+    # slot — argmax again (dc_ord is unique, so dc_tickets never decides)
     attached = (
-        attach_src.withColumn("rn", F.row_number().over(w_attach))
-        .filter(F.col("rn") == 1)
-        .select("ckey", F.col("dc_tickets").alias("attached_dc_tickets"))
+        best.join(dcd, "dc_id")
+        .groupBy("ckey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("dc_ord").alias("ord"),
+                    F.col("dc_tickets").alias("dc_tickets"),
+                )
+            ).alias("b")
+        )
+        .select("ckey", F.col("b.dc_tickets").alias("attached_dc_tickets"))
     )
 
     sg_rows = sgi.join(attached, "ckey", "left").select(
@@ -212,15 +243,35 @@ def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
     )
 
     # D8 upsert: dice rows inserted after SG rows win key collisions;
-    # among dice rows the later (higher ord) wins
-    w_upsert = Window.partitionBy("canonical_event_key").orderBy(
-        F.desc("prio"), F.desc("ord")
-    )
+    # among dice rows the later (higher ord) wins. Argmax over the union:
+    # (prio, ord) is unique within a key group — the SG side contributes
+    # at most one row per ckey (deduped index, prio=0/ord=0) and dice
+    # ords are distinct — so max(struct(prio, ord, payload...)) is
+    # exactly the rank-1 row and the payload fields never decide; the
+    # union's fat rows collapse map-side instead of being shuffled and
+    # fully sorted by the window.
     return (
         sg_rows.unionByName(dice_rows)
-        .withColumn("rn", F.row_number().over(w_upsert))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "prio", "ord")
+        .groupBy("canonical_event_key")
+        .agg(
+            F.max(
+                F.struct(
+                    "prio",
+                    "ord",
+                    "event_name",
+                    "event_datetime_local",
+                    "tickets_sold_total_shotgun",
+                    "tickets_sold_total_dice",
+                )
+            ).alias("b")
+        )
+        .select(
+            "canonical_event_key",
+            "b.event_name",
+            "b.event_datetime_local",
+            "b.tickets_sold_total_shotgun",
+            "b.tickets_sold_total_dice",
+        )
     )
 
 
