@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.text import artist_tokens, artist_tokens_sql
 from ._cachescope import begin_scope, scoped_persist
@@ -105,38 +104,60 @@ def consolidate(
     sgt = scoped_persist("consolidate", _prep(sg, "sg"))
     dct = scoped_persist("consolidate", _prep(dc, "dc"))
 
-    # Heavy-hitter exclusion with ZERO extra scans/shuffles: a window
-    # count over the postings' own (day, tok) shuffle partitioning. A
-    # pair contribution for token t survives iff its per-day df is
-    # ≤ df_cap on BOTH sides (dropping either side's posting kills the
-    # pair), which is exactly the oracle's "hot on either side" token
-    # exclusion. Cost is one in-partition sort — no broadcast barrier,
-    # no second pass over the inputs.
-    w_df = Window.partitionBy("day", "tok")
-
-    def _capped_postings(side: DataFrame, id_col: str, toks: str) -> DataFrame:
-        return (
-            side.select(id_col, "day", F.explode(toks).alias("tok"))
-            .repartition("day", "tok")
-            .withColumn("df", F.count(F.lit(1)).over(w_df))
-            .filter(F.col("df") <= df_cap)
-            .drop("df")
+    # ONE-SHUFFLE inverted index: union both sides' postings with a side
+    # tag and group by (day, tok), collecting the per-side id lists. The
+    # previous form repartitioned EACH side on (day, tok), window-counted
+    # df, then shuffle-hash-joined — two exchanges plus two in-partition
+    # sorts for the same bucket contents this single groupBy produces
+    # (collect_list partially combines map-side via ObjectHashAggregate).
+    # Heavy-hitter exclusion becomes a size() filter on the collected
+    # lists: a pair contribution for token t survives iff its per-day df
+    # is ≤ df_cap on BOTH sides — identical to the oracle's "hot on
+    # either side" exclusion, and the cap also bounds bucket memory (a
+    # pre-cap giant bucket spills via the sort-based fallback, then dies
+    # at the filter instead of fanning out df² pairs).
+    posts = (
+        sgt.select(
+            F.col("sg_id").alias("id"), "day", F.explode("sg_toks").alias("tok"),
+            F.lit(0).alias("side"),
         )
-
-    sg_tok = _capped_postings(sgt, "sg_id", "sg_toks")
-    dc_tok = _capped_postings(dct, "dc_id", "dc_toks")
+        .unionByName(
+            dct.select(
+                F.col("dc_id").alias("id"), "day",
+                F.explode("dc_toks").alias("tok"), F.lit(1).alias("side"),
+            )
+        )
+    )
+    buckets = (
+        posts.groupBy("day", "tok")
+        .agg(
+            # collect_list skips nulls: each when() keeps only its side
+            F.collect_list(
+                F.when(F.col("side") == 0, F.col("id"))
+            ).alias("sg_ids"),
+            F.collect_list(
+                F.when(F.col("side") == 1, F.col("id"))
+            ).alias("dc_ids"),
+        )
+        .filter(
+            (F.size("sg_ids") > 0)
+            & (F.size("dc_ids") > 0)
+            & (F.size("sg_ids") <= df_cap)
+            & (F.size("dc_ids") <= df_cap)
+        )
+    )
     pairs = (
-        # shuffle_hash: the per-partition token postings easily fit a hash
-        # map and SMJ's sort of both exploded sides is pure overhead
-        sg_tok.hint("shuffle_hash")
-        .join(dc_tok, ["day", "tok"], "inner")
+        # in-bucket pair fan-out is a narrow double explode (≤ df_cap²
+        # rows per bucket by construction), no join
+        buckets.select(F.explode("sg_ids").alias("sg_id"), "dc_ids")
+        .select("sg_id", F.explode("dc_ids").alias("dc_id"))
         .groupBy("sg_id", "dc_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
         # Both argmax legs consume the candidate set, and AQE's exchange
         # reuse does not reliably cover the whole pair lineage — persist
-        # the SLIM (id, id, overlap) rows so the expensive postings join
+        # the SLIM (id, id, overlap) rows so the expensive postings pass
         # runs once. MEMORY_AND_DISK: at 100 TB this spills rather than
-        # recomputing two token-index joins. Scoped: released when the
+        # recomputing the token-index build. Scoped: released when the
         # next consolidate() call begins (no per-session accumulation).
     )
     pairs = scoped_persist("consolidate", pairs)
@@ -173,34 +194,69 @@ def consolidate(
         )
         .select("sg_id", F.col("b.dc_id").alias("dc_id"))
     )
-    matched = best_for_dc.join(best_for_sg, ["sg_id", "dc_id"], "inner")
+    # matched is consumed three times below (matched leg + two residual
+    # anti-joins) — persist so the argmax legs run once, and broadcast:
+    # it is a slim (sg_id, dc_id) set bounded by the SMALLER side's
+    # cardinality, i.e. dimension-sized in this domain (events being
+    # consolidated), far under executor memory even at full corpus scale.
+    matched = scoped_persist(
+        "consolidate", best_for_dc.join(best_for_sg, ["sg_id", "dc_id"], "inner")
+    )
 
-    # D4/H1 assembly in ONE pass (matched ∪ SG-residual ∪ DICE-residual):
-    # attach each SG row's matched dc_id (null if unmatched), then
-    # full-outer against DICE on dc_id — unmatched SG rows carry a null
-    # join key (never equal), unmatched DICE rows surface on the right
-    # side. The expensive match lineage is consumed exactly once; no
-    # anti-joins, no union re-scan.
-    assembled = sgt.join(matched, "sg_id", "left").join(
-        dct.withColumnRenamed("day", "dc_day"), "dc_id", "full_outer"
+    # D4/H1 assembly as three SHUFFLE-FREE legs (matched ∪ SG-residual ∪
+    # DICE-residual). The previous one-pass full_outer on dc_id shuffled
+    # AND sorted both full prepped sides (full outer cannot broadcast in
+    # Spark); with matched broadcast, every leg is a broadcast/anti join
+    # against data that never leaves its partitions, and the token
+    # arrays are dropped before any join so no leg moves fat rows. If
+    # the matched set ever outgrew broadcast (fact-scale consolidation),
+    # drop the hints and AQE reverts to shuffle joins — same plan shape.
+    sgs = sgt.drop("sg_toks")
+    dcs = dct.drop("dc_toks").withColumnRenamed("day", "dc_day")
+    m_sg = sgs.join(F.broadcast(matched), "sg_id", "inner")
+    matched_leg = dcs.join(F.broadcast(m_sg), "dc_id", "inner").select(
+        F.coalesce("sg_event_name", "dc_event_name", F.lit("")).alias(
+            "event_name"
+        ),
+        F.col("day").alias("event_datetime_local"),
+        F.coalesce("sg_artist_name", "dc_artist_name", F.lit("")).alias(
+            "artist"
+        ),
+        F.coalesce(
+            "sg_venue_name", "dc_venue_name", "sg_city", "dc_city", F.lit("")
+        ).alias("venue"),
+        F.col("sg_tickets").alias("shotgun_tickets_sold"),
+        F.col("dc_tickets").alias("dice_tickets_sold"),
+        F.col("sg_id").alias("shotgun_event_id"),
+        F.col("dc_id").alias("dice_event_id"),
+    )
+    sg_leg = sgs.join(
+        F.broadcast(matched.select("sg_id")), "sg_id", "left_anti"
+    ).select(
+        F.coalesce("sg_event_name", F.lit("")).alias("event_name"),
+        F.col("day").alias("event_datetime_local"),
+        F.coalesce("sg_artist_name", F.lit("")).alias("artist"),
+        F.coalesce("sg_venue_name", "sg_city", F.lit("")).alias("venue"),
+        F.col("sg_tickets").alias("shotgun_tickets_sold"),
+        F.lit(None).cast("bigint").alias("dice_tickets_sold"),
+        F.col("sg_id").alias("shotgun_event_id"),
+        F.lit(None).cast("string").alias("dice_event_id"),
+    )
+    dc_leg = dcs.join(
+        F.broadcast(matched.select("dc_id")), "dc_id", "left_anti"
+    ).select(
+        F.coalesce("dc_event_name", F.lit("")).alias("event_name"),
+        F.col("dc_day").alias("event_datetime_local"),
+        F.coalesce("dc_artist_name", F.lit("")).alias("artist"),
+        F.coalesce("dc_venue_name", "dc_city", F.lit("")).alias("venue"),
+        F.lit(None).cast("bigint").alias("shotgun_tickets_sold"),
+        F.col("dc_tickets").alias("dice_tickets_sold"),
+        F.lit(None).cast("string").alias("shotgun_event_id"),
+        F.col("dc_id").alias("dice_event_id"),
     )
     return (
-        assembled.select(
-            F.coalesce("sg_event_name", "dc_event_name", F.lit("")).alias(
-                "event_name"
-            ),
-            F.coalesce("day", "dc_day").alias("event_datetime_local"),
-            F.coalesce("sg_artist_name", "dc_artist_name", F.lit("")).alias(
-                "artist"
-            ),
-            F.coalesce(
-                "sg_venue_name", "dc_venue_name", "sg_city", "dc_city", F.lit("")
-            ).alias("venue"),
-            F.col("sg_tickets").alias("shotgun_tickets_sold"),
-            F.col("dc_tickets").alias("dice_tickets_sold"),
-            F.col("sg_id").alias("shotgun_event_id"),
-            F.col("dc_id").alias("dice_event_id"),
-        )
+        matched_leg.unionByName(sg_leg)
+        .unionByName(dc_leg)
         .filter(F.col("event_datetime_local") >= F.lit(as_of))
         # G1 total order WITHOUT orderBy's range-sampling pass (which
         # recomputes the whole match lineage to pick partition bounds —

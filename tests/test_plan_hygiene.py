@@ -66,14 +66,29 @@ def test_legacy_merge_plan_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_consolidate_pair_join_is_blocked_on_day_and_token(spark):
-    """The inverted-index join must key on (day, tok) — never day alone."""
+def test_consolidate_pair_blocking_keys_on_day_and_token(spark):
+    """The inverted token index must block on (day, tok) — never day
+    alone. Round-6 shape: blocking is the single postings
+    groupBy(day, tok) (collect per-side id lists), so the invariant
+    moved from a pair-join key to the aggregate's grouping keys; the
+    remaining joins must all be id-equi (no same-day pair join at all)."""
     sg, dc = _events_frames(spark)
     plan = plan_of(C.consolidate(sg, dc))
-    joins = [ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
-    pair_join = [ln for ln in joins if "tok" in ln]
-    assert pair_join, f"no (day, tok) pair join found in:\n{joins}"
-    assert any("day" in ln for ln in pair_join)
+    agg_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "Aggregate" in ln and "tok" in ln and "keys=" in ln
+    ]
+    assert any(
+        "day" in ln for ln in agg_lines
+    ), f"no (day, tok)-keyed postings aggregate found:\n{plan[:4000]}"
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    day_joins = [ln for ln in joins if "day" in ln]
+    assert not day_joins, f"unexpected day-keyed pair join:\n{day_joins}"
 
 
 def test_small_dim_join_broadcasts(spark):
