@@ -198,11 +198,37 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_pairs_df(
-    docs: DataFrame, jaccard_threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = None,
+    heavy_bucket_mode: str = "star",
 ) -> DataFrame:
     """df-based core of :func:`minhash_lsh_pairs` — ``docs`` needs
     (doc_id, text) or a precomputed (doc_id, shingles). Used by the
-    corpus-curation plan over already-filtered survivor sets."""
+    corpus-curation plan over already-filtered survivor sets.
+
+    ``max_bucket_size`` is the 100 TB skew guard: a giant near-dup
+    cluster puts thousands of docs into ONE band bucket, and the
+    unguarded self-join materializes |bucket|^2/2 candidate pairs — the
+    admitted scale pain point. Two bounded strategies for buckets over
+    the cap (both deterministic under any partitioning):
+
+    - ``"star"`` (default): over-cap buckets emit only (anchor, member)
+      pairs, the anchor being the first doc in xxhash64 order — LINEAR
+      in bucket size, and every member stays edge-connected to the
+      cluster, so downstream connected-components still collapses the
+      whole group (the property dedup actually needs). Non-anchor pairs
+      inside a heavy bucket are not emitted (recall trade, documented).
+    - ``"sample"``: keep only the first ``max_bucket_size`` docs per
+      bucket in xxhash64 order — bounded-quadratic (cap^2/2) candidates;
+      docs sampled out of every bucket they touch get no edges at all.
+
+    Under-cap buckets are untouched in both modes. Capped mode replaces
+    first-shared-band emission with an explicit pair ``dropDuplicates``:
+    the first-band filter's invariant ("the pair was emitted at its
+    lowest fingerprint-shared band") no longer holds when a bucket may
+    decline to emit, so suppressing later-band matches by fingerprint
+    equality alone would silently drop pairs."""
     ds = docs if "shingles" in docs.columns else _with_shingles(docs)
     begin_scope("minhash_lsh_pairs")
     ds = scoped_persist("minhash_lsh_pairs", ds)
@@ -242,6 +268,10 @@ def minhash_lsh_pairs_df(
         F.posexplode(band_fps).alias("band_id", "band_fp"),
     )
 
+    if max_bucket_size is not None:
+        cand = _capped_candidates(bands, max_bucket_size, heavy_bucket_mode)
+        return _verify_jaccard(cand, ds, jaccard_threshold)
+
     # FIRST-shared-band emission (same trick as simhash_near_pairs): a
     # pair sharing k bands matches the join k times; keep only the match
     # at the lowest shared band — per-row comparisons of the fingerprint
@@ -276,6 +306,14 @@ def minhash_lsh_pairs_df(
         .filter(functools.reduce(_op.and_, first_band))
         .select("a_id", "b_id")
     )
+    return _verify_jaccard(cand, ds, jaccard_threshold)
+
+
+def _verify_jaccard(
+    cand: DataFrame, ds: DataFrame, jaccard_threshold: float
+) -> DataFrame:
+    """Re-attach shingles to the (slim) candidate pairs and keep exact
+    Jaccard >= threshold."""
     pairs = cand.join(
         ds.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")),
         "a_id",
@@ -294,6 +332,65 @@ def minhash_lsh_pairs_df(
         .select("a_id", "b_id", "jaccard")
         .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )
+
+
+def _capped_candidates(
+    bands: DataFrame, max_bucket_size: int, heavy_bucket_mode: str
+) -> DataFrame:
+    """Candidate pairs with the per-bucket skew guard applied.
+
+    Both band-side windows partition on ``band_fp`` — the SAME key the
+    pair self-join shuffles on, so the rank/count machinery adds no
+    extra exchange on the build side at scale. The in-bucket order is
+    ``xxhash64(doc_id, band_fp)`` (doc_id tiebreak): deterministic,
+    partition-invariant, and uncorrelated with doc_id so a heavy
+    bucket's anchor/sample isn't biased toward old documents."""
+    if heavy_bucket_mode not in ("star", "sample"):
+        raise ValueError(
+            f"heavy_bucket_mode must be 'star' or 'sample', got {heavy_bucket_mode!r}"
+        )
+    wb = Window.partitionBy("band_fp")
+    wo = wb.orderBy(F.xxhash64(F.col("doc_id"), F.col("band_fp")), F.col("doc_id"))
+    ranked = bands.select(
+        "doc_id",
+        "band_fp",
+        F.row_number().over(wo).alias("bk_rn"),
+        F.count(F.lit(1)).over(wb).alias("bk_sz"),
+    )
+    def _all_pairs(side: DataFrame) -> DataFrame:
+        a = side.select(F.col("doc_id").alias("a_id"), "band_fp")
+        b = side.select(F.col("doc_id").alias("b_id"), "band_fp")
+        return (
+            a.join(b, "band_fp")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+
+    if heavy_bucket_mode == "sample":
+        pairs = _all_pairs(ranked.filter(F.col("bk_rn") <= max_bucket_size))
+    else:
+        # the join legs are bounded BEFORE the join, not filtered after:
+        # a post-join predicate would still enumerate |bucket|^2 rows
+        # inside the join operator. Light buckets: all pairs. Heavy
+        # buckets: one anchor row (bk_rn == 1) joined against the other
+        # members — exactly |bucket| - 1 output rows per bucket.
+        light = _all_pairs(ranked.filter(F.col("bk_sz") <= max_bucket_size))
+        heavy = ranked.filter(F.col("bk_sz") > max_bucket_size)
+        anchors = heavy.filter(F.col("bk_rn") == 1).select(
+            F.col("doc_id").alias("anchor_id"), "band_fp"
+        )
+        star = (
+            heavy.filter(F.col("bk_rn") > 1)
+            .select(F.col("doc_id").alias("member_id"), "band_fp")
+            .join(anchors, "band_fp")
+            .select(
+                F.least("anchor_id", "member_id").alias("a_id"),
+                F.greatest("anchor_id", "member_id").alias("b_id"),
+            )
+        )
+        pairs = light.unionByName(star)
+    # capped emission is not first-band-dedupable (see caller docstring)
+    return pairs.dropDuplicates(["a_id", "b_id"])
 
 
 def _minhash_lsh_pairs_sql() -> str:

@@ -1,0 +1,131 @@
+"""100 TB skew stress: the giant near-dup cluster through minhash LSH
+with the per-bucket cap, and long-chain convergence of the components
+closure (the round-5 VERDICT's admitted untested pain point).
+
+Shapes under test:
+- ONE heavy cluster (60 identical docs -> every band bucket holds all
+  60) inside a background of unique docs: the unguarded self-join would
+  emit C(60,2)=1770 candidate pairs per band; the cap bounds it.
+- star mode must keep the cluster CONNECTED (one component) while
+  emitting only linear anchor edges per heavy bucket.
+- sample mode must emit a bounded subset of the uncapped pairs.
+- a 1024-hop chain must converge in O(log n) pointer-doubling rounds,
+  not O(n) propagation rounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from concerts_etl_sa_spark.operators.components import connected_components
+from concerts_etl_sa_spark.operators.dedup import minhash_lsh_pairs_df
+
+CLUSTER = 60
+CAP = 8
+N_BANDS = 4
+
+
+def _giant_cluster_corpus(spark):
+    """60 identical docs (one near-dup clique) + 200 unique background."""
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, dup_text) for i in range(CLUSTER)]
+    rows += [
+        (1000 + i, " ".join(f"w{i}t{j}" for j in range(12))) for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def _small_groups_corpus(spark):
+    """No heavy buckets: 5 identical twin-pairs + 100 unique docs."""
+    rows = []
+    for k in range(5):
+        t = f"twin pair number {k} shares exactly this text body " + " ".join(
+            f"p{k}x{j}" for j in range(8)
+        )
+        rows += [(2000 + 2 * k, t), (2001 + 2 * k, t)]
+    rows += [
+        (3000 + i, " ".join(f"u{i}q{j}" for j in range(12))) for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_star_cap_bounds_pairs_and_keeps_cluster_connected(spark):
+    docs = _giant_cluster_corpus(spark)
+    pairs = minhash_lsh_pairs_df(docs, max_bucket_size=CAP).collect()
+    cluster_pairs = [r for r in pairs if r.a_id < CLUSTER and r.b_id < CLUSTER]
+    # linear, not quadratic: <= (CLUSTER - 1) anchor edges per band
+    assert len(cluster_pairs) <= N_BANDS * (CLUSTER - 1)
+    assert len(cluster_pairs) >= CLUSTER - 1
+    assert all(r.jaccard == 1.0 for r in cluster_pairs)
+    # the star edges still connect the WHOLE cluster into one component
+    edges = spark.createDataFrame(
+        [(r.a_id, r.b_id) for r in cluster_pairs], "a_id BIGINT, b_id BIGINT"
+    )
+    comp = connected_components(edges).collect()
+    assert len(comp) == CLUSTER
+    assert {r.component for r in comp} == {0}
+
+
+def test_sample_cap_emits_bounded_subset(spark):
+    docs = _giant_cluster_corpus(spark)
+    capped = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs_df(
+            docs, max_bucket_size=CAP, heavy_bucket_mode="sample"
+        ).collect()
+    }
+    # <= C(CAP, 2) pairs per band bucket
+    assert len(capped) <= N_BANDS * (CAP * (CAP - 1) // 2)
+    assert len(capped) > 0
+    uncapped = {
+        (r.a_id, r.b_id) for r in minhash_lsh_pairs_df(docs).collect()
+    }
+    assert capped <= uncapped
+
+
+def test_cap_is_inert_without_heavy_buckets(spark):
+    docs = _small_groups_corpus(spark)
+    uncapped = {
+        (r.a_id, r.b_id, r.jaccard) for r in minhash_lsh_pairs_df(docs).collect()
+    }
+    # the 5 twin pairs are the ground truth
+    assert {(a, b) for a, b, _ in uncapped} == {
+        (2000 + 2 * k, 2001 + 2 * k) for k in range(5)
+    }
+    for mode in ("star", "sample"):
+        capped = {
+            (r.a_id, r.b_id, r.jaccard)
+            for r in minhash_lsh_pairs_df(
+                docs, max_bucket_size=CAP, heavy_bucket_mode=mode
+            ).collect()
+        }
+        assert capped == uncapped, mode
+
+
+def test_capped_output_has_no_duplicate_pairs(spark):
+    docs = _giant_cluster_corpus(spark)
+    out = minhash_lsh_pairs_df(docs, max_bucket_size=CAP)
+    assert out.count() == out.select("a_id", "b_id").distinct().count()
+
+
+def test_bad_heavy_bucket_mode_rejected(spark):
+    docs = _small_groups_corpus(spark)
+    with pytest.raises(ValueError, match="heavy_bucket_mode"):
+        minhash_lsh_pairs_df(
+            docs, max_bucket_size=CAP, heavy_bucket_mode="nope"
+        ).collect()
+
+
+def test_components_long_chain_converges_in_log_rounds(spark):
+    # 1025 vertices in one chain: plain min-label propagation moves the
+    # min ONE hop per round (~1024 rounds); pointer doubling composes the
+    # label map with itself, so max_iters=14 only converges if the
+    # doubling is actually doing its O(log n) job.
+    n = 1024
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a_id BIGINT, b_id BIGINT"
+    )
+    out = connected_components(edges, max_iters=14)
+    assert out.filter(F.col("component") != 0).count() == 0
+    assert out.count() == n + 1
