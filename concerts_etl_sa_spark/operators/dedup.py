@@ -637,6 +637,111 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- simhash quality metric
+
+SIMHASH_EVAL_MAX_ID = 1_000  # bounded eval sample: ground truth is quadratic
+
+
+def simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of simhash (hamming <= {SIMHASH_MAX_HAMMING})
+    against EXACT Jaccard >= {JACCARD_THRESHOLD} ground truth, over docs
+    with doc_id < SIMHASH_EVAL_MAX_ID — the dedup family's quality
+    harness (the pair operators report counts; this pins how good the
+    approximation is). Oracle-parity-tested as
+    ``unreg_l1_simhash_quality``; recall lower bound pinned in pytest.
+
+    The truth side enumerates ALL pairs of the bounded sample — quadratic
+    BY DEFINITION (evaluation, not production; same status as the ANN
+    recall harness's brute-force baseline). The sample frame is broadcast
+    so the enumeration never shuffles; the predicted side reuses the
+    production blocked plan unchanged.
+
+    One row: n_pred, n_truth, n_hit, precision, recall.
+    """
+    begin_scope("simhash_quality")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < SIMHASH_EVAL_MAX_ID)
+        .repartition("doc_id")
+    )
+    ds = scoped_persist("simhash_quality", _with_shingles(d))
+    a = ds.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
+    b = ds.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    truth = scoped_persist(
+        "simhash_quality",
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id"),
+    )
+    pred = scoped_persist(
+        "simhash_quality",
+        simhash_near_pairs(spark, sf_dir)
+        .filter(
+            (F.col("a_id") < SIMHASH_EVAL_MAX_ID)
+            & (F.col("b_id") < SIMHASH_EVAL_MAX_ID)
+        )
+        .select("a_id", "b_id"),
+    )
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hit = pred.join(truth, ["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_pred.crossJoin(n_truth)
+        .crossJoin(n_hit)
+        .select(
+            "n_pred",
+            "n_truth",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1)), 6
+            ).alias("precision"),
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _simhash_quality_sql() -> str:
+    jacc = (
+        "round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+        " / greatest(len(list_distinct(a.shingles || b.shingles)), 1), 6)"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, shingles FROM ({_DOCS_SHINGLES_SQL})
+  WHERE doc_id < {SIMHASH_EVAL_MAX_ID}
+),
+truth AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {jacc} >= {JACCARD_THRESHOLD}
+),
+pred AS (
+  SELECT a_id, b_id FROM ({{SIMHASH_PAIRS}})
+  WHERE a_id < {SIMHASH_EVAL_MAX_ID} AND b_id < {SIMHASH_EVAL_MAX_ID}
+),
+m AS (
+  SELECT (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM pred JOIN truth USING (a_id, b_id)) AS n_hit
+)
+SELECT n_pred, n_truth, n_hit,
+       round(CAST(n_hit AS DOUBLE) / greatest(n_pred, 1), 6) AS precision,
+       round(CAST(n_hit AS DOUBLE) / greatest(n_truth, 1), 6) AS recall
+FROM m
+"""
+
+
 SIMHASH_NEAR_PAIRS_SQL = f"""
 WITH sig AS ({_simhash_signatures_sql()}),
 blocks AS (
@@ -660,3 +765,7 @@ FROM cand
 WHERE bit_count(xor(a_sig, b_sig)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY a_id, b_id
 """
+
+SIMHASH_QUALITY_SQL = _simhash_quality_sql().format(
+    SIMHASH_PAIRS=SIMHASH_NEAR_PAIRS_SQL
+)

@@ -322,23 +322,16 @@ def _assign_buckets(emb: DataFrame, centroids: DataFrame, n_keep: int) -> DataFr
     )
 
 
-def topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign every candidate to its nearest centroid
-    (inverted list); probe each query's NPROBE nearest lists only.
+def _ivf_topk(emb: DataFrame, centroids: DataFrame, nprobe: int = NPROBE) -> DataFrame:
+    """Probe-and-rank core shared by the fixed and trained IVF variants.
 
-    The scale path complementing sign-LSH: assignment is a linear scan
-    against K broadcast centroids (K << N); search shuffles on
-    ``centroid_id`` so each query scores ~N/K * NPROBE candidates. A
-    production IVF trains centroids with k-means (pyspark.ml KMeans) —
-    here they are fixed vectors from the table so the DuckDB oracle
-    reproduces the identical index deterministically.
-    """
-    emb = _emb_normed(spark, sf_dir)
-    centroids = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid_vec"),
-        F.col("norm2").alias("c_n2"),
-    )
+    ``centroids`` needs (centroid_id, centroid_vec, c_n2). No pair dedup:
+    argmax assignment gives each candidate exactly ONE centroid row, and
+    a query's nprobe rows carry DISTINCT centroid ids (row_number over
+    centroids), so a (q_id, c_id) pair can satisfy the probe equi-join at
+    most once — a dropDuplicates here would be a provably-no-op exchange
+    on the scored rows (round-5 judge finding; uniqueness pinned by
+    tests/test_ivf_pair_uniqueness.py)."""
     cand = _assign_buckets(
         emb.filter(F.col("vec_id") >= N_QUERIES), centroids, n_keep=1
     ).select(
@@ -348,19 +341,13 @@ def topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_id",
     )
     qry = _assign_buckets(
-        emb.filter(F.col("vec_id") < N_QUERIES), centroids, n_keep=NPROBE
+        emb.filter(F.col("vec_id") < N_QUERIES), centroids, n_keep=nprobe
     ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         F.col("norm2").alias("q_n2"),
         "centroid_id",
     )
-    # No pair dedup needed: argmax assignment gives each candidate exactly
-    # ONE centroid row, and a query's NPROBE rows carry DISTINCT centroid
-    # ids (row_number over centroids), so a (q_id, c_id) pair can satisfy
-    # the probe equi-join at most once — a dropDuplicates here would be a
-    # provably-no-op exchange on the scored rows (round-5 judge finding;
-    # uniqueness pinned by tests/test_ivf_pair_uniqueness.py).
     scored = (
         cand.join(F.broadcast(qry), "centroid_id")
         .withColumn("cosine", _cosine_pre("q_vec", "c_vec", "q_n2", "cv_n2"))
@@ -373,6 +360,51 @@ def topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id", "cosine", "rn")
         .transform(lambda d: sorted_small(d, "q_id", "rn"))
     )
+
+
+def topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every candidate to its nearest centroid
+    (inverted list); probe each query's NPROBE nearest lists only.
+
+    The scale path complementing sign-LSH: assignment is a linear scan
+    against K broadcast centroids (K << N); search shuffles on
+    ``centroid_id`` so each query scores ~N/K * NPROBE candidates. The
+    centroids are fixed vectors from the table so the DuckDB oracle
+    reproduces the identical index deterministically; the trained-index
+    variant is :func:`topk_cosine_ivf_trained`.
+    """
+    emb = _emb_normed(spark, sf_dir)
+    centroids = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+        F.col("norm2").alias("c_n2"),
+    )
+    return _ivf_topk(emb, centroids)
+
+
+def topk_cosine_ivf_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    k_centroids: int = 8,
+    nprobe: int = NPROBE,
+    max_iters: int = 3,
+) -> DataFrame:
+    """IVF over k-means-TRAINED centroids — the production index build.
+
+    Composes the distributed Lloyd's trainer (``operators/kmeans.py``,
+    deterministic seed-free init) with the same probe/rank path as the
+    fixed-centroid query. Pytest-verified, not a driver-window slot:
+    trained centroids are deterministic for a given input but not
+    expressible as a DuckDB one-shot, and the recall guarantee (trained
+    >= fixed at equal K/nprobe) is the contract worth pinning."""
+    from .kmeans import centroids_df, kmeans_fit
+
+    emb = _emb_normed(spark, sf_dir)
+    fitted, _ = kmeans_fit(emb, k=k_centroids, max_iters=max_iters)
+    centroids = centroids_df(spark, fitted).withColumn(
+        "c_n2", _norm2("centroid_vec")
+    )
+    return _ivf_topk(emb, centroids, nprobe=nprobe)
 
 
 def _ivf_sql() -> str:
@@ -457,17 +489,10 @@ ORDER BY a_id, b_id
 
 # ------------------------------------------------------------ ANN recall
 
-def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the sign-LSH ANN against the brute-force ground truth.
-
-    The evaluation harness every approximate index needs: per query,
-    |approx top-k ∩ exact top-k| / k. Composes the two existing plans —
-    the exact baseline stays broadcast-bounded, the LSH side stays
-    bucket-blocked — and adds only a slim (q_id, c_id) equi-join plus a
-    per-query count, so the evaluation itself is scale-free.
-    """
-    bf = topk_cosine_bruteforce(spark, sf_dir).select("q_id", "c_id")
-    approx = topk_cosine_lsh(spark, sf_dir).select("q_id", "c_id")
+def _recall_frame(bf: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of ``approx`` against the exact top-k ``bf``:
+    |approx top-k ∩ exact top-k| / k. Only a slim (q_id, c_id) equi-join
+    plus a per-query count — the evaluation itself is scale-free."""
     hits = (
         bf.join(approx, ["q_id", "c_id"])
         .groupBy("q_id")
@@ -488,9 +513,30 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_RECALL_SQL = f"""
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-LSH ANN against the brute-force ground truth.
+
+    The evaluation harness every approximate index needs. Composes the
+    two existing plans — the exact baseline stays broadcast-bounded, the
+    LSH side stays bucket-blocked."""
+    bf = topk_cosine_bruteforce(spark, sf_dir).select("q_id", "c_id")
+    approx = topk_cosine_lsh(spark, sf_dir).select("q_id", "c_id")
+    return _recall_frame(bf, approx)
+
+
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the fixed-centroid IVF index against brute force —
+    the quality row for the second ANN family (oracle-parity-tested as
+    ``unreg_l2_ivf_recall``; the driver window holds the LSH twin)."""
+    bf = topk_cosine_bruteforce(spark, sf_dir).select("q_id", "c_id")
+    approx = topk_cosine_ivf(spark, sf_dir).select("q_id", "c_id")
+    return _recall_frame(bf, approx)
+
+
+def _recall_sql(approx_sql: str) -> str:
+    return f"""
 WITH bf AS ({TOPK_COSINE_BRUTEFORCE_SQL}),
-approx AS ({TOPK_COSINE_LSH_SQL}),
+approx AS ({approx_sql}),
 hits AS (
   SELECT bf.q_id, count(*) AS n_hits
   FROM bf JOIN approx ON bf.q_id = approx.q_id AND bf.c_id = approx.c_id
@@ -503,3 +549,7 @@ FROM (SELECT DISTINCT q_id FROM bf) q
 LEFT JOIN hits ON q.q_id = hits.q_id
 ORDER BY q.q_id
 """
+
+
+ANN_RECALL_SQL = _recall_sql(TOPK_COSINE_LSH_SQL)
+IVF_RECALL_SQL = _recall_sql(TOPK_COSINE_IVF_SQL)

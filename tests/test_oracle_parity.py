@@ -58,12 +58,16 @@ def _all_queries():
     # entries; these signature intermediates are consumed by their
     # *_pairs registry entries) still get pytest-level oracle parity.
     from concerts_etl_sa_spark.operators import dedup as D
+    from concerts_etl_sa_spark.operators import similarity as S
 
     entries += [
         ("unreg_minhash_signatures", D.minhash_signatures,
          D.MINHASH_SIGNATURES_SQL),
         ("unreg_simhash_signatures", D.simhash_signatures,
          D.SIMHASH_SIGNATURES_SQL),
+        ("unreg_l2_ivf_recall", S.ivf_recall, S.IVF_RECALL_SQL),
+        ("unreg_l1_simhash_quality", D.simhash_quality,
+         D.SIMHASH_QUALITY_SQL),
     ]
     return entries
 
