@@ -108,9 +108,13 @@ def _cosine_sql(a: str, b: str) -> str:
 
 
 def _emb_normed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings with squared norm precomputed per row (repartitioned:
-    single input split at test sf, CPU-bound projections)."""
-    emb = load_table(spark, sf_dir, "embeddings").repartition("vec_id")
+    """Embeddings with squared norm precomputed per row. ``load_table``'s
+    small-scan spread already parallelizes the CPU-bound 64-term norm
+    across cores; no consumer needs hash-partitioning by vec_id (the old
+    IVF argmax aggregate did, and rode this exchange — assignment is now
+    a pure projection), so an explicit repartition would be a second
+    no-value shuffle of the fat embedding rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
     return emb.withColumn("norm2", _norm2("embedding"))
 
 
@@ -273,52 +277,73 @@ IVF_CENTROID_IDS = [20, 40, 60, 80]  # deterministic "trained" centroids
 NPROBE = 2
 
 
+def _dot_lambda(vec, cent_vec):
+    """Dot product usable INSIDE a higher-order-function lambda, where the
+    ``F.expr``-string form of ``_dot`` cannot reference the lambda
+    variable. FP-identical to ``_dot``: zip_with preserves element order
+    and the left fold adds the per-term double products in the same
+    left-associative sequence (the 0.0 seed is exact: 0.0 + t == t)."""
+    prods = F.zip_with(
+        vec, cent_vec, lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
 def _assign_buckets(emb: DataFrame, centroids: DataFrame, n_keep: int) -> DataFrame:
     """IVF assignment: each vector's n_keep nearest centroids by cosine.
 
-    n_keep=1 (the candidate side, N rows) is an ARGMAX aggregate rather
-    than a rank window: min(struct(-cos, centroid_id)) partially combines
-    map-side, so the K-fanned rows (each carrying the 64-float embedding
-    AND a centroid copy) collapse back to one row per vector BEFORE the
-    exchange — the window form shuffles and sorts the full N*K fat rows.
-    Tie-break identical to the window (cos DESC, centroid_id ASC).
-    n_keep>1 (the query side, Q*K rows, Q broadcast-sized) keeps the
-    window — a top-n aggregate buys nothing at that cardinality.
-
-    A zero-norm embedding yields cosine 0/0 = NaN, which Spark's window
-    sort ranks LARGEST (desc puts it first) while min(struct(-cos, ...))
-    avoids it — the two paths would assign different centroids. ``nanvl``
-    pins NaN to -inf so both paths rank an undefined cosine LAST; for the
-    normal non-NaN case it is a pass-through and plans identically."""
-    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "c_cos",
-        F.nanvl(
-            _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2"),
-            F.lit(float("-inf")),
+    PURE PROJECTION, no shuffle: the K centroids are collapsed into ONE
+    broadcast row holding an array of (centroid_id, vec, norm2) structs;
+    each embedding row ranks all K in-place with
+    ``array_sort(transform(...))`` over (neg_cos, centroid_id) structs —
+    exactly the oracle's ``ORDER BY cos DESC, centroid_id`` — and keeps
+    the first n_keep. The previous form crossJoined K rows and collapsed
+    them back with an argmax aggregate, which still exchanged every
+    (embedding, norm2) row on vec_id; assignment now never leaves the
+    scan stage, so at corpus scale the index build is shuffle-free until
+    the probe join. n_keep=1 and n_keep>1 share the identical ranking
+    expression (no dual-path NaN hazard: ``nanvl`` pins an undefined
+    0/0 cosine to -inf, ranking it last in both arms)."""
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct("centroid_id", "centroid_vec", "c_n2")
+        ).alias("cents")
+    )
+    ranked = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "ranked",
+        F.array_sort(
+            F.transform(
+                "cents",
+                # named_struct, not struct(...).alias(...): aliases are
+                # stripped inside HOF lambdas, leaving unaddressable
+                # default field names
+                lambda c: F.named_struct(
+                    F.lit("neg_cos"),
+                    -F.nanvl(
+                        F.round(
+                            _dot_lambda(F.col("embedding"), c["centroid_vec"])
+                            / F.sqrt(F.col("norm2") * c["c_n2"]),
+                            6,
+                        ),
+                        F.lit(float("-inf")),
+                    ),
+                    F.lit("centroid_id"),
+                    c["centroid_id"],
+                ),
+            )
         ),
     )
     if n_keep == 1:
-        return (
-            scored.groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("c_cos")).alias("neg_cos"),
-                        F.col("centroid_id").alias("centroid_id"),
-                    )
-                ).alias("b"),
-                # functionally dependent on vec_id: every row in the
-                # group carries the same vector
-                F.first("embedding").alias("embedding"),
-                F.first("norm2").alias("norm2"),
-            )
-            .select("vec_id", "embedding", "norm2", F.col("b.centroid_id").alias("centroid_id"))
+        return ranked.select(
+            "vec_id", "embedding", "norm2",
+            F.element_at("ranked", 1)["centroid_id"].alias("centroid_id"),
         )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") <= n_keep)
-        .select("vec_id", "embedding", "norm2", "centroid_id")
+    return ranked.select(
+        "vec_id", "embedding", "norm2",
+        F.explode(F.slice("ranked", 1, n_keep)).alias("probe"),
+    ).select(
+        "vec_id", "embedding", "norm2",
+        F.col("probe.centroid_id").alias("centroid_id"),
     )
 
 
@@ -326,9 +351,10 @@ def _ivf_topk(emb: DataFrame, centroids: DataFrame, nprobe: int = NPROBE) -> Dat
     """Probe-and-rank core shared by the fixed and trained IVF variants.
 
     ``centroids`` needs (centroid_id, centroid_vec, c_n2). No pair dedup:
-    argmax assignment gives each candidate exactly ONE centroid row, and
-    a query's nprobe rows carry DISTINCT centroid ids (row_number over
-    centroids), so a (q_id, c_id) pair can satisfy the probe equi-join at
+    ranked assignment gives each candidate exactly ONE centroid row, and
+    a query's nprobe rows carry DISTINCT centroid ids (a slice of the
+    per-row ranking of the distinct centroid set), so a (q_id, c_id)
+    pair can satisfy the probe equi-join at
     most once — a dropDuplicates here would be a provably-no-op exchange
     on the scored rows (round-5 judge finding; uniqueness pinned by
     tests/test_ivf_pair_uniqueness.py)."""
@@ -374,10 +400,17 @@ def topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is :func:`topk_cosine_ivf_trained`.
     """
     emb = _emb_normed(spark, sf_dir)
-    centroids = emb.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid_vec"),
-        F.col("norm2").alias("c_n2"),
+    # spread=False scan for the K centroid rows: the isin filter is
+    # pushed to the scan and the result is K rows — the spread exchange
+    # would repartition 4 rows across 32 cores for nothing
+    centroids = (
+        load_table(spark, sf_dir, "embeddings", spread=False)
+        .filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+            _norm2("embedding").alias("c_n2"),
+        )
     )
     return _ivf_topk(emb, centroids)
 
