@@ -77,3 +77,59 @@ FROM (
 WHERE u32 < threshold
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------- stratified split
+
+# hash-space thresholds for an 80/10/10 train/val/test split
+_TRAIN_T = int(0.8 * _FULL)
+_VAL_T = int(0.9 * _FULL)
+
+
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment for every doc.
+
+    Same hash-gate machinery as :func:`mixture_sample` but SALTED
+    ('split:' prefix) so membership is independent of the sampling gate
+    — a doc's split never changes when the mixture rates do. Because
+    doc_ids hash uniformly WITHIN each source, the split is stratified
+    by construction: each source hits the 80/10/10 proportions in
+    expectation with no per-source bookkeeping, shuffle, or state — a
+    pure scalar projection at 100 TB. The assignment column (not three
+    filtered outputs) lets one scan feed all three consumers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.when(u32 < _TRAIN_T, F.lit("train"))
+            .when(u32 < _VAL_T, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .transform(lambda df: sorted_small(df, "doc_id"))
+    )
+
+
+STRATIFIED_SPLIT_SQL = f"""
+SELECT doc_id, source, lang,
+  CASE WHEN u32 < {_TRAIN_T} THEN 'train'
+       WHEN u32 < {_VAL_T} THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source, lang,
+    CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      AS BIGINT) AS u32
+  FROM documents
+)
+ORDER BY doc_id
+"""

@@ -473,3 +473,150 @@ SELECT doc_id,
     '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS redacted_text
 FROM (SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM documents)
 """
+
+
+# ------------------------------------------- repetition / vocabulary ops
+
+def _ngram_strings(toks, n: int):
+    """Word n-gram strings (space-joined), empty array when the doc is
+    shorter than ``n`` — guarded because Spark's ``sequence(1, 0)``
+    DESCENDS instead of producing an empty range."""
+    cnt = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(cnt >= 1, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _dup_frac(grams):
+    """Fraction of n-gram OCCURRENCES that repeat an earlier occurrence
+    (Gopher-style duplicate n-gram fraction), 0.0 for empty docs."""
+    n = F.size(grams)
+    return F.round(
+        (n - F.size(F.array_distinct(grams))).cast("double")
+        / F.greatest(n, F.lit(1)),
+        6,
+    )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher/C4 quality-filter
+    family): duplicate 2-gram / 3-gram occurrence fractions plus the
+    most-frequent-token share.
+
+    Scale design: pure per-row array expressions — no explode, no
+    shuffle. ``top_token_frac`` is a LINEAR run-length fold over the
+    row's sorted token array (sort + one pass), not an
+    explode -> groupBy(doc_id, token) -> max pipeline, which would
+    shuffle every token occurrence in the corpus twice to answer a
+    per-row question."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    # run-length fold over the sorted tokens: the longest run IS the top
+    # token's multiplicity. prev='' never matches a real token (empties
+    # are filtered by _tokens).
+    top_run = F.aggregate(
+        F.array_sort(toks),
+        F.named_struct(
+            F.lit("prev"), F.lit(""), F.lit("run"), F.lit(0),
+            F.lit("best"), F.lit(0),
+        ),
+        lambda acc, t: F.named_struct(
+            F.lit("prev"), t,
+            F.lit("run"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            F.lit("best"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ),
+        ),
+        lambda acc: acc["best"],
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        _dup_frac(_ngram_strings(toks, 2)).alias("dup_2gram_frac"),
+        _dup_frac(_ngram_strings(toks, 3)).alias("dup_3gram_frac"),
+        F.round(
+            top_run.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("top_token_frac"),
+    )
+
+
+def _ngrams_sql(toks_e: str, n: int) -> str:
+    joined = " || ' ' || ".join(f"{toks_e}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks_e}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({toks_e}) - {n - 1}), "
+        f"i -> {joined}) ELSE [] END"
+    )
+
+
+def _dup_frac_sql(grams_e: str) -> str:
+    return (
+        f"round(CAST(len({grams_e}) - len(list_distinct({grams_e})) "
+        f"AS DOUBLE) / greatest(len({grams_e}), 1), 6)"
+    )
+
+
+# the oracle computes top_token_frac relationally (unnest + group), the
+# idiomatic DuckDB form; values match the Spark fold exactly
+REPETITION_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents),
+cnt AS (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id)
+SELECT t.doc_id,
+  len(t.toks) AS n_tokens,
+  {_dup_frac_sql(_ngrams_sql('t.toks', 2))} AS dup_2gram_frac,
+  {_dup_frac_sql(_ngrams_sql('t.toks', 3))} AS dup_3gram_frac,
+  round(CAST(coalesce(top.top_c, 0) AS DOUBLE)
+        / greatest(len(t.toks), 1), 6) AS top_token_frac
+FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+"""
+
+
+VOCAB_K = 100
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary: the ``VOCAB_K`` most frequent tokens with
+    occurrence and document frequencies (the input to stopword lists,
+    tokenizer vocabularies, and heavy-hitter diagnostics).
+
+    Scale design: explode -> groupBy(token) partially combines map-side
+    (token space << occurrence space), and the global top-k plans as
+    TakeOrderedAndProject — per-partition top-k, merged once — never a
+    full sort of the vocabulary. Deterministic tie-break: token ASC."""
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+    )
+    return (
+        occ.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(VOCAB_K)
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+SELECT tok AS token, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({_tokens_sql('text')}) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {VOCAB_K}
+"""

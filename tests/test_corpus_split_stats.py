@@ -1,0 +1,141 @@
+"""Semantics tests for the round-6 corpus operators: repetition stats,
+corpus vocabulary top-k, and the stratified train/val/test split.
+
+Oracle parity for all three lives in test_oracle_parity.py
+(unreg_l3_repetition_stats / unreg_l3_vocab_topk /
+unreg_l5_stratified_split); these tests pin the SEMANTICS the parity
+comparison can't see — hand-computed values on crafted rows, the
+stratification property, and determinism/independence guarantees.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from concerts_etl_sa_spark.operators import sampling as SMP
+from concerts_etl_sa_spark.operators import textstats as TS
+from concerts_etl_sa_spark.sources.readers import load_table
+
+from .conftest import SF_DIR
+
+
+# ---------------------------------------------------- repetition stats
+
+def _rep_on_text(spark, text: str):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = df.select(
+        "doc_id",
+        F.size(TS._tokens(F.col("text"))).alias("n_tokens"),
+        TS._dup_frac(TS._ngram_strings(TS._tokens(F.col("text")), 2)).alias(
+            "dup_2gram_frac"
+        ),
+        TS._dup_frac(TS._ngram_strings(TS._tokens(F.col("text")), 3)).alias(
+            "dup_3gram_frac"
+        ),
+    ).collect()[0]
+    return row
+
+
+def test_repetition_handcomputed_values(spark):
+    # tokens: a b a b a -> 2-grams [ab, ba, ab, ba]: 4 total, 2 distinct
+    row = _rep_on_text(spark, "a b a b a")
+    assert row.n_tokens == 5
+    assert row.dup_2gram_frac == 0.5
+    # 3-grams [aba, bab, aba]: 3 total, 2 distinct -> 1/3
+    assert row.dup_3gram_frac == round(1 / 3, 6)
+
+
+def test_repetition_short_docs_are_zero_not_negative(spark):
+    # 1 token: no 2-grams at all -> 0.0 (and the sequence() guard means
+    # no descending [1, 0] window artifacts)
+    row = _rep_on_text(spark, "solo")
+    assert row.n_tokens == 1
+    assert row.dup_2gram_frac == 0.0
+    assert row.dup_3gram_frac == 0.0
+
+
+def test_top_token_frac_is_max_multiplicity(spark):
+    out = {
+        r.doc_id: r
+        for r in TS.repetition_stats(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    for d in docs[:50]:
+        toks = [t for t in d.text.lower().split() if t]
+        want = (
+            round(Counter(toks).most_common(1)[0][1] / len(toks), 6)
+            if toks
+            else 0.0
+        )
+        assert abs(out[d.doc_id].top_token_frac - want) < 1e-9, d.doc_id
+
+
+# ------------------------------------------------------- vocab top-k
+
+def test_vocab_topk_matches_python_counts(spark):
+    out = TS.vocab_topk(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    occ = Counter()
+    dfq = Counter()
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        occ.update(toks)
+        dfq.update(set(toks))
+    want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[: TS.VOCAB_K]
+    got = [(r.token, r.n_occurrences) for r in out]
+    assert got == want
+    for r in out:
+        assert r.n_docs == dfq[r.token]
+
+
+def test_vocab_topk_plans_as_take_ordered(spark):
+    plan = TS.vocab_topk(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a full vocabulary sort
+
+
+# --------------------------------------------------- stratified split
+
+def test_split_matches_hash_gate_and_is_total(spark):
+    out = SMP.stratified_split(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(out) == n_docs  # an assignment, not a sample
+    for r in out[:200]:
+        u32 = int(
+            hashlib.md5(f"split:{r.doc_id}".encode()).hexdigest()[:8], 16
+        )
+        want = (
+            "train"
+            if u32 < SMP._TRAIN_T
+            else ("val" if u32 < SMP._VAL_T else "test")
+        )
+        assert r.split == want, r.doc_id
+
+
+def test_split_is_stratified_per_source(spark):
+    rows = SMP.stratified_split(spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, Counter())[r.split] += 1
+    for src, c in by_src.items():
+        n = sum(c.values())
+        if n < 15:
+            continue  # too small for a proportion check
+        # 80/10/10 in expectation; generous tolerance at test sf
+        assert 0.55 <= c["train"] / n <= 0.97, (src, dict(c))
+
+
+def test_split_independent_of_mixture_gate(spark):
+    # the salt means split membership is NOT the mixture-sample gate:
+    # some sampled-out docs are train, some sampled-in docs are test
+    split = {r.doc_id: r.split for r in SMP.stratified_split(spark, SF_DIR).collect()}
+    sampled = {r.doc_id for r in SMP.mixture_sample(spark, SF_DIR).collect()}
+    out_train = [d for d, s in split.items() if d not in sampled and s == "train"]
+    in_test = [d for d, s in split.items() if d in sampled and s == "test"]
+    assert out_train and in_test

@@ -60,6 +60,9 @@ def _all_queries():
     from concerts_etl_sa_spark.operators import dedup as D
     from concerts_etl_sa_spark.operators import similarity as S
 
+    from concerts_etl_sa_spark.operators import sampling as SP
+    from concerts_etl_sa_spark.operators import textstats as TS
+
     entries += [
         ("unreg_minhash_signatures", D.minhash_signatures,
          D.MINHASH_SIGNATURES_SQL),
@@ -68,6 +71,11 @@ def _all_queries():
         ("unreg_l2_ivf_recall", S.ivf_recall, S.IVF_RECALL_SQL),
         ("unreg_l1_simhash_quality", D.simhash_quality,
          D.SIMHASH_QUALITY_SQL),
+        ("unreg_l3_repetition_stats", TS.repetition_stats,
+         TS.REPETITION_STATS_SQL),
+        ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
+        ("unreg_l5_stratified_split", SP.stratified_split,
+         SP.STRATIFIED_SPLIT_SQL),
     ]
     return entries
 
