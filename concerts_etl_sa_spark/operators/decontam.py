@@ -87,26 +87,32 @@ def decontaminate_df(
         )
         .distinct()
     )
+    # explode_outer: a null-text doc has a null gram array and must still
+    # appear in the output with 0 hits. Every non-null text yields >= 1
+    # gram (the ragged short-doc window), so aggregating over ALL
+    # postings covers every corpus doc — no separate corpus-keys frame
+    # re-joined at the end (the previous form ran hits -> left join
+    # corpus.select(doc_id), two extra corpus-sized exchanges).
     postings = corpus.select(
-        "doc_id", F.explode(_ngram_fps(_tokens(F.col("text")))).alias("gram")
+        "doc_id",
+        F.explode_outer(_ngram_fps(_tokens(F.col("text")))).alias("gram"),
     )
+    # membership flag via broadcast LEFT join against the distinct eval
+    # set (never duplicates a posting); grams are per-doc distinct, so
+    # the flag sum IS the distinct shared-n-gram count
     hits = (
-        postings.join(F.broadcast(eval_grams), "gram")
-        # grams are per-doc distinct, so count(*) IS the distinct
-        # shared-n-gram count
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return (
-        corpus.select("doc_id")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hit_ngrams"),
-            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias(
-                "is_contaminated"
-            ),
+        postings.join(
+            F.broadcast(eval_grams.withColumn("hit", F.lit(1))),
+            "gram",
+            "left",
         )
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_hits").alias("n_hit_ngrams"),
+        (F.col("n_hits") >= min_hits).alias("is_contaminated"),
     )
 
 
