@@ -40,6 +40,21 @@ ROWS_PER_BAND = N_MINHASH // N_BANDS
 JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_HAMMING = 6
 
+# 60-bit simhash (15 hex chars of md5: the widest width whose unsigned
+# value still fits a SIGNED BIGINT in both engines), blocked as 4 x
+# 15-bit for candidate generation. Width is the simhash scale dial: the
+# block-key space is SIMHASH_BLOCKS << SIMHASH_BLOCK_BITS buckets, and
+# every bucket self-joins — the previous 32-bit/8-bit-block form had
+# only 4*256 = 1024 buckets TOTAL, so at corpus scale every bucket held
+# ~N/1024 docs and the join was effectively quadratic. 4*32768 buckets
+# pushes that ceiling up 128x; widen further (multi-table 64-bit via
+# two 30-bit halves) before it binds again.
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS
+_SIMHASH_HEX = SIMHASH_BITS // 4
+_SIMHASH_BLOCK_MASK = (1 << SIMHASH_BLOCK_BITS) - 1
+
 
 def _tokens(c):
     return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
@@ -493,48 +508,37 @@ ORDER BY a_id, b_id
 
 # ----------------------------------------------------------------- simhash
 
-def _simhash_sql(toks_e: str) -> str:
-    hashes = (
-        f"list_transform({toks_e}, "
-        "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
-    )
-    parts = []
-    for i in range(32):
-        parts.append(
-            f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << i}) <> 0))"
-            f" > len(hs) THEN {1 << i} ELSE 0 END)"
-        )
-    return f"(SELECT {' + '.join(parts)} FROM (SELECT {hashes} AS hs) _s)"
-
-
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash via explode -> per-bit vote aggregation.
 
     A single array-expression form would inline the token-hash array
-    into all 32 bit-count subexpressions — Catalyst does not CSE across
-    them, so every token would get md5'd 32x. This formulation
-    computes each token hash ONCE (explode -> one md5 per token row),
-    then aggregates 32 cheap +1/-1 bit votes with map-side partial
-    aggregation — the shape that scales: narrow (doc_id, hash) rows,
-    one shuffle keyed on doc_id.
+    into all SIMHASH_BITS bit-count subexpressions — Catalyst does not
+    CSE across them, so every token would get md5'd SIMHASH_BITS times.
+    This formulation computes each token hash ONCE (explode -> one md5
+    per token row), then aggregates SIMHASH_BITS cheap +1/-1 bit votes
+    with map-side partial aggregation — the shape that scales: narrow
+    (doc_id, hash) rows, one shuffle keyed on doc_id.
     """
     d = load_table(spark, sf_dir, "documents").repartition("doc_id")
     tok = d.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
     ).withColumn(
-        "h", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint")
+        "h",
+        F.conv(F.substring(F.md5("t"), 1, _SIMHASH_HEX), 16, 10).cast(
+            "bigint"
+        ),
     )
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(32)
+        for i in range(SIMHASH_BITS)
     ]
     sig = tok.groupBy("doc_id").agg(*votes).select(
         "doc_id",
         sum(
             F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            for i in range(32)
+            for i in range(SIMHASH_BITS)
         ).cast("bigint").alias("simhash"),
     )
     # docs whose token list is empty have no exploded rows: sig -> 0
@@ -547,12 +551,12 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_signatures_sql() -> str:
     hashes = (
         f"list_transform({_tokens_sql('text')}, "
-        "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))"
+        f"t -> CAST(('0x' || substr(md5(t), 1, {_SIMHASH_HEX})) AS BIGINT))"
     )
     parts = [
         f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << i}) <> 0))"
         f" > len(hs) THEN {1 << i} ELSE 0 END)"
-        for i in range(32)
+        for i in range(SIMHASH_BITS)
     ]
     return (
         f"SELECT doc_id, {' + '.join(parts)} AS simhash "
@@ -565,7 +569,7 @@ SIMHASH_SIGNATURES_SQL = _simhash_signatures_sql()
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: hamming(simhash) <= SIMHASH_MAX_HAMMING among
-    candidates sharing at least one signature byte (4-block blocking).
+    candidates sharing at least one 15-bit signature block.
 
     The signature index is cached — both self-join legs consume it and
     exchange reuse doesn't fire across the aliased subtrees. Scoped:
@@ -581,9 +585,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws(
                         ":",
                         F.lit(str(b)),
-                        F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)),
+                        F.shiftright("simhash", SIMHASH_BLOCK_BITS * b)
+                        .bitwiseAND(F.lit(_SIMHASH_BLOCK_MASK)),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_BLOCKS)
                 ]
             )
         ).alias("blk", "block_key"),
@@ -599,7 +604,9 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _blk(sig_col: str, b: int):
-        return F.shiftright(sig_col, 8 * b).bitwiseAND(F.lit(255))
+        return F.shiftright(sig_col, SIMHASH_BLOCK_BITS * b).bitwiseAND(
+            F.lit(_SIMHASH_BLOCK_MASK)
+        )
 
     # FIRST-shared-block emission: a pair sharing k of the 4 blocks would
     # match the join k times; instead of shuffling the duplicates into a
@@ -610,7 +617,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair then appears EXACTLY once and the dedup shuffle disappears.
     first_match = [
         (F.col("blk") <= bp) | (_blk("a_sig", bp) != _blk("b_sig", bp))
-        for bp in range(3)
+        for bp in range(SIMHASH_BLOCKS - 1)
     ]
     return (
         l.join(r, "block_key")
@@ -626,13 +633,15 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("a_id", "b_id", "hamming")
-        # NOT sorted_small: at sf0.1 this emits ~900k pairs (the synthetic
-        # docs are highly self-similar) — a fact-sized output, and the
-        # single-partition total sort was measured at ~1.1 s, 60% of the
-        # query. In-partition sort keeps parallelism and file-stat-friendly
-        # locally-ordered runs; the row SET is deterministic, the driver's
-        # value hash is order-insensitive, and the downstream consumer
-        # (connected components) is order-independent.
+        # NOT sorted_small: near-pair volume is fact-sized in general
+        # (the 32-bit signature emitted ~900k pairs at sf0.1 before the
+        # width change; ~9k after — still unbounded in the corpus size),
+        # and the single-partition total sort was measured at ~1.1 s on
+        # the fat output. In-partition sort keeps parallelism and
+        # file-stat-friendly locally-ordered runs; the row SET is
+        # deterministic, the driver's value hash is order-insensitive,
+        # and the downstream consumer (connected components) is
+        # order-independent.
         .sortWithinPartitions("a_id", "b_id")
     )
 
@@ -742,15 +751,18 @@ FROM m
 """
 
 
+_BLOCK_KEYS_SQL = ",\n           ".join(
+    f"concat_ws(':', '{b}', (simhash >> {SIMHASH_BLOCK_BITS * b}) "
+    f"& {_SIMHASH_BLOCK_MASK})"
+    for b in range(SIMHASH_BLOCKS)
+)
+
 SIMHASH_NEAR_PAIRS_SQL = f"""
 WITH sig AS ({_simhash_signatures_sql()}),
 blocks AS (
   SELECT doc_id, simhash,
          unnest([
-           concat_ws(':', '0', (simhash >> 0) & 255),
-           concat_ws(':', '1', (simhash >> 8) & 255),
-           concat_ws(':', '2', (simhash >> 16) & 255),
-           concat_ws(':', '3', (simhash >> 24) & 255)
+           {_BLOCK_KEYS_SQL}
          ]) AS block_key
   FROM sig
 ),

@@ -67,9 +67,11 @@ def test_simhash_quality_pinned_bounds(spark):
     row = simhash_quality(spark, SF_DIR).collect()[0]
     assert row.n_truth > 0 and row.n_pred > 0
     assert row.n_hit <= min(row.n_pred, row.n_truth)
-    # hamming<=6 over 32 bits is a deliberately loose net on the highly
-    # self-similar synthetic corpus: near-total recall of true J>=0.5
-    # pairs (measured 0.964 at sf0.001), tiny precision (0.0026) — the
-    # exact-verify stage downstream exists precisely because of this.
-    assert row.recall >= 0.9, row.recall
-    assert 0.0 < row.precision <= 1.0
+    # hamming<=6 over the 60-bit simhash: the round-6 widening (32 -> 60
+    # bits, 8 -> 15-bit blocks) traded a little recall for two orders of
+    # magnitude of precision — measured at sf0.001: recall 0.964 -> 0.893,
+    # precision 0.0026 -> 0.245, predicted pairs ~39k -> 102. The wider
+    # blocks are also the scale fix: 4*32768 block buckets instead of
+    # 4*256, so the candidate self-join stops being ~N^2/1024.
+    assert row.recall >= 0.85, row.recall
+    assert row.precision >= 0.1, row.precision
