@@ -520,8 +520,13 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, hash) rows, one shuffle keyed on doc_id.
     """
     d = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    # explode_outer: an empty/null token list yields ONE null-token row
+    # instead of vanishing, so the aggregate covers every doc and no
+    # doc-id frame needs re-joining afterwards to restore simhash=0 rows
+    # (the null h votes -1 on every bit -> all-zero signature, exactly
+    # the oracle's empty-input result).
     tok = d.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
+        "doc_id", F.explode_outer(_tokens(F.col("text"))).alias("t")
     ).withColumn(
         "h",
         F.conv(F.substring(F.md5("t"), 1, _SIMHASH_HEX), 16, 10).cast(
@@ -534,17 +539,12 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"v{i}")
         for i in range(SIMHASH_BITS)
     ]
-    sig = tok.groupBy("doc_id").agg(*votes).select(
+    return tok.groupBy("doc_id").agg(*votes).select(
         "doc_id",
         sum(
             F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
             for i in range(SIMHASH_BITS)
         ).cast("bigint").alias("simhash"),
-    )
-    # docs whose token list is empty have no exploded rows: sig -> 0
-    # (matches the array form / oracle on empty input)
-    return d.select("doc_id").join(sig, "doc_id", "left").select(
-        "doc_id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash")
     )
 
 
