@@ -75,3 +75,26 @@ def test_consolidate_matched_ids_unique(spark):
     n = matched.count()
     assert matched.select("shotgun_event_id").distinct().count() == n
     assert matched.select("dice_event_id").distinct().count() == n
+
+
+def test_simhash_signatures_cover_degenerate_docs(spark, tmp_path):
+    # explode_outer coverage: empty/null/whitespace text must still get a
+    # (doc_id, 0) signature row with no doc-frame re-join in the plan
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    from concerts_etl_sa_spark.operators.dedup import simhash_signatures
+
+    out = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2] == out[3] == out[4] == 0
+    assert out[1] != 0
