@@ -39,8 +39,8 @@ EVAL_MOD = 10    # eval split: doc_id % EVAL_MOD == EVAL_REM
 EVAL_REM = 7
 
 
-def _ngram_fps(toks):
-    """Distinct 64-bit fingerprints of the N_GRAM-word shingles.
+def _ngram_fps(toks, n: int = N_GRAM):
+    """Distinct 64-bit fingerprints of the ``n``-word shingles.
 
     The Spark side never materializes the n-gram STRINGS: each window is
     fingerprinted directly from its 5 token columns with ``xxhash64`` —
@@ -55,20 +55,20 @@ def _ngram_fps(toks):
     """
     raw = F.transform(
         F.sequence(
-            F.lit(1), F.greatest(F.size(toks) - F.lit(N_GRAM - 1), F.lit(1))
+            F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
         ),
         lambda i: F.xxhash64(
-            *[F.element_at(toks, i + j) for j in range(N_GRAM)]
+            *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
     return F.array_distinct(raw)
 
 
-def _ngrams_sql(toks_e: str) -> str:
-    cols = ", ".join(f"{toks_e}[i+{j}]" for j in range(N_GRAM))
+def _ngrams_sql(toks_e: str, n: int = N_GRAM) -> str:
+    cols = ", ".join(f"{toks_e}[i+{j}]" for j in range(n))
     return (
         "list_distinct(list_transform("
-        f"generate_series(1, greatest(len({toks_e}) - {N_GRAM - 1}, 1)), "
+        f"generate_series(1, greatest(len({toks_e}) - {n - 1}, 1)), "
         f"i -> concat_ws(' ', {cols})))"
     )
 
@@ -150,4 +150,86 @@ SELECT corpus.doc_id,
        coalesce(hits.n_hits, 0) >= {MIN_HITS} AS is_contaminated
 FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
 ORDER BY corpus.doc_id
+"""
+
+
+# ------------------------------------------------ cross-doc duplicate spans
+
+SPAN_TOKENS = 8  # window width for repeated-passage detection
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (the exact-substring
+    dedup signal of Lee et al. 2022, approximated with fixed
+    ``SPAN_TOKENS``-word windows): per doc, how many of its distinct
+    token windows also appear in at least one OTHER document.
+
+    The per-doc ``shared_frac`` is the boilerplate score a curation
+    pipeline thresholds on (license headers, navigation chrome, share
+    buttons all repeat verbatim across pages).
+
+    Scale design: per-doc-distinct window fingerprints explode to slim
+    (doc_id, gram) postings; the cross-doc occurrence count is a WINDOW
+    count over the gram key — because postings are per-doc distinct,
+    count(*) over the gram partition IS the distinct-document count, so
+    no self-join or doc-doc pair ever materializes. Two shuffles total
+    (gram window + doc_id rollup), both on high-cardinality keys; a
+    degenerate corpus-wide hot gram costs one fat window partition, not
+    a quadratic join fan-out.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    posts = d.select(
+        "doc_id",
+        F.explode_outer(
+            _ngram_fps(_tokens(F.col("text")), n=SPAN_TOKENS)
+        ).alias("gram"),
+    )
+    from pyspark.sql.window import Window
+
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    flagged = posts.withColumn(
+        "is_shared",
+        F.col("gram").isNotNull() & (n_docs >= 2),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("gram").alias("n_spans"),
+            F.sum(F.col("is_shared").cast("int")).alias("n_shared_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared_spans",
+            F.round(
+                F.col("n_shared_spans").cast("double")
+                / F.greatest(F.col("n_spans"), F.lit(1)),
+                6,
+            ).alias("shared_frac"),
+        )
+    )
+
+
+DUPLICATE_SPANS_SQL = f"""
+WITH posts AS (
+  SELECT doc_id, unnest({_ngrams_sql(_tokens_sql('text'), SPAN_TOKENS)})
+           AS gram
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, gram,
+         count(*) OVER (PARTITION BY gram) >= 2 AS is_shared
+  FROM posts
+)
+SELECT d.doc_id,
+  coalesce(f.n_spans, 0) AS n_spans,
+  coalesce(f.n_shared_spans, 0) AS n_shared_spans,
+  round(CAST(coalesce(f.n_shared_spans, 0) AS DOUBLE)
+        / greatest(coalesce(f.n_spans, 0), 1), 6) AS shared_frac
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN is_shared THEN 1 ELSE 0 END) AS n_shared_spans
+  FROM flagged GROUP BY doc_id
+) f ON d.doc_id = f.doc_id
 """

@@ -139,3 +139,43 @@ def test_split_independent_of_mixture_gate(spark):
     out_train = [d for d, s in split.items() if d not in sampled and s == "train"]
     in_test = [d for d, s in split.items() if d in sampled and s == "test"]
     assert out_train and in_test
+
+
+# ------------------------------------------------- duplicate spans
+
+def test_duplicate_spans_crafted_corpus(spark, tmp_path):
+    from concerts_etl_sa_spark.operators.decontam import (
+        SPAN_TOKENS,
+        duplicate_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(SPAN_TOKENS))  # exact window
+    docs = [
+        (1, boiler + " unique one alpha beta gamma delta"),
+        (2, boiler + " other tail epsilon zeta eta theta"),
+        (3, "entirely different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in duplicate_spans(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    # docs 1 and 2 share exactly the boilerplate window; doc 3 shares none
+    assert out[1].n_shared_spans == 1 and out[2].n_shared_spans == 1
+    assert out[3].n_shared_spans == 0 and out[3].shared_frac == 0.0
+    assert 0 < out[1].shared_frac < 1
+
+
+def test_duplicate_spans_no_join_in_plan(spark):
+    from concerts_etl_sa_spark.operators.decontam import duplicate_spans
+
+    plan = (
+        duplicate_spans(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the cross-doc count is a window over the gram key; a self-join of
+    # the postings (doc-doc pair fan-out) must never appear
+    assert "Join" not in plan

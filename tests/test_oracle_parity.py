@@ -57,6 +57,7 @@ def _all_queries():
     # Oracle-backed ops NOT in the registry (the driver window holds 50
     # entries; these signature intermediates are consumed by their
     # *_pairs registry entries) still get pytest-level oracle parity.
+    from concerts_etl_sa_spark.operators import decontam as DC
     from concerts_etl_sa_spark.operators import dedup as D
     from concerts_etl_sa_spark.operators import similarity as S
 
@@ -71,6 +72,8 @@ def _all_queries():
         ("unreg_l2_ivf_recall", S.ivf_recall, S.IVF_RECALL_SQL),
         ("unreg_l1_simhash_quality", D.simhash_quality,
          D.SIMHASH_QUALITY_SQL),
+        ("unreg_l1_duplicate_spans", DC.duplicate_spans,
+         DC.DUPLICATE_SPANS_SQL),
         ("unreg_l3_repetition_stats", TS.repetition_stats,
          TS.REPETITION_STATS_SQL),
         ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
