@@ -620,3 +620,83 @@ GROUP BY tok
 ORDER BY n_occurrences DESC, token ASC
 LIMIT {VOCAB_K}
 """
+
+
+TFIDF_TOP_N = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-``TFIDF_TOP_N`` terms by smoothed tf-idf — the
+    classic feature-extraction op for quality classifiers and topic
+    diagnostics (tf = term count / doc length; idf = ln((N+1)/(df+1))).
+
+    Scale design: term counts shuffle once on (doc_id, token); document
+    frequencies are a token-keyed aggregate whose result is the
+    VOCABULARY dimension — broadcast to the postings, so scoring never
+    reshuffles the corpus; the per-doc top-n is a window over doc_id
+    (high-cardinality key, no skew). Deterministic: tfidf rounded to
+    6 dp before ranking, ties broken token ASC — identical in the
+    DuckDB twin."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = _tokens(F.col("text"))
+    occ = d.select(
+        "doc_id",
+        F.size(toks).alias("doc_len"),
+        F.explode(toks).alias("token"),
+    )
+    counts = occ.groupBy("doc_id", "doc_len", "token").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    dfreq = counts.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    from pyspark.sql.window import Window
+
+    scored = counts.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            (F.col("tc").cast("double") / F.col("doc_len"))
+            * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_N)
+        .select("doc_id", "token", "tfidf", "rn")
+    )
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH occ AS (
+  SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS token
+  FROM (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents)
+),
+counts AS (
+  SELECT doc_id, doc_len, token, count(*) AS tc
+  FROM occ GROUP BY doc_id, doc_len, token
+),
+dfreq AS (SELECT token, count(*) AS df FROM counts GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT c.doc_id, c.token,
+         round((CAST(c.tc AS DOUBLE) / c.doc_len)
+               * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+  FROM counts c JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, rn FROM (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+) WHERE rn <= {TFIDF_TOP_N}
+"""
+
+
+TFIDF_TOP_TERMS_SQL = _tfidf_sql()

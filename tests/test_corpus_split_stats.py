@@ -179,3 +179,44 @@ def test_duplicate_spans_no_join_in_plan(spark):
     # the cross-doc count is a window over the gram key; a self-join of
     # the postings (doc-doc pair fan-out) must never appear
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------- tf-idf
+
+def test_tfidf_top_terms_matches_python(spark):
+    import math
+
+    out = {}
+    for r in TS.tfidf_top_terms(spark, SF_DIR).collect():
+        out.setdefault(r.doc_id, []).append((r.rn, r.token, r.tfidf))
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    n = len(docs)
+    dfq = Counter()
+    tokd = {}
+    for d in docs:
+        toks = [t for t in d.text.lower().split() if t]
+        tokd[d.doc_id] = toks
+        dfq.update(set(toks))
+    for d in docs[:30]:
+        toks = tokd[d.doc_id]
+        if not toks:
+            assert d.doc_id not in out
+            continue
+        cnt = Counter(toks)
+        scored = sorted(
+            (
+                (
+                    round(
+                        (c / len(toks)) * math.log((n + 1) / (dfq[t] + 1)), 6
+                    ),
+                    t,
+                )
+                for t, c in cnt.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[: TS.TFIDF_TOP_N]
+        got = sorted(out[d.doc_id])
+        want = [(i + 1, t, s) for i, (s, t) in enumerate(scored)]
+        assert got == want, d.doc_id

@@ -77,6 +77,8 @@ def _all_queries():
         ("unreg_l3_repetition_stats", TS.repetition_stats,
          TS.REPETITION_STATS_SQL),
         ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
+        ("unreg_l3_tfidf_top_terms", TS.tfidf_top_terms,
+         TS.TFIDF_TOP_TERMS_SQL),
         ("unreg_l5_stratified_split", SP.stratified_split,
          SP.STRATIFIED_SPLIT_SQL),
     ]
