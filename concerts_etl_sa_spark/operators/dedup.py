@@ -651,13 +651,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_EVAL_MAX_ID = 1_000  # bounded eval sample: ground truth is quadratic
 
 
-def simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision/recall of simhash (hamming <= {SIMHASH_MAX_HAMMING})
-    against EXACT Jaccard >= {JACCARD_THRESHOLD} ground truth, over docs
-    with doc_id < SIMHASH_EVAL_MAX_ID — the dedup family's quality
-    harness (the pair operators report counts; this pins how good the
-    approximation is). Oracle-parity-tested as
-    ``unreg_l1_simhash_quality``; recall lower bound pinned in pytest.
+def _pair_quality(spark, sf_dir: str, pred_pairs: DataFrame, scope: str) -> DataFrame:
+    """Shared precision/recall core for the dedup quality harnesses:
+    ``pred_pairs`` (a_id, b_id) vs EXACT Jaccard >= JACCARD_THRESHOLD
+    ground truth over docs with doc_id < SIMHASH_EVAL_MAX_ID.
 
     The truth side enumerates ALL pairs of the bounded sample — quadratic
     BY DEFINITION (evaluation, not production; same status as the ANN
@@ -667,19 +664,19 @@ def simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One row: n_pred, n_truth, n_hit, precision, recall.
     """
-    begin_scope("simhash_quality")
+    begin_scope(scope)
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < SIMHASH_EVAL_MAX_ID)
         .repartition("doc_id")
     )
-    ds = scoped_persist("simhash_quality", _with_shingles(d))
+    ds = scoped_persist(scope, _with_shingles(d))
     a = ds.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
     b = ds.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
     truth = scoped_persist(
-        "simhash_quality",
+        scope,
         a.crossJoin(F.broadcast(b))
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn(
@@ -690,13 +687,11 @@ def simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id"),
     )
     pred = scoped_persist(
-        "simhash_quality",
-        simhash_near_pairs(spark, sf_dir)
-        .filter(
+        scope,
+        pred_pairs.filter(
             (F.col("a_id") < SIMHASH_EVAL_MAX_ID)
             & (F.col("b_id") < SIMHASH_EVAL_MAX_ID)
-        )
-        .select("a_id", "b_id"),
+        ).select("a_id", "b_id"),
     )
     n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -720,6 +715,27 @@ def simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of simhash (hamming <= SIMHASH_MAX_HAMMING) vs
+    exact-Jaccard truth — oracle-parity-tested as
+    ``unreg_l1_simhash_quality``; recall lower bound pinned in pytest."""
+    return _pair_quality(
+        spark, sf_dir, simhash_near_pairs(spark, sf_dir), "simhash_quality"
+    )
+
+
+def minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding recall of minhash LSH vs exact-Jaccard truth. The pair
+    operator verifies exact Jaccard on every candidate, so precision is
+    1.0 BY CONSTRUCTION (pinned in pytest); the informative number is
+    recall — the probability that a true pair shares at least one of the
+    N_BANDS band fingerprints. Oracle-parity-tested as
+    ``unreg_l1_minhash_quality``."""
+    return _pair_quality(
+        spark, sf_dir, minhash_lsh_pairs(spark, sf_dir), "minhash_quality"
+    )
+
+
 def _simhash_quality_sql() -> str:
     jacc = (
         "round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
@@ -736,7 +752,7 @@ truth AS (
   WHERE {jacc} >= {JACCARD_THRESHOLD}
 ),
 pred AS (
-  SELECT a_id, b_id FROM ({{SIMHASH_PAIRS}})
+  SELECT a_id, b_id FROM ({{PAIRS}})
   WHERE a_id < {SIMHASH_EVAL_MAX_ID} AND b_id < {SIMHASH_EVAL_MAX_ID}
 ),
 m AS (
@@ -779,5 +795,9 @@ ORDER BY a_id, b_id
 """
 
 SIMHASH_QUALITY_SQL = _simhash_quality_sql().format(
-    SIMHASH_PAIRS=SIMHASH_NEAR_PAIRS_SQL
+    PAIRS=SIMHASH_NEAR_PAIRS_SQL
+)
+
+MINHASH_QUALITY_SQL = _simhash_quality_sql().format(
+    PAIRS=MINHASH_LSH_PAIRS_SQL
 )

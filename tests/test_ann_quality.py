@@ -75,3 +75,16 @@ def test_simhash_quality_pinned_bounds(spark):
     # 4*256, so the candidate self-join stops being ~N^2/1024.
     assert row.recall >= 0.85, row.recall
     assert row.precision >= 0.1, row.precision
+
+
+def test_minhash_quality_precision_is_one_by_construction(spark):
+    from concerts_etl_sa_spark.operators.dedup import minhash_quality
+
+    row = minhash_quality(spark, SF_DIR).collect()[0]
+    assert row.n_truth > 0
+    # every emitted pair passed the exact-Jaccard verify, so a predicted
+    # pair inside the eval sample IS a truth pair
+    assert row.precision == 1.0, row.precision
+    # banding recall: P(share >= 1 of 4 bands) for J >= 0.5 is high;
+    # measured 1.0 at sf0.001
+    assert row.recall >= 0.9, row.recall

@@ -72,6 +72,8 @@ def _all_queries():
         ("unreg_l2_ivf_recall", S.ivf_recall, S.IVF_RECALL_SQL),
         ("unreg_l1_simhash_quality", D.simhash_quality,
          D.SIMHASH_QUALITY_SQL),
+        ("unreg_l1_minhash_quality", D.minhash_quality,
+         D.MINHASH_QUALITY_SQL),
         ("unreg_l1_duplicate_spans", DC.duplicate_spans,
          DC.DUPLICATE_SPANS_SQL),
         ("unreg_l3_repetition_stats", TS.repetition_stats,
