@@ -8,9 +8,9 @@ matching.py:65-79) to training-data-pipeline scale:
 - MinHash + LSH      : k hash functions over 3-word shingles, banded into
                        LSH buckets; candidate pairs share >=1 bucket; then
                        exact Jaccard verify >= threshold
-- SimHash            : 32-bit per-bit-vote signature; near-dup = small
-                       hamming distance among candidates sharing a byte
-                       (classic 4-block simhash blocking)
+- SimHash            : 60-bit per-bit-vote signature; near-dup = small
+                       hamming distance among candidates sharing a
+                       15-bit block (classic 4-block simhash blocking)
 - n-gram Jaccard     : exact shingle-set Jaccard on LSH candidates
 
 Scale design (100 TB): every pairwise op is blocked — LSH band buckets or
