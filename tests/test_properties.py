@@ -128,8 +128,12 @@ def test_stable_id_deterministic_and_distinct(spark, pairs):
     # legitimately share an id, so dedup the key space first
     from collections import Counter
 
+    # the id key is SECOND-resolution (date_format to ss, and the frame
+    # truncates microseconds) — dedup the key space at the same
+    # resolution, or a microsecond-only-differing pair legitimately
+    # shares an id and falsifies the distinctness claim
     key_counts = Counter(
-        (r["slug"], p[1]) for r, p in zip(out, pairs)
+        (r["slug"], p[1].replace(microsecond=0)) for r, p in zip(out, pairs)
     )
     if all(v == 1 for v in key_counts.values()):
         ids = [r["id1"] for r in out]
