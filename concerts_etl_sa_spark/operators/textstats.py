@@ -638,7 +638,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 dp before ranking, ties broken token ASC — identical in the
     DuckDB twin."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # N stays a lazy broadcast 1-row frame (the SQL twin's CROSS JOIN n),
+    # never a driver-side d.count() at plan-construction time
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = _tokens(F.col("text"))
     occ = d.select(
         "doc_id",
@@ -653,14 +655,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    scored = counts.join(F.broadcast(dfreq), "token").select(
-        "doc_id",
-        "token",
-        F.round(
-            (F.col("tc").cast("double") / F.col("doc_len"))
-            * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))),
-            6,
-        ).alias("tfidf"),
+    scored = (
+        counts.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("tc").cast("double") / F.col("doc_len"))
+                * F.log(
+                    (F.col("n_docs") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1.0))
+                ),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("token")
