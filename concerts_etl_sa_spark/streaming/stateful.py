@@ -92,3 +92,26 @@ def run_streaming_dedup(events: DataFrame, out_path: str, checkpoint: str):
         .format("parquet")
         .start()
     )
+
+
+def streaming_dedup_watermarked(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """NATIVE bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    key's event time falls behind the watermark, then evicts it — the
+    built-in twin of :func:`streaming_dedup_by_user` for the common case
+    where duplicates arrive close together in event time (retried
+    scrapes, at-least-once upstream replays). Use the
+    applyInPandasWithState form when dedup memory must outlive the
+    watermark or the state is richer than a key set; use this one when
+    it needn't — the state store handles eviction with zero custom code
+    and no Python in the stream.
+
+    Keyed on event_id alone (global dedup, not per-user): state scales
+    with the number of DISTINCT ids inside the watermark horizon."""
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )

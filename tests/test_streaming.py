@@ -131,3 +131,35 @@ def test_drain_until_fixpoint(spark, staged):
     res2 = S.drain_until_fixpoint(spark, src, out, ckpt)
     assert res2["rows"] == n_src
     assert spark.read.parquet(out).count() == 2 * n_src
+
+
+def test_native_watermarked_dedup_drops_replays(spark, staged):
+    # day2 is a byte-identical replay of day1 (an at-least-once upstream
+    # re-delivery): the native watermarked dedup must emit each event_id
+    # exactly once across both files
+    from concerts_etl_sa_spark.streaming.stateful import (
+        streaming_dedup_watermarked,
+    )
+
+    shutil.copy(SRC, staged / "src" / "day2.parquet")
+    out = str(staged / "dedup_out")
+    ckpt = str(staged / "dedup_ckpt")
+    ev = S.read_events_stream(spark, str(staged / "src"))
+    q = (
+        streaming_dedup_watermarked(ev)
+        .writeStream.trigger(availableNow=True)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .format("parquet")
+        .start()
+    )
+    _await(q)
+    got = spark.read.parquet(out)
+    n_src = load_table(spark, SF_DIR, "events").count()
+    n_distinct = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id").distinct().count()
+    )
+    assert got.count() == n_distinct < 2 * n_src
+    assert got.select("event_id").distinct().count() == n_distinct
