@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from ._cachescope import begin_scope, scoped_persist
 from .dedup import _tokens, _tokens_sql
 from .util import sorted_small
 
@@ -87,12 +88,16 @@ def decontaminate_df(
         )
         .distinct()
     )
-    # explode_outer: a null-text doc has a null gram array and must still
-    # appear in the output with 0 hits. Every non-null text yields >= 1
-    # gram (the ragged short-doc window), so aggregating over ALL
-    # postings covers every corpus doc — no separate corpus-keys frame
-    # re-joined at the end (the previous form ran hits -> left join
-    # corpus.select(doc_id), two extra corpus-sized exchanges).
+    # The ragged window means the gram array is never null/empty: even a
+    # null/empty text yields exactly ONE gram (xxhash64 over the
+    # out-of-range NULLs is a non-null constant — the oracle's
+    # concat_ws '' twin), so aggregating over ALL postings covers every
+    # corpus doc — no separate corpus-keys frame re-joined at the end
+    # (the previous form ran hits -> left join corpus.select(doc_id),
+    # two extra corpus-sized exchanges). Degenerate (token-less) docs
+    # can therefore share their constant gram with a degenerate eval
+    # doc, contributing at most 1 hit — below MIN_HITS, never flagged.
+    # explode_outer is a defensive no-op kept for shape stability.
     postings = corpus.select(
         "doc_id",
         F.explode_outer(_ngram_fps(_tokens(F.col("text")))).alias("gram"),
@@ -169,57 +174,88 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     buttons all repeat verbatim across pages).
 
     Scale design: per-doc-distinct window fingerprints explode to slim
-    (doc_id, gram) postings; the cross-doc occurrence count is a WINDOW
-    count over the gram key — because postings are per-doc distinct,
-    count(*) over the gram partition IS the distinct-document count, so
-    no self-join or doc-doc pair ever materializes. Two shuffles total
-    (gram window + doc_id rollup), both on high-cardinality keys; a
-    degenerate corpus-wide hot gram costs one fat window partition, not
-    a quadratic join fan-out.
-    """
-    d = load_table(spark, sf_dir, "documents")
-    posts = d.select(
-        "doc_id",
-        F.explode_outer(
-            _ngram_fps(_tokens(F.col("text")), n=SPAN_TOKENS)
-        ).alias("gram"),
-    )
-    from pyspark.sql.window import Window
+    (doc_id, gram) postings; the cross-doc occurrence count is a
+    ``groupBy(gram).count()`` — map-side partial combine collapses even
+    a corpus-wide hot gram (a license header in 10% of documents) to
+    one row per partition BEFORE the exchange, so no single task ever
+    holds a gram's full posting list (the previous window-count form
+    put every hot-gram posting in ONE window partition, a straggler
+    with no AQE remedy — skew splitting only exists for joins). The
+    count joins back to the postings on the gram key, where AQE
+    skew-join handles the fat side. Because postings are per-doc
+    distinct, count(*) per gram IS the distinct-document count — no
+    self-join or doc-doc pair ever materializes. The postings frame is
+    scoped-persisted: both the gram count and the join-back consume it,
+    and the tokenize+fingerprint projection is the CPU-heavy stage (the
+    standard materialize-the-index trade, same as the LSH signatures).
 
-    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gram"))
-    flagged = posts.withColumn(
-        "is_shared",
-        F.col("gram").isNotNull() & (n_docs >= 2),
-    )
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("gram").alias("n_spans"),
-            F.sum(F.col("is_shared").cast("int")).alias("n_shared_spans"),
-        )
-        .select(
+    Degenerate docs score zero BY CONSTRUCTION: the ragged window is
+    gated on ``size(toks) >= 1``, so empty/null/whitespace-only
+    documents emit no spans at all (previously every degenerate doc
+    shared the identical all-NULL-window fingerprint and scored
+    shared_frac = 1.0 — a thresholding artifact); they re-enter via the
+    final left join with n_spans = 0, shared_frac = 0.
+    """
+    return duplicate_spans_df(load_table(spark, sf_dir, "documents"))
+
+
+def duplicate_spans_df(d: DataFrame) -> DataFrame:
+    """df-based core of :func:`duplicate_spans` over any (doc_id, text)
+    frame — the hot-gram skew stress test drives this directly."""
+    toks = _tokens(F.col("text"))
+    begin_scope("duplicate_spans")
+    posts = scoped_persist(
+        "duplicate_spans",
+        d.select(
             "doc_id",
-            "n_spans",
-            "n_shared_spans",
-            F.round(
-                F.col("n_shared_spans").cast("double")
-                / F.greatest(F.col("n_spans"), F.lit(1)),
-                6,
-            ).alias("shared_frac"),
+            F.explode(
+                F.when(
+                    F.size(toks) >= 1, _ngram_fps(toks, n=SPAN_TOKENS)
+                )
+            ).alias("gram"),
+        ),
+    )
+    gram_docs = posts.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("gram_docs")
+    )
+    per_doc = (
+        posts.join(gram_docs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("gram_docs") >= 2).cast("int")).alias(
+                "n_shared_spans"
+            ),
         )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_shared_spans", F.lit(0)).alias("n_shared_spans"),
+        F.round(
+            F.coalesce("n_shared_spans", F.lit(0)).cast("double")
+            / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+            6,
+        ).alias("shared_frac"),
     )
 
 
 DUPLICATE_SPANS_SQL = f"""
 WITH posts AS (
-  SELECT doc_id, unnest({_ngrams_sql(_tokens_sql('text'), SPAN_TOKENS)})
-           AS gram
-  FROM documents
+  SELECT doc_id, unnest(grams) AS gram
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 1
+                THEN {_ngrams_sql('toks', SPAN_TOKENS)} END AS grams
+    FROM (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents)
+  )
 ),
-flagged AS (
-  SELECT doc_id, gram,
-         count(*) OVER (PARTITION BY gram) >= 2 AS is_shared
-  FROM posts
+gram_docs AS (SELECT gram, count(*) AS gram_docs FROM posts GROUP BY gram),
+f AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN gram_docs >= 2 THEN 1 ELSE 0 END) AS n_shared_spans
+  FROM posts JOIN gram_docs USING (gram)
+  GROUP BY doc_id
 )
 SELECT d.doc_id,
   coalesce(f.n_spans, 0) AS n_spans,
@@ -227,9 +263,5 @@ SELECT d.doc_id,
   round(CAST(coalesce(f.n_shared_spans, 0) AS DOUBLE)
         / greatest(coalesce(f.n_spans, 0), 1), 6) AS shared_frac
 FROM documents d
-LEFT JOIN (
-  SELECT doc_id, count(*) AS n_spans,
-         sum(CASE WHEN is_shared THEN 1 ELSE 0 END) AS n_shared_spans
-  FROM flagged GROUP BY doc_id
-) f ON d.doc_id = f.doc_id
+LEFT JOIN f ON d.doc_id = f.doc_id
 """

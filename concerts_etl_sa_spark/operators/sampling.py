@@ -95,8 +95,12 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids hash uniformly WITHIN each source, the split is stratified
     by construction: each source hits the 80/10/10 proportions in
     expectation with no per-source bookkeeping, shuffle, or state — a
-    pure scalar projection at 100 TB. The assignment column (not three
-    filtered outputs) lets one scan feed all three consumers.
+    pure scalar projection at 100 TB, emitted UNORDERED (the output is
+    corpus-sized, one row per document, so a total sort would violate
+    ``sorted_small``'s dimension-sized contract; the parity harness is
+    order-insensitive, like repetition_stats/tfidf). The assignment
+    column (not three filtered outputs) lets one scan feed all three
+    consumers.
     """
     d = load_table(spark, sf_dir, "documents")
     u32 = F.conv(
@@ -106,17 +110,14 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         16, 10,
     ).cast("bigint")
-    return (
-        d.select(
-            "doc_id",
-            "source",
-            "lang",
-            F.when(u32 < _TRAIN_T, F.lit("train"))
-            .when(u32 < _VAL_T, F.lit("val"))
-            .otherwise(F.lit("test"))
-            .alias("split"),
-        )
-        .transform(lambda df: sorted_small(df, "doc_id"))
+    return d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(u32 < _TRAIN_T, F.lit("train"))
+        .when(u32 < _VAL_T, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
     )
 
 

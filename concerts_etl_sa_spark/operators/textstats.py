@@ -631,9 +631,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostics (tf = term count / doc length; idf = ln((N+1)/(df+1))).
 
     Scale design: term counts shuffle once on (doc_id, token); document
-    frequencies are a token-keyed aggregate whose result is the
-    VOCABULARY dimension — broadcast to the postings, so scoring never
-    reshuffles the corpus; the per-doc top-n is a window over doc_id
+    frequencies are a token-keyed aggregate JOINED back on the token key.
+    No broadcast hint: a web-scale corpus's vocabulary is heavy-tailed
+    and effectively unbounded (urls, typos — easily 1e9+ distinct
+    tokens), so forcing a broadcast of dfreq would overflow the driver
+    at the 100 TB design point. AQE still picks a broadcast join
+    whenever the measured dfreq size fits (it does at every test sf);
+    when it doesn't, the join is already co-keyed with the counts
+    shuffle. The per-doc top-n is a window over doc_id
     (high-cardinality key, no skew). Deterministic: tfidf rounded to
     6 dp before ranking, ties broken token ASC — identical in the
     DuckDB twin."""
@@ -656,7 +661,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     scored = (
-        counts.join(F.broadcast(dfreq), "token")
+        counts.join(dfreq, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

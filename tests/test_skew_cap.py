@@ -117,6 +117,65 @@ def test_bad_heavy_bucket_mode_rejected(spark):
         ).collect()
 
 
+def test_duplicate_spans_hot_gram_uses_groupby_not_window(spark):
+    """Corpus-wide hot gram (one 8-token span in 20% of docs): the
+    cross-doc count must be a map-side-combining groupBy + join back —
+    a Window over the gram key would put every hot-gram posting in ONE
+    window partition (single-task straggler, no AQE skew remedy)."""
+    from concerts_etl_sa_spark.operators.decontam import duplicate_spans_df
+
+    hot = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = []
+    for i in range(100):
+        if i % 5 == 0:
+            tail = " ".join(f"d{i}w{j}" for j in range(8))
+            rows.append((i, f"{hot} {tail}"))
+        else:
+            rows.append((i, " ".join(f"u{i}q{j}" for j in range(16))))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = duplicate_spans_df(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "gram count regressed to a window"
+    res = {r.doc_id: r for r in out.collect()}
+    assert len(res) == 100
+    for i in range(100):
+        if i % 5 == 0:
+            # the pure-hot window (tokens 1-8) is shared by all 20 docs
+            assert res[i].n_shared_spans >= 1
+            assert 0 < res[i].shared_frac < 1
+        else:
+            assert res[i].n_shared_spans == 0
+            assert res[i].shared_frac == 0.0
+
+
+def test_duplicate_spans_degenerate_docs_score_zero(spark):
+    """Empty/null/whitespace-only docs share no content and must score
+    0 — not the shared_frac = 1.0 artifact of an ungated ragged window
+    (every degenerate doc used to hash the same all-NULL window)."""
+    from concerts_etl_sa_spark.operators.decontam import duplicate_spans_df
+
+    body = "shared eight token span goes right here now"
+    rows = [
+        (0, ""),
+        (1, None),
+        (2, "   \t  "),
+        (3, f"{body} plus doc three filler words here"),
+        (4, f"{body} plus doc four filler words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    res = {
+        r.doc_id: r
+        for r in duplicate_spans_df(docs).collect()
+    }
+    assert len(res) == 5
+    for i in (0, 1, 2):
+        assert res[i].n_spans == 0
+        assert res[i].n_shared_spans == 0
+        assert res[i].shared_frac == 0.0
+    for i in (3, 4):
+        assert res[i].n_shared_spans >= 1
+
+
 def test_components_long_chain_converges_in_log_rounds(spark):
     # 1025 vertices in one chain: plain min-label propagation moves the
     # min ONE hop per round (~1024 rounds); pointer doubling composes the
