@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
 from ._cachescope import begin_scope, scoped_persist
-from .util import sorted_small
+from .util import capped_candidates, sorted_small
 
 N_MINHASH = 8          # minhash signature length
 N_BANDS = 4            # LSH bands (2 rows per band)
@@ -284,7 +284,11 @@ def minhash_lsh_pairs_df(
     )
 
     if max_bucket_size is not None:
-        cand = _capped_candidates(bands, max_bucket_size, heavy_bucket_mode)
+        cand = capped_candidates(
+            bands.select("doc_id", F.col("band_fp")),
+            max_bucket_size,
+            heavy_bucket_mode,
+        )
         return _verify_jaccard(cand, ds, jaccard_threshold)
 
     # FIRST-shared-band emission (same trick as simhash_near_pairs): a
@@ -349,63 +353,9 @@ def _verify_jaccard(
     )
 
 
-def _capped_candidates(
-    bands: DataFrame, max_bucket_size: int, heavy_bucket_mode: str
-) -> DataFrame:
-    """Candidate pairs with the per-bucket skew guard applied.
-
-    Both band-side windows partition on ``band_fp`` — the SAME key the
-    pair self-join shuffles on, so the rank/count machinery adds no
-    extra exchange on the build side at scale. The in-bucket order is
-    ``xxhash64(doc_id, band_fp)`` (doc_id tiebreak): deterministic,
-    partition-invariant, and uncorrelated with doc_id so a heavy
-    bucket's anchor/sample isn't biased toward old documents."""
-    if heavy_bucket_mode not in ("star", "sample"):
-        raise ValueError(
-            f"heavy_bucket_mode must be 'star' or 'sample', got {heavy_bucket_mode!r}"
-        )
-    wb = Window.partitionBy("band_fp")
-    wo = wb.orderBy(F.xxhash64(F.col("doc_id"), F.col("band_fp")), F.col("doc_id"))
-    ranked = bands.select(
-        "doc_id",
-        "band_fp",
-        F.row_number().over(wo).alias("bk_rn"),
-        F.count(F.lit(1)).over(wb).alias("bk_sz"),
-    )
-    def _all_pairs(side: DataFrame) -> DataFrame:
-        a = side.select(F.col("doc_id").alias("a_id"), "band_fp")
-        b = side.select(F.col("doc_id").alias("b_id"), "band_fp")
-        return (
-            a.join(b, "band_fp")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id")
-        )
-
-    if heavy_bucket_mode == "sample":
-        pairs = _all_pairs(ranked.filter(F.col("bk_rn") <= max_bucket_size))
-    else:
-        # the join legs are bounded BEFORE the join, not filtered after:
-        # a post-join predicate would still enumerate |bucket|^2 rows
-        # inside the join operator. Light buckets: all pairs. Heavy
-        # buckets: one anchor row (bk_rn == 1) joined against the other
-        # members — exactly |bucket| - 1 output rows per bucket.
-        light = _all_pairs(ranked.filter(F.col("bk_sz") <= max_bucket_size))
-        heavy = ranked.filter(F.col("bk_sz") > max_bucket_size)
-        anchors = heavy.filter(F.col("bk_rn") == 1).select(
-            F.col("doc_id").alias("anchor_id"), "band_fp"
-        )
-        star = (
-            heavy.filter(F.col("bk_rn") > 1)
-            .select(F.col("doc_id").alias("member_id"), "band_fp")
-            .join(anchors, "band_fp")
-            .select(
-                F.least("anchor_id", "member_id").alias("a_id"),
-                F.greatest("anchor_id", "member_id").alias("b_id"),
-            )
-        )
-        pairs = light.unionByName(star)
-    # capped emission is not first-band-dedupable (see caller docstring)
-    return pairs.dropDuplicates(["a_id", "b_id"])
+# the per-bucket skew guard (_capped_candidates in rounds <= 6) is now
+# the shared util.capped_candidates — simhash blocks and the embedding
+# sign buckets take the identical star/sample machinery
 
 
 def _minhash_lsh_pairs_sql() -> str:
@@ -520,6 +470,12 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, hash) rows, one shuffle keyed on doc_id.
     """
     d = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    return simhash_signatures_df(d)
+
+
+def simhash_signatures_df(d: DataFrame) -> DataFrame:
+    """df-based core of :func:`simhash_signatures` over any (doc_id,
+    text) frame — the skew stress tests and curation plan drive this."""
     # explode_outer: an empty/null token list yields ONE null-token row
     # instead of vanishing, so the aggregate covers every doc and no
     # doc-id frame needs re-joining afterwards to restore simhash=0 rows
@@ -574,8 +530,31 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The signature index is cached — both self-join legs consume it and
     exchange reuse doesn't fire across the aliased subtrees. Scoped:
     released on the next call (no per-session accumulation)."""
+    d = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    return simhash_near_pairs_df(d)
+
+
+def simhash_near_pairs_df(
+    docs: DataFrame,
+    max_bucket_size: int | None = None,
+    heavy_bucket_mode: str = "star",
+) -> DataFrame:
+    """df-based core of :func:`simhash_near_pairs` over any (doc_id,
+    text) frame.
+
+    ``max_bucket_size`` is the same per-bucket skew guard as
+    :func:`minhash_lsh_pairs_df` (shared ``util.capped_candidates``
+    star/sample machinery): an identical-doc flood puts every flood doc
+    into the SAME four 15-bit block buckets, and the unguarded
+    self-join enumerates |bucket|^2/2 candidates. Capped mode bounds
+    each heavy bucket (star: linear anchor edges that keep the cluster
+    connected for components; sample: bounded-quadratic subset), then
+    re-attaches signatures to the slim (a_id, b_id) pairs by doc_id
+    equi-joins and applies the hamming verify — structurally the
+    ``_verify_jaccard`` shape. Uncapped mode keeps the zero-extra-
+    shuffle first-shared-block emission."""
     begin_scope("simhash_near_pairs")
-    sig = scoped_persist("simhash_near_pairs", simhash_signatures(spark, sf_dir))
+    sig = scoped_persist("simhash_near_pairs", simhash_signatures_df(docs))
     blocks = sig.select(
         "doc_id",
         "simhash",
@@ -593,6 +572,33 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("blk", "block_key"),
     )
+    if max_bucket_size is not None:
+        cand = capped_candidates(
+            blocks.select("doc_id", F.col("block_key").alias("band_fp")),
+            max_bucket_size,
+            heavy_bucket_mode,
+        )
+        return (
+            cand.join(
+                sig.select(
+                    F.col("doc_id").alias("a_id"),
+                    F.col("simhash").alias("a_sig"),
+                ),
+                "a_id",
+            )
+            .join(
+                sig.select(
+                    F.col("doc_id").alias("b_id"),
+                    F.col("simhash").alias("b_sig"),
+                ),
+                "b_id",
+            )
+            .withColumn("hamming", F.bit_count(F.expr("a_sig ^ b_sig")))
+            .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+            .select("a_id", "b_id", "hamming")
+            .sortWithinPartitions("a_id", "b_id")
+        )
+
     l = blocks.select(
         F.col("doc_id").alias("a_id"),
         F.col("simhash").alias("a_sig"),

@@ -484,26 +484,69 @@ TOPK_COSINE_IVF_SQL = _ivf_sql()
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vectors: cosine >= threshold among same-bucket pairs."""
-    emb = _emb_normed(spark, sf_dir).withColumn(
-        "bucket", _sign_bucket("embedding")
-    )
-    a = emb.select(
+    return embedding_near_dup_pairs_df(_emb_normed(spark, sf_dir))
+
+
+def embedding_near_dup_pairs_df(
+    emb: DataFrame,
+    threshold: float = NEAR_DUP_COSINE,
+    max_bucket_size: int | None = None,
+    heavy_bucket_mode: str = "star",
+) -> DataFrame:
+    """df-based core of :func:`embedding_near_dup_pairs` over any
+    (vec_id, embedding[, norm2]) frame.
+
+    ``max_bucket_size`` is the per-bucket skew guard shared with the
+    minhash/simhash families (``util.capped_candidates``): an
+    identical-vector flood puts every flood vector into ONE sign
+    bucket, and the unguarded self-join enumerates |bucket|^2/2 pairs.
+    Capped mode bounds each heavy bucket (star: linear anchor edges
+    keeping the cluster connected for components; sample: bounded-
+    quadratic subset) over slim (vec_id, bucket) rows, then re-attaches
+    the fat vectors to the bounded pair set by vec_id equi-joins —
+    embedding arrays never enter the bucket self-join.
+    ``multi_band=False``: each vector has exactly ONE sign bucket, so a
+    pair can only form once and the pair dedup would be a provably
+    no-op exchange."""
+    from .util import capped_candidates
+
+    if "norm2" not in emb.columns:
+        emb = emb.withColumn("norm2", _norm2("embedding"))
+    emb = emb.withColumn("bucket", _sign_bucket("embedding"))
+    a_cols = emb.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_vec"),
         F.col("norm2").alias("a_n2"),
         "bucket",
     )
-    b = emb.select(
+    b_cols = emb.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_vec"),
         F.col("norm2").alias("b_n2"),
         "bucket",
     )
+    if max_bucket_size is not None:
+        cand = capped_candidates(
+            emb.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("bucket").alias("band_fp"),
+            ),
+            max_bucket_size,
+            heavy_bucket_mode,
+            multi_band=False,
+        )
+        pairs = cand.join(a_cols.drop("bucket"), "a_id").join(
+            b_cols.drop("bucket"), "b_id"
+        )
+    else:
+        pairs = a_cols.join(b_cols, "bucket").filter(
+            F.col("a_id") < F.col("b_id")
+        )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2"))
-        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        pairs.withColumn(
+            "cosine", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2")
+        )
+        .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
         .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )

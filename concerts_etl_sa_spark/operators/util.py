@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def sorted_small(df: DataFrame, *cols) -> DataFrame:
@@ -17,3 +19,96 @@ def sorted_small(df: DataFrame, *cols) -> DataFrame:
     should use ``orderBy`` and accept the sampling pass.
     """
     return df.repartition(1).sortWithinPartitions(*cols)
+
+
+def capped_candidates(
+    bands: DataFrame,
+    max_bucket_size: int,
+    heavy_bucket_mode: str,
+    multi_band: bool = True,
+) -> DataFrame:
+    """Candidate pairs from a (doc_id, band_fp) bucket frame with the
+    per-bucket skew guard applied — shared by every LSH family (minhash
+    bands, simhash blocks, embedding sign buckets).
+
+    A giant near-dup cluster puts thousands of docs into ONE bucket and
+    the unguarded self-join materializes |bucket|^2/2 candidate pairs —
+    the 100 TB scale pain point. Buckets over ``max_bucket_size`` use
+    one of two bounded strategies (both deterministic under any
+    partitioning):
+
+    - ``"star"`` (default): over-cap buckets emit only (anchor, member)
+      pairs, the anchor being the first doc in xxhash64 order — LINEAR
+      in bucket size, and every member stays edge-connected to the
+      cluster, so downstream connected-components still collapses the
+      whole group (the property dedup actually needs). Non-anchor pairs
+      inside a heavy bucket are not emitted (recall trade, documented).
+    - ``"sample"``: keep only the first ``max_bucket_size`` docs per
+      bucket in xxhash64 order — bounded-quadratic (cap^2/2) candidates;
+      docs sampled out of every bucket they touch get no edges at all.
+
+    Under-cap buckets are untouched in both modes.
+
+    Both build-side windows partition on ``band_fp`` — the SAME key the
+    pair self-join shuffles on, so the rank/count machinery adds no
+    extra exchange on the build side at scale. The in-bucket order is
+    ``xxhash64(doc_id, band_fp)`` (doc_id tiebreak): deterministic,
+    partition-invariant, and uncorrelated with doc_id so a heavy
+    bucket's anchor/sample isn't biased toward old documents.
+
+    ``multi_band=True`` (docs appear under several band keys) ends with
+    a pair ``dropDuplicates``: capped emission is not
+    first-shared-band-dedupable — a bucket may decline to emit, so
+    suppressing later-band matches by fingerprint equality alone would
+    silently drop pairs. Single-bucket families (one band key per doc,
+    e.g. the embedding sign bucket) pass ``multi_band=False``: a pair
+    can only form once, and the dedup would be a provably-no-op
+    exchange."""
+    if heavy_bucket_mode not in ("star", "sample"):
+        raise ValueError(
+            f"heavy_bucket_mode must be 'star' or 'sample', got {heavy_bucket_mode!r}"
+        )
+    wb = Window.partitionBy("band_fp")
+    wo = wb.orderBy(F.xxhash64(F.col("doc_id"), F.col("band_fp")), F.col("doc_id"))
+    ranked = bands.select(
+        "doc_id",
+        "band_fp",
+        F.row_number().over(wo).alias("bk_rn"),
+        F.count(F.lit(1)).over(wb).alias("bk_sz"),
+    )
+
+    def _all_pairs(side: DataFrame) -> DataFrame:
+        a = side.select(F.col("doc_id").alias("a_id"), "band_fp")
+        b = side.select(F.col("doc_id").alias("b_id"), "band_fp")
+        return (
+            a.join(b, "band_fp")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+        )
+
+    if heavy_bucket_mode == "sample":
+        pairs = _all_pairs(ranked.filter(F.col("bk_rn") <= max_bucket_size))
+    else:
+        # the join legs are bounded BEFORE the join, not filtered after:
+        # a post-join predicate would still enumerate |bucket|^2 rows
+        # inside the join operator. Light buckets: all pairs. Heavy
+        # buckets: one anchor row (bk_rn == 1) joined against the other
+        # members — exactly |bucket| - 1 output rows per bucket.
+        light = _all_pairs(ranked.filter(F.col("bk_sz") <= max_bucket_size))
+        heavy = ranked.filter(F.col("bk_sz") > max_bucket_size)
+        anchors = heavy.filter(F.col("bk_rn") == 1).select(
+            F.col("doc_id").alias("anchor_id"), "band_fp"
+        )
+        star = (
+            heavy.filter(F.col("bk_rn") > 1)
+            .select(F.col("doc_id").alias("member_id"), "band_fp")
+            .join(anchors, "band_fp")
+            .select(
+                F.least("anchor_id", "member_id").alias("a_id"),
+                F.greatest("anchor_id", "member_id").alias("b_id"),
+            )
+        )
+        pairs = light.unionByName(star)
+    if not multi_band:
+        return pairs
+    return pairs.dropDuplicates(["a_id", "b_id"])

@@ -1,11 +1,13 @@
-"""100 TB skew stress: the giant near-dup cluster through minhash LSH
-with the per-bucket cap, and long-chain convergence of the components
-closure (the round-5 VERDICT's admitted untested pain point).
+"""100 TB skew stress: the giant near-dup cluster through EVERY LSH
+family (minhash bands, simhash blocks, embedding sign buckets — all
+sharing ``util.capped_candidates``), hot-gram duplicate_spans, and
+long-chain convergence of the components closure.
 
 Shapes under test:
-- ONE heavy cluster (60 identical docs -> every band bucket holds all
-  60) inside a background of unique docs: the unguarded self-join would
-  emit C(60,2)=1770 candidate pairs per band; the cap bounds it.
+- ONE heavy cluster (60 identical docs/vectors -> every bucket the
+  cluster touches holds all 60) inside a background of unique items:
+  the unguarded self-join would emit C(60,2)=1770 candidate pairs per
+  bucket; the cap bounds it.
 - star mode must keep the cluster CONNECTED (one component) while
   emitting only linear anchor edges per heavy bucket.
 - sample mode must emit a bounded subset of the uncapped pairs.
@@ -19,11 +21,17 @@ import pytest
 from pyspark.sql import functions as F
 
 from concerts_etl_sa_spark.operators.components import connected_components
-from concerts_etl_sa_spark.operators.dedup import minhash_lsh_pairs_df
+from concerts_etl_sa_spark.operators.dedup import (
+    minhash_lsh_pairs_df,
+    simhash_near_pairs_df,
+)
+from concerts_etl_sa_spark.operators.similarity import (
+    embedding_near_dup_pairs_df,
+)
 
 CLUSTER = 60
 CAP = 8
-N_BANDS = 4
+N_BANDS = 4  # minhash bands == simhash blocks; embeddings have 1 bucket
 
 
 def _giant_cluster_corpus(spark):
@@ -50,14 +58,73 @@ def _small_groups_corpus(spark):
     return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
 
 
-def test_star_cap_bounds_pairs_and_keeps_cluster_connected(spark):
-    docs = _giant_cluster_corpus(spark)
-    pairs = minhash_lsh_pairs_df(docs, max_bucket_size=CAP).collect()
+def _giant_vector_corpus(spark):
+    """60 identical all-positive vectors (one sign bucket) + 200
+    background vectors whose first-8-dim sign patterns are the bits of
+    their index — each background lands in its own bucket, none in the
+    cluster's all-ones bucket (needs index 255 > 199)."""
+    cluster_vec = [1.0 + 0.01 * j for j in range(64)]
+    rows = [(i, cluster_vec) for i in range(CLUSTER)]
+    for i in range(200):
+        v = [1.0 if (i >> j) & 1 else -1.0 for j in range(8)] + [0.0] * 56
+        v[8 + (i % 56)] = 1.0
+        rows.append((1000 + i, v))
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+
+def _small_vector_corpus(spark):
+    """No heavy buckets: 5 identical vector twin-pairs, each pair in its
+    own sign bucket, plus orthogonal background."""
+    rows = []
+    for k in range(5):
+        v = [1.0 if (k >> j) & 1 else -1.0 for j in range(8)] + [
+            0.1 * ((k + j) % 7) + 0.05 for j in range(56)
+        ]
+        rows += [(2000 + 2 * k, v), (2001 + 2 * k, v)]
+    for i in range(40):
+        v = [1.0 if ((i + 64) >> j) & 1 else -1.0 for j in range(8)] + [0.0] * 56
+        v[8 + (i % 56)] = 1.0
+        rows.append((3000 + i, v))
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+
+# (pairs_fn(df, cap, mode), giant_corpus, small_corpus, n_buckets_touched)
+FAMILIES = {
+    "minhash": (
+        lambda df, cap=None, mode="star": minhash_lsh_pairs_df(
+            df, max_bucket_size=cap, heavy_bucket_mode=mode
+        ),
+        _giant_cluster_corpus,
+        _small_groups_corpus,
+        N_BANDS,
+    ),
+    "simhash": (
+        lambda df, cap=None, mode="star": simhash_near_pairs_df(
+            df, max_bucket_size=cap, heavy_bucket_mode=mode
+        ),
+        _giant_cluster_corpus,
+        _small_groups_corpus,
+        N_BANDS,
+    ),
+    "embedding": (
+        lambda df, cap=None, mode="star": embedding_near_dup_pairs_df(
+            df, threshold=0.99, max_bucket_size=cap, heavy_bucket_mode=mode
+        ),
+        _giant_vector_corpus,
+        _small_vector_corpus,
+        1,
+    ),
+}
+
+
+@pytest.mark.parametrize("family", list(FAMILIES), ids=list(FAMILIES))
+def test_star_cap_bounds_pairs_and_keeps_cluster_connected(spark, family):
+    fn, giant, _, n_buckets = FAMILIES[family]
+    pairs = fn(giant(spark), cap=CAP).collect()
     cluster_pairs = [r for r in pairs if r.a_id < CLUSTER and r.b_id < CLUSTER]
-    # linear, not quadratic: <= (CLUSTER - 1) anchor edges per band
-    assert len(cluster_pairs) <= N_BANDS * (CLUSTER - 1)
+    # linear, not quadratic: <= (CLUSTER - 1) anchor edges per bucket
+    assert len(cluster_pairs) <= n_buckets * (CLUSTER - 1)
     assert len(cluster_pairs) >= CLUSTER - 1
-    assert all(r.jaccard == 1.0 for r in cluster_pairs)
     # the star edges still connect the WHOLE cluster into one component
     edges = spark.createDataFrame(
         [(r.a_id, r.b_id) for r in cluster_pairs], "a_id BIGINT, b_id BIGINT"
@@ -67,54 +134,46 @@ def test_star_cap_bounds_pairs_and_keeps_cluster_connected(spark):
     assert {r.component for r in comp} == {0}
 
 
-def test_sample_cap_emits_bounded_subset(spark):
-    docs = _giant_cluster_corpus(spark)
+@pytest.mark.parametrize("family", list(FAMILIES), ids=list(FAMILIES))
+def test_sample_cap_emits_bounded_subset(spark, family):
+    fn, giant, _, n_buckets = FAMILIES[family]
+    docs = giant(spark)
     capped = {
-        (r.a_id, r.b_id)
-        for r in minhash_lsh_pairs_df(
-            docs, max_bucket_size=CAP, heavy_bucket_mode="sample"
-        ).collect()
+        (r.a_id, r.b_id) for r in fn(docs, cap=CAP, mode="sample").collect()
     }
-    # <= C(CAP, 2) pairs per band bucket
-    assert len(capped) <= N_BANDS * (CAP * (CAP - 1) // 2)
+    # <= C(CAP, 2) pairs per heavy bucket (+ any light-bucket pairs)
+    assert len(capped) <= n_buckets * (CAP * (CAP - 1) // 2) + 10
     assert len(capped) > 0
-    uncapped = {
-        (r.a_id, r.b_id) for r in minhash_lsh_pairs_df(docs).collect()
-    }
+    uncapped = {(r.a_id, r.b_id) for r in fn(docs).collect()}
     assert capped <= uncapped
 
 
-def test_cap_is_inert_without_heavy_buckets(spark):
-    docs = _small_groups_corpus(spark)
-    uncapped = {
-        (r.a_id, r.b_id, r.jaccard) for r in minhash_lsh_pairs_df(docs).collect()
-    }
+@pytest.mark.parametrize("family", list(FAMILIES), ids=list(FAMILIES))
+def test_cap_is_inert_without_heavy_buckets(spark, family):
+    fn, _, small, _ = FAMILIES[family]
+    docs = small(spark)
+    uncapped = {(r.a_id, r.b_id) for r in fn(docs).collect()}
     # the 5 twin pairs are the ground truth
-    assert {(a, b) for a, b, _ in uncapped} == {
-        (2000 + 2 * k, 2001 + 2 * k) for k in range(5)
-    }
+    assert uncapped == {(2000 + 2 * k, 2001 + 2 * k) for k in range(5)}
     for mode in ("star", "sample"):
         capped = {
-            (r.a_id, r.b_id, r.jaccard)
-            for r in minhash_lsh_pairs_df(
-                docs, max_bucket_size=CAP, heavy_bucket_mode=mode
-            ).collect()
+            (r.a_id, r.b_id) for r in fn(docs, cap=CAP, mode=mode).collect()
         }
         assert capped == uncapped, mode
 
 
-def test_capped_output_has_no_duplicate_pairs(spark):
-    docs = _giant_cluster_corpus(spark)
-    out = minhash_lsh_pairs_df(docs, max_bucket_size=CAP)
+@pytest.mark.parametrize("family", list(FAMILIES), ids=list(FAMILIES))
+def test_capped_output_has_no_duplicate_pairs(spark, family):
+    fn, giant, _, _ = FAMILIES[family]
+    out = fn(giant(spark), cap=CAP)
     assert out.count() == out.select("a_id", "b_id").distinct().count()
 
 
-def test_bad_heavy_bucket_mode_rejected(spark):
-    docs = _small_groups_corpus(spark)
+@pytest.mark.parametrize("family", list(FAMILIES), ids=list(FAMILIES))
+def test_bad_heavy_bucket_mode_rejected(spark, family):
+    fn, _, small, _ = FAMILIES[family]
     with pytest.raises(ValueError, match="heavy_bucket_mode"):
-        minhash_lsh_pairs_df(
-            docs, max_bucket_size=CAP, heavy_bucket_mode="nope"
-        ).collect()
+        fn(small(spark), cap=CAP, mode="nope").collect()
 
 
 def test_duplicate_spans_hot_gram_uses_groupby_not_window(spark):
