@@ -60,13 +60,27 @@ def round5_sql(e: str) -> str:
 
 # ------------------------------------------------------ B15 canonical key
 
+def canonical_key_ts_part(ts: Column) -> Column:
+    """The timestamp component of the canonical key: round5(ts) as
+    'YYYY-MM-DDTHH:MM', 'na' when ts is null."""
+    return F.coalesce(
+        F.date_format(round5(ts), "yyyy-MM-dd'T'HH:mm"), F.lit("na")
+    )
+
+
 def canonical_key(name: Column, ts: Column) -> Column:
     """norm_name(name) || '|' || round5(ts) as 'YYYY-MM-DDTHH:MM', 'na' when
     ts is null (matching.py:24-27)."""
-    ts_part = F.coalesce(
-        F.date_format(round5(ts), "yyyy-MM-dd'T'HH:mm"), F.lit("na")
-    )
-    return F.concat_ws("|", norm_name(name), ts_part)
+    return F.concat_ws("|", norm_name(name), canonical_key_ts_part(ts))
+
+
+def canonical_key_from_norm(norm: Column, ts: Column) -> Column:
+    """:func:`canonical_key` when ``norm_name(name)`` is ALREADY
+    materialized on the row — skips a second run of the regex-cascade
+    normalization, the dominant per-row CPU of the d8 merge path.
+    Exactly equivalent: norm_name output never contains '|' (every
+    non-word char is folded to space), so the concat is unambiguous."""
+    return F.concat_ws("|", norm, canonical_key_ts_part(ts))
 
 
 def canonical_key_sql(name_e: str, ts_e: str) -> str:

@@ -35,13 +35,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.dates import canonical_key, canonical_key_sql
+from ..functions.dates import (
+    canonical_key,
+    canonical_key_from_norm,
+    canonical_key_sql,
+)
 from ..functions.text import norm_name, similarity_norm, similarity_sql
 from ._cachescope import begin_scope, scoped_persist
 from .fixtures import dice_events_sql, shotgun_events_sql
 
 BAND_SECONDS = 30 * 60  # hour_tolerance_min=30 (matching.py:47)
 SIM_THRESHOLD = 0.90    # name_threshold (matching.py:47)
+
+import os as _os
+
+_HINT_BROADCAST = _os.environ.get("SPARK_GRAFT_D8_BROADCAST", "1") == "1"
+
+
+def _bc(df: DataFrame) -> DataFrame:
+    return F.broadcast(df) if _HINT_BROADCAST else df
 
 
 def _ord(id_col):
@@ -71,17 +83,34 @@ def _sg_indexed(sg: DataFrame) -> DataFrame:
     return (
         keyed.groupBy("ckey")
         .agg(F.max("row").alias("b"))
-        .select("ckey", "b.sg_name", "b.sg_dt", "b.sg_tickets")
+        .select(
+            "ckey",
+            # every row in a ckey group shares the same norm_name (it IS
+            # the key's name component, and norm output never contains
+            # '|'), so the winner's normalized name is recoverable from
+            # the key itself — downstream consumers (the candidate join)
+            # reuse it instead of re-running the regex cascade, the
+            # dominant per-row CPU of this path
+            F.element_at(F.split("ckey", r"\|"), 1).alias("sg_norm"),
+            "b.sg_name",
+            "b.sg_dt",
+            "b.sg_tickets",
+        )
     )
 
 
 def legacy_candidates(
-    sg: DataFrame, dc: DataFrame, sgi: DataFrame | None = None
+    sg: DataFrame,
+    dc: DataFrame,
+    sgi: DataFrame | None = None,
+    dcd: DataFrame | None = None,
 ) -> DataFrame:
     """D5+D6 candidate pairs: same day, |Δt| <= 30 min, sim >= 0.90.
 
-    ``sgi`` lets :func:`legacy_merge` pass its already-persisted SG index
-    so the dedup aggregate isn't re-derived as a second lineage.
+    ``sgi`` / ``dcd`` let :func:`legacy_merge` pass its already-persisted
+    SG index and slim dice projection so neither the dedup aggregate nor
+    the regex-heavy dice fixture derivation is re-derived as a second
+    lineage (``dcd`` needs dc_id, dc_name, dc_dt, dc_tickets).
 
     Physical strategy (100 TB hot path):
     - Block the band join on 30-min epoch buckets, not just the calendar
@@ -93,24 +122,31 @@ def legacy_candidates(
     - ``norm_name`` (a 3-regex cascade) is computed ONCE per row before
       the join; the per-pair work is a single levenshtein.
     """
-    sgi = (
-        (_sg_indexed(sg) if sgi is None else sgi)
-        .filter(F.col("sg_dt").isNotNull())
-        .withColumn("sg_norm", norm_name(F.col("sg_name")))
-        .withColumn(
-            "bkt", F.floor(F.col("sg_dt").cast("double") / BAND_SECONDS)
-        )
+    sgi = _sg_indexed(sg) if sgi is None else sgi
+    if "sg_norm" not in sgi.columns:
+        sgi = sgi.withColumn("sg_norm", norm_name(F.col("sg_name")))
+    sgi = sgi.filter(F.col("sg_dt").isNotNull()).withColumn(
+        "bkt", F.floor(F.col("sg_dt").cast("double") / BAND_SECONDS)
     )
-    dcd = (
-        dc.filter(F.col("event_datetime_local").isNotNull())
-        .select(
+    if dcd is None:
+        dcd = dc.select(
             F.col("event_id_provider").alias("dc_id"),
             F.col("event_name").alias("dc_name"),
             F.col("event_datetime_local").alias("dc_dt"),
             F.col("tickets_sold_total").alias("dc_tickets"),
-            norm_name(F.col("event_name")).alias("dc_norm"),
+        )
+    if "dc_norm" not in dcd.columns:
+        dcd = dcd.withColumn("dc_norm", norm_name(F.col("dc_name")))
+    dcd = (
+        dcd.filter(F.col("dc_dt").isNotNull())
+        .select(
+            "dc_id",
+            "dc_name",
+            "dc_dt",
+            "dc_tickets",
+            "dc_norm",
             F.floor(
-                F.col("event_datetime_local").cast("double") / BAND_SECONDS
+                F.col("dc_dt").cast("double") / BAND_SECONDS
             ).alias("dc_bkt"),
         )
         # fan DICE out to its bucket and both neighbors: a |Δt|<=band pair
@@ -163,9 +199,12 @@ def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
     # call begins, so registry re-runs don't accumulate cached RDDs.
     begin_scope("legacy_merge")
     sgi = scoped_persist("legacy_merge", _sg_indexed(sg))
-    # dcd is consumed by the ticket-attach join AND the D7 anti-join, and
-    # its lineage is the regex-heavy dice fixture derivation — persist the
-    # slim projection so that derivation runs once.
+    # dcd is consumed by the candidate join, the ticket-attach join AND
+    # the D7 anti-join, and its lineage is the regex-heavy dice fixture
+    # derivation — persist the slim projection so that derivation runs
+    # once. dc_norm is computed HERE (inside the persist) so the
+    # normalization cascade runs one single time per dice row: the
+    # candidate join and the unmatched-row canonical key both reuse it.
     dcd = scoped_persist(
         "legacy_merge",
         dc.select(
@@ -174,10 +213,11 @@ def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
             F.col("event_datetime_local").alias("dc_dt"),
             F.col("tickets_sold_total").alias("dc_tickets"),
             _ord(F.col("event_id_provider")).alias("dc_ord"),
+            norm_name(F.col("event_name")).alias("dc_norm"),
         ),
     )
 
-    cand = legacy_candidates(sg, dc, sgi=sgi)
+    cand = legacy_candidates(sg, dc, sgi=sgi, dcd=dcd)
 
     # best SG per dice: sim desc, then canonical key asc (deterministic).
     # ARGMAX aggregate, not a rank window: min(struct(-sim, ckey)) is the
@@ -203,9 +243,15 @@ def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
     )
 
     # attach: last (highest-ord) matched dice per SG key wins the ticket
-    # slot — argmax again (dc_ord is unique, so dc_tickets never decides)
+    # slot — argmax again (dc_ord is unique, so dc_tickets never decides).
+    # ``best`` is the MATCHED-pair frame (bounded by the fuzzy-match hit
+    # count, far below either input); broadcasting it keeps the slim dcd
+    # side un-shuffled here and in the D7 anti-join below. Fallback if
+    # matches ever outgrow broadcast: drop the hints — every join is
+    # already key-equi and AQE picks shuffle strategies (the flagship
+    # assembly documents the same trade).
     attached = (
-        best.join(dcd, "dc_id")
+        _bc(best).join(dcd, "dc_id")
         .groupBy("ckey")
         .agg(
             F.max(
@@ -218,7 +264,7 @@ def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
         .select("ckey", F.col("b.dc_tickets").alias("attached_dc_tickets"))
     )
 
-    sg_rows = sgi.join(attached, "ckey", "left").select(
+    sg_rows = sgi.join(_bc(attached), "ckey", "left").select(
         F.col("ckey").alias("canonical_event_key"),
         F.col("sg_name").alias("event_name"),
         F.col("sg_dt").alias("event_datetime_local"),
@@ -229,10 +275,13 @@ def legacy_merge(sg: DataFrame, dc: DataFrame) -> DataFrame:
     )
 
     # D7: unmatched dice -> independent rows keyed by their canonical key
+    # (built from the persisted dc_norm — no second normalization pass)
     dice_rows = (
-        dcd.join(best, "dc_id", "left_anti")
+        dcd.join(_bc(best), "dc_id", "left_anti")
         .select(
-            canonical_key(F.col("dc_name"), F.col("dc_dt")).alias("canonical_event_key"),
+            canonical_key_from_norm(
+                F.col("dc_norm"), F.col("dc_dt")
+            ).alias("canonical_event_key"),
             F.col("dc_name").alias("event_name"),
             F.col("dc_dt").alias("event_datetime_local"),
             F.lit(None).cast("bigint").alias("tickets_sold_total_shotgun"),
