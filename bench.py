@@ -39,7 +39,21 @@ HEADLINE = [
     "l3_text_suite",
     "l3_pii_redact",
     "l5_mixture_sample",
+    # round-7 additions: the two heaviest round-6 corpus operators
+    # (rotated into the driver window) + repetition_stats (pytest-only,
+    # resolved via _extra_queries) now ratchet under the bench gate
+    "l1_duplicate_spans",
+    "l3_tfidf_top_terms",
+    "unreg_l3_repetition_stats",
 ]
+
+
+def _extra_queries():
+    """Benched operators that hold no driver-window slot (pytest-parity
+    only) — resolved straight from their modules."""
+    from concerts_etl_sa_spark.operators import textstats as TS
+
+    return {"unreg_l3_repetition_stats": TS.repetition_stats}
 
 
 def main() -> None:
@@ -65,7 +79,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("bench")
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **_extra_queries()}
 
     # warmup: run every headline query once at the smallest sf — the
     # generated code is identical across sf (same schemas/plans), so this

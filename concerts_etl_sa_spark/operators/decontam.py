@@ -253,7 +253,8 @@ WITH posts AS (
 gram_docs AS (SELECT gram, count(*) AS gram_docs FROM posts GROUP BY gram),
 f AS (
   SELECT doc_id, count(*) AS n_spans,
-         sum(CASE WHEN gram_docs >= 2 THEN 1 ELSE 0 END) AS n_shared_spans
+         CAST(sum(CASE WHEN gram_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_spans
   FROM posts JOIN gram_docs USING (gram)
   GROUP BY doc_id
 )

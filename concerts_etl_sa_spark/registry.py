@@ -105,6 +105,10 @@ _L_FAMILY = [
     ("l1_simhash_near_pairs", D.simhash_near_pairs, D.SIMHASH_NEAR_PAIRS_SQL),
     ("l1_ngram_jaccard_pairs", D.ngram_jaccard_pairs, D.NGRAM_JACCARD_PAIRS_SQL),
     ("l1_decontaminate", DC.decontaminate, DC.DECONTAMINATE_SQL),
+    # round-7 rotation: duplicate_spans / tfidf_top_terms take the two
+    # window slots of the stub-backed l4 resize/frame-sample rows (those
+    # keep pytest oracle parity as unreg_*; rationale in SURVEY §8)
+    ("l1_duplicate_spans", DC.duplicate_spans, DC.DUPLICATE_SPANS_SQL),
     ("l2_topk_cosine_bruteforce", S.topk_cosine_bruteforce,
      S.TOPK_COSINE_BRUTEFORCE_SQL),
     ("l2_topk_cosine_lsh", S.topk_cosine_lsh, S.TOPK_COSINE_LSH_SQL),
@@ -113,13 +117,12 @@ _L_FAMILY = [
      S.EMBEDDING_NEAR_DUP_SQL),
     ("l2_ann_recall", S.ann_recall, S.ANN_RECALL_SQL),
     ("l4_media_features", MM.media_features, MM.MEDIA_FEATURES_SQL),
-    ("l4_media_resize", MM.media_resize, MM.MEDIA_RESIZE_SQL),
-    ("l4_frame_sample", MM.frame_sample, MM.FRAME_SAMPLE_SQL),
     # one-scan suite of every per-doc text projection (token stats,
     # BPE-ish counts, quality, lang-id, fingerprints) — the standalone
     # per-op queries remain exported and pytest-covered
     ("l3_text_suite", TS.text_suite, TS.TEXT_SUITE_SQL),
     ("l3_pii_redact", TS.pii_redact, TS.PII_REDACT_SQL),
+    ("l3_tfidf_top_terms", TS.tfidf_top_terms, TS.TFIDF_TOP_TERMS_SQL),
     ("l5_mixture_sample", SMP.mixture_sample, SMP.MIXTURE_SAMPLE_SQL),
 ]
 

@@ -57,8 +57,8 @@ def _all_queries():
     # Oracle-backed ops NOT in the registry (the driver window holds 50
     # entries; these signature intermediates are consumed by their
     # *_pairs registry entries) still get pytest-level oracle parity.
-    from concerts_etl_sa_spark.operators import decontam as DC
     from concerts_etl_sa_spark.operators import dedup as D
+    from concerts_etl_sa_spark.operators import multimodal as MM
     from concerts_etl_sa_spark.operators import similarity as S
 
     from concerts_etl_sa_spark.operators import sampling as SP
@@ -74,15 +74,15 @@ def _all_queries():
          D.SIMHASH_QUALITY_SQL),
         ("unreg_l1_minhash_quality", D.minhash_quality,
          D.MINHASH_QUALITY_SQL),
-        ("unreg_l1_duplicate_spans", DC.duplicate_spans,
-         DC.DUPLICATE_SPANS_SQL),
         ("unreg_l3_repetition_stats", TS.repetition_stats,
          TS.REPETITION_STATS_SQL),
         ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
-        ("unreg_l3_tfidf_top_terms", TS.tfidf_top_terms,
-         TS.TFIDF_TOP_TERMS_SQL),
         ("unreg_l5_stratified_split", SP.stratified_split,
          SP.STRATIFIED_SPLIT_SQL),
+        # rotated OUT of the driver window in round 7 (stub-backed in
+        # this container) — still oracle-parity-checked here
+        ("unreg_l4_media_resize", MM.media_resize, MM.MEDIA_RESIZE_SQL),
+        ("unreg_l4_frame_sample", MM.frame_sample, MM.FRAME_SAMPLE_SQL),
     ]
     return entries
 
