@@ -56,7 +56,13 @@ def connected_components(
     labels = (
         sym.select("u").distinct().withColumn("label", F.col("u")).cache()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # no initial label-sum job: the first iteration's new_sum simply has
+    # nothing to compare against (labels only decrease, so a first-round
+    # false "no change" is impossible unless the graph is already
+    # fixpoint — and an edge list always propagates at least one min in
+    # round 1 except when every vertex is its own min, in which case one
+    # extra no-op round is the only cost). One collect per round total.
+    prev_sum = None
     for _ in range(max_iters):
         nbr_min = (
             sym.join(

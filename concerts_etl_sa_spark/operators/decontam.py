@@ -74,12 +74,41 @@ def _ngrams_sql(toks_e: str, n: int = N_GRAM) -> str:
     )
 
 
+MAX_EVAL_DOCS = 1_000_000  # broadcast-safety guard (see decontaminate_df)
+
+
 def decontaminate_df(
-    corpus: DataFrame, eval_docs: DataFrame, min_hits: int = MIN_HITS
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    min_hits: int = MIN_HITS,
+    max_eval_docs: int | None = MAX_EVAL_DOCS,
 ) -> DataFrame:
     """DataFrame form over arbitrary (doc_id, text) frames — the curation
     plan composes this with a real benchmark table; the registry query
-    wraps it over the deterministic split."""
+    wraps it over the deterministic split.
+
+    The plan BROADCASTS the distinct eval n-gram set — correct for real
+    benchmarks (MBs of eval text vs TBs of corpus) but an executor/driver
+    OOM if misused with a corpus-sized "eval" side. ``max_eval_docs`` is
+    the loud-failure guard: an eager bounded count (``limit(n+1)`` — the
+    probe short-circuits, it never scans the whole frame) raises
+    ``ValueError`` before any broadcast is attempted. Eval GRAM volume is
+    what actually bounds the broadcast (~ docs x tokens; 1M docs of
+    benchmark-typical ~1e2-1e3 grams ≈ 1e8-1e9 hashed grams, the edge of
+    the 8 GB broadcast ceiling at 8 bytes/gram) — doc count is the cheap
+    observable proxy. Pass ``None`` to skip the probe job, or drop the
+    ``broadcast`` hint instead if the eval side is legitimately huge
+    (AQE then picks a shuffle join)."""
+    if max_eval_docs is not None:
+        probe = eval_docs.limit(max_eval_docs + 1).count()
+        if probe > max_eval_docs:
+            raise ValueError(
+                f"decontaminate_df: eval_docs exceeds max_eval_docs="
+                f"{max_eval_docs} (>= {probe} rows); the eval n-gram set "
+                "is broadcast and would not be broadcast-sized. Shrink "
+                "the eval set, raise max_eval_docs deliberately, or use "
+                "a non-broadcast variant."
+            )
     # filter/split happens in the callers BEFORE fingerprinting: the gram
     # projection is the CPU-heavy stage, each split runs it exactly once
     eval_grams = (

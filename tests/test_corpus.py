@@ -137,6 +137,29 @@ def test_curation_decontam_and_transitive_stages(spark):
     assert not (kept & contam)
 
 
+def test_decontaminate_eval_size_guard(spark):
+    """The eval n-gram set is broadcast; misuse (decontaminating against
+    a corpus-sized 'eval' side) must fail loudly BEFORE the broadcast,
+    not OOM an executor."""
+    import pytest
+
+    from concerts_etl_sa_spark.operators.decontam import decontaminate_df
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} body text here") for i in range(20)],
+        "doc_id BIGINT, text STRING",
+    )
+    ev = spark.createDataFrame(
+        [(100 + i, f"eval doc {i} body text here") for i in range(10)],
+        "doc_id BIGINT, text STRING",
+    )
+    with pytest.raises(ValueError, match="max_eval_docs"):
+        decontaminate_df(corpus, ev, max_eval_docs=5)
+    # under the cap and with the probe disabled: normal result
+    assert decontaminate_df(corpus, ev, max_eval_docs=50).count() == 20
+    assert decontaminate_df(corpus, ev, max_eval_docs=None).count() == 20
+
+
 def test_corpus_datacard_consistency(spark):
     from concerts_etl_sa_spark.plans.corpus import corpus_datacard
     from concerts_etl_sa_spark.operators.decontam import decontaminate
