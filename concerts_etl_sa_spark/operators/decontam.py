@@ -110,11 +110,14 @@ def decontaminate_df(
                 "a non-broadcast variant."
             )
     # filter/split happens in the callers BEFORE fingerprinting: the gram
-    # projection is the CPU-heavy stage, each split runs it exactly once
+    # projection is the CPU-heavy stage, each split runs it exactly once.
+    # STAGED tokenize (see dedup._with_shingles): the token array
+    # materializes as its own column so the n element_at references in
+    # the fingerprint lambda read a column instead of re-inlining the
+    # regex-split HOF.
     eval_grams = (
-        eval_docs.select(
-            F.explode(_ngram_fps(_tokens(F.col("text")))).alias("gram")
-        )
+        eval_docs.select(_tokens(F.col("text")).alias("toks"))
+        .select(F.explode(_ngram_fps(F.col("toks"))).alias("gram"))
         .distinct()
     )
     # The ragged window means the gram array is never null/empty: even a
@@ -128,8 +131,10 @@ def decontaminate_df(
     # doc, contributing at most 1 hit — below MIN_HITS, never flagged.
     # explode_outer is a defensive no-op kept for shape stability.
     postings = corpus.select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
-        F.explode_outer(_ngram_fps(_tokens(F.col("text")))).alias("gram"),
+        F.explode_outer(_ngram_fps(F.col("toks"))).alias("gram"),
     )
     # membership flag via broadcast LEFT join against the distinct eval
     # set (never duplicates a posting); grams are per-doc distinct, so
@@ -231,11 +236,12 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def duplicate_spans_df(d: DataFrame) -> DataFrame:
     """df-based core of :func:`duplicate_spans` over any (doc_id, text)
     frame — the hot-gram skew stress test drives this directly."""
-    toks = _tokens(F.col("text"))
+    toks = F.col("toks")
     begin_scope("duplicate_spans")
     posts = scoped_persist(
         "duplicate_spans",
-        d.select(
+        # staged tokenize: same column-materialization as decontaminate
+        d.select("doc_id", _tokens(F.col("text")).alias("toks")).select(
             "doc_id",
             F.explode(
                 F.when(

@@ -90,7 +90,16 @@ def _shingles_sql(toks_e: str) -> str:
 
 
 def _with_shingles(d: DataFrame) -> DataFrame:
-    return d.select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
+    # STAGED: tokenize materializes as its own column first. HOFs are
+    # CodegenFallback, so inlining `_tokens(...)` into the shingle
+    # transform re-evaluates the regex split per consuming reference;
+    # CollapseProject declines to inline a non-cheap expression
+    # referenced more than once, so the two-projection shape sticks and
+    # tokenization runs exactly once per row.
+    toked = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    return toked.select(
+        "doc_id", _shingles(F.col("toks")).alias("shingles")
+    )
 
 
 def _docs_with_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

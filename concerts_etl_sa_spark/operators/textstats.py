@@ -39,9 +39,12 @@ def _tokens_sql(e: str) -> str:
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counts (whitespace + length stats)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    """Per-document token counts (whitespace + length stats). Staged
+    tokenize — see ``text_suite``."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -79,9 +82,15 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tight upper bound on BPE token count.
     """
     pat = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
-    d = load_table(spark, sf_dir, "documents")
-    pieces = F.regexp_extract_all(F.col("text"), F.lit(f"({pat})"), 1)
-    ws_toks = _tokens(F.col("text"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.col("text"), F.lit(f"({pat})"), 1
+        ).alias("pieces"),
+        _tokens(F.col("text")).alias("ws_toks"),
+    )
+    pieces = F.col("pieces")
+    ws_toks = F.col("ws_toks")
     return d.select(
         "doc_id",
         F.size(pieces).alias("n_bpe_tokens"),
@@ -109,12 +118,13 @@ FROM (
 """
 
 
-def quality_cols(text=None) -> dict[str, "F.Column"]:
+def quality_cols(text=None, toks=None) -> dict[str, "F.Column"]:
     """Column builders for the quality heuristic — shared by the oracle
     query and the corpus-curation plan (one source of truth for the
-    formula)."""
+    formula). Pass ``toks`` (a materialized token-array column) when the
+    caller stages tokenization — see ``text_suite`` for why."""
     text = F.col("text") if text is None else text
-    toks = _tokens(text)
+    toks = _tokens(text) if toks is None else toks
     stops = F.array(*[F.lit(w) for w in STOP_EN])
     n = F.greatest(F.size(toks), F.lit(1))
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
@@ -141,8 +151,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = 0.4*uniq_ratio + 0.3*stop_presence + 0.3*length_ok — the shape
     of a C4/Gopher-style rule filter, deterministic and oracle-checkable.
     """
-    d = load_table(spark, sf_dir, "documents")
-    qc = quality_cols()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _tokens(F.col("text")).alias("toks")
+    )
+    qc = quality_cols(toks=F.col("toks"))
     return d.select(
         "doc_id", *[c.alias(name) for name, c in qc.items()]
     )
@@ -169,12 +181,13 @@ FROM (
 """
 
 
-def lang_cols(text=None) -> dict[str, "F.Column"]:
+def lang_cols(text=None, toks=None) -> dict[str, "F.Column"]:
     """Column builders for marker-word language ID (argmax of marker hit
     counts, lexicographic tie-break) — shared with the curation plan.
-    Single-expression form (no intermediate score_* projection)."""
+    Single-expression form (no intermediate score_* projection). Pass
+    ``toks`` when tokenization is staged as its own column."""
     text = F.col("text") if text is None else text
-    toks = _tokens(text)
+    toks = _tokens(text) if toks is None else toks
 
     def score(lang):
         m = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
@@ -194,8 +207,10 @@ def lang_cols(text=None) -> dict[str, "F.Column"]:
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: argmax of per-language marker hit counts,
     ties broken lexicographically ('de' < 'en' < 'es' < 'fr')."""
-    d = load_table(spark, sf_dir, "documents")
-    lc = lang_cols()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tokens(F.col("text")).alias("toks")
+    )
+    lc = lang_cols(toks=F.col("toks"))
     return d.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
@@ -234,8 +249,10 @@ LANG_ID_SQL = _lang_id_sql()
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: full-content hash + min-3-shingle hash
     (the winnowing primitive used for near-dup blocking)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     shingles = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.size(toks) - F.lit(2), F.lit(1))
@@ -283,9 +300,18 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections is four scans too many; a curation pipeline annotates
     once. The standalone per-op queries remain exported for composition
     (`quality_cols`/`lang_cols` are shared builders).
+
+    STAGED projection (same rationale as ``repetition_stats``): ``toks``
+    is materialized once as a column in a sub-select; the dozen stat
+    expressions and the shingle lambda all reference the column instead
+    of re-inlining the tokenize (a CodegenFallback HOF that would
+    otherwise re-run per consuming expression).
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    d = d.select(
+        "doc_id", "text", "lang", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     pieces = F.regexp_extract_all(F.col("text"), F.lit(f"({_BPE_PAT})"), 1)
     shingles = F.transform(
         F.sequence(
@@ -298,8 +324,8 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i + 2),
         ),
     )
-    qc = quality_cols()
-    lc = lang_cols()
+    qc = quality_cols(toks=toks)
+    lc = lang_cols(toks=toks)
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -477,19 +503,28 @@ FROM (SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM documents)
 
 # ------------------------------------------- repetition / vocabulary ops
 
-def _ngram_strings(toks, n: int):
-    """Word n-gram strings (space-joined), empty array when the doc is
-    shorter than ``n`` — guarded because Spark's ``sequence(1, 0)``
-    DESCENDS instead of producing an empty range."""
+def _gram_hashes(toks, n: int):
+    """64-bit fingerprints of the word n-grams, empty array when the doc
+    is shorter than ``n`` — guarded because Spark's ``sequence(1, 0)``
+    DESCENDS instead of producing an empty range.
+
+    Hashes, not concat_ws strings: the dup-fraction only needs gram
+    IDENTITY (distinct counts), and higher-order lambdas evaluate
+    interpreted (no codegen), so per-gram cost is what matters —
+    ``xxhash64`` over the n token columns emits one long where the
+    string form allocated a UTF8String per gram, and the downstream
+    ``array_distinct`` runs on primitive longs. Same
+    probabilistic-by-hash contract as the LSH band fingerprints: a
+    64-bit collision WITHIN one doc's ~1e2-gram array (p ~ 1e-16)
+    would overcount one duplicate; the DuckDB oracle counts exact
+    string grams and the driver comparison is deterministic."""
     cnt = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), cnt),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
+        lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)]),
     )
     return F.when(cnt >= 1, grams).otherwise(
-        F.array().cast("array<string>")
+        F.array().cast("array<bigint>")
     )
 
 
@@ -511,29 +546,42 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: pure per-row array expressions — no explode, no
     shuffle. ``top_token_frac`` is a LINEAR run-length fold over the
-    row's sorted token array (sort + one pass), not an
-    explode -> groupBy(doc_id, token) -> max pipeline, which would
+    row's sorted token-HASH array (sort + one pass over primitive
+    longs; see ``_gram_hashes`` for the hash-vs-string rationale), not
+    an explode -> groupBy(doc_id, token) -> max pipeline, which would
     shuffle every token occurrence in the corpus twice to answer a
-    per-row question."""
+    per-row question.
+
+    STAGED projection: ``toks`` is materialized as its own column in a
+    sub-select and every stat references the column. Higher-order
+    functions are CodegenFallback expressions, so a single-projection
+    form re-evaluates the tokenize (regex split + filter — itself a
+    HOF) once PER CONSUMING EXPRESSION; Catalyst's CollapseProject
+    declines to inline a non-cheap expression referenced more than
+    once, so the two-stage shape sticks and tokenization runs once per
+    row (measured 3x on this operator)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    # run-length fold over the sorted tokens: the longest run IS the top
-    # token's multiplicity. prev='' never matches a real token (empties
-    # are filtered by _tokens).
+    d = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    # run-length fold over the sorted token hashes: the longest run IS
+    # the top token's multiplicity (equal hashes <=> equal tokens,
+    # modulo the documented in-doc 64-bit collision odds). The null
+    # sentinel never equals a real hash: `h == null` is null -> the
+    # otherwise(1) branch, exactly the run-restart case.
     top_run = F.aggregate(
-        F.array_sort(toks),
+        F.array_sort(F.transform(toks, lambda t: F.xxhash64(t))),
         F.named_struct(
-            F.lit("prev"), F.lit(""), F.lit("run"), F.lit(0),
+            F.lit("prev"), F.lit(None).cast("bigint"), F.lit("run"), F.lit(0),
             F.lit("best"), F.lit(0),
         ),
-        lambda acc, t: F.named_struct(
-            F.lit("prev"), t,
+        lambda acc, h: F.named_struct(
+            F.lit("prev"), h,
             F.lit("run"),
-            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            F.when(h == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
             F.lit("best"),
             F.greatest(
                 acc["best"],
-                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                F.when(h == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
             ),
         ),
         lambda acc: acc["best"],
@@ -541,8 +589,8 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        _dup_frac(_ngram_strings(toks, 2)).alias("dup_2gram_frac"),
-        _dup_frac(_ngram_strings(toks, 3)).alias("dup_3gram_frac"),
+        _dup_frac(_gram_hashes(toks, 2)).alias("dup_2gram_frac"),
+        _dup_frac(_gram_hashes(toks, 3)).alias("dup_3gram_frac"),
         F.round(
             top_run.cast("double") / F.greatest(F.size(toks), F.lit(1)), 6
         ).alias("top_token_frac"),
@@ -646,11 +694,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N stays a lazy broadcast 1-row frame (the SQL twin's CROSS JOIN n),
     # never a driver-side d.count() at plan-construction time
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    toks = _tokens(F.col("text"))
+    # staged tokenize: size + explode both read the materialized column
     occ = d.select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
-        F.size(toks).alias("doc_len"),
-        F.explode(toks).alias("token"),
+        F.size("toks").alias("doc_len"),
+        F.explode("toks").alias("token"),
     )
     counts = occ.groupBy("doc_id", "doc_len", "token").agg(
         F.count(F.lit(1)).alias("tc")

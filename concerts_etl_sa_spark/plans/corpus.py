@@ -74,6 +74,8 @@ def curate_corpus(
     eval_docs: DataFrame | None = None,
     decontam_min_hits: int = 2,
     transitive_dedup: bool = False,
+    max_bucket_size: int | None = None,
+    heavy_bucket_mode: str = "star",
 ) -> CurationReport:
     docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     return curate_corpus_df(
@@ -86,6 +88,8 @@ def curate_corpus(
         eval_docs=eval_docs,
         decontam_min_hits=decontam_min_hits,
         transitive_dedup=transitive_dedup,
+        max_bucket_size=max_bucket_size,
+        heavy_bucket_mode=heavy_bucket_mode,
     )
 
 
@@ -100,16 +104,32 @@ def curate_corpus_df(
     eval_docs: DataFrame | None = None,
     decontam_min_hits: int = 2,
     transitive_dedup: bool = False,
+    max_bucket_size: int | None = None,
+    heavy_bucket_mode: str = "star",
 ) -> CurationReport:
-    """``docs`` needs (doc_id, text); extra columns ride along."""
-    qc = quality_cols()
-    lc = lang_cols()
-    ann = docs.select(
+    """``docs`` needs (doc_id, text); extra columns ride along.
+
+    ``max_bucket_size`` / ``heavy_bucket_mode`` plumb the LSH per-bucket
+    skew guard into the near-dup stage (the 100 TB giant-cluster
+    defense; see ``util.capped_candidates``). With ``star`` mode prefer
+    ``transitive_dedup=True``: star edges guarantee cluster
+    CONNECTIVITY, so the components closure still collapses the whole
+    flood to one representative (the bucket anchor under greedy, the
+    min id under transitive)."""
+    # staged tokenize (see textstats.text_suite): materialize the token
+    # array once; quality/lang/count expressions read the column instead
+    # of re-inlining the regex-split HOF per consuming expression
+    toked = docs.select(
+        "doc_id", "text", _tokens(F.col("text")).alias("toks")
+    )
+    qc = quality_cols(toks=F.col("toks"))
+    lc = lang_cols(toks=F.col("toks"))
+    ann = toked.select(
         "doc_id",
         "text",
         qc["quality"].alias("quality"),
         lc["lang_detected"].alias("lang_detected"),
-        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.size("toks").alias("n_tokens"),
         F.md5("text").alias("content_hash"),
     )
     rule_pass = F.col("quality") >= min_quality
@@ -145,7 +165,10 @@ def curate_corpus_df(
         n_after_decontam = None
 
     near_pairs = minhash_lsh_pairs_df(
-        clean.select("doc_id", "text"), jaccard_threshold=jaccard_threshold
+        clean.select("doc_id", "text"),
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+        heavy_bucket_mode=heavy_bucket_mode,
     )
     if transitive_dedup:
         # full transitive closure: keep only each component's min-id

@@ -137,6 +137,36 @@ def test_curation_decontam_and_transitive_stages(spark):
     assert not (kept & contam)
 
 
+def test_curation_skew_cap_collapses_flood(spark):
+    """Giant near-dup cluster through the WHOLE curation plan with the
+    per-bucket cap: 40 case-variant copies (distinct content hashes, so
+    exact dedup keeps them all; identical token/shingle sets, so every
+    LSH bucket holds all 40) must collapse to ONE representative via
+    star edges + the components closure, while unique docs survive."""
+    from concerts_etl_sa_spark.plans.corpus import curate_corpus_df
+
+    words = [f"w{k}" for k in range(45)]
+    flood = [
+        (i, " ".join(w.upper() if j == i else w for j, w in enumerate(words)))
+        for i in range(40)
+    ]
+    uniq = [
+        (1000 + i, " ".join(f"u{i}x{j}" for j in range(12)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(flood + uniq, "doc_id BIGINT, text STRING")
+    rep = curate_corpus_df(
+        docs,
+        min_quality=0.0,
+        transitive_dedup=True,
+        max_bucket_size=8,
+    )
+    kept = {r.doc_id for r in rep.curated.select("doc_id").collect()}
+    assert len(kept & set(range(40))) == 1, "flood must collapse to one rep"
+    assert kept & set(range(40)) == {0}
+    assert set(1000 + i for i in range(30)) <= kept
+
+
 def test_decontaminate_eval_size_guard(spark):
     """The eval n-gram set is broadcast; misuse (decontaminating against
     a corpus-sized 'eval' side) must fail loudly BEFORE the broadcast,

@@ -26,16 +26,22 @@ from .conftest import SF_DIR
 
 def _rep_on_text(spark, text: str):
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")
-    row = df.select(
-        "doc_id",
-        F.size(TS._tokens(F.col("text"))).alias("n_tokens"),
-        TS._dup_frac(TS._ngram_strings(TS._tokens(F.col("text")), 2)).alias(
-            "dup_2gram_frac"
-        ),
-        TS._dup_frac(TS._ngram_strings(TS._tokens(F.col("text")), 3)).alias(
-            "dup_3gram_frac"
-        ),
-    ).collect()[0]
+    # round-7 internals: grams are xxhash64 fingerprints over a staged
+    # token column (same dup-fraction values; identity via hash)
+    row = (
+        df.select("doc_id", TS._tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            TS._dup_frac(TS._gram_hashes(F.col("toks"), 2)).alias(
+                "dup_2gram_frac"
+            ),
+            TS._dup_frac(TS._gram_hashes(F.col("toks"), 3)).alias(
+                "dup_3gram_frac"
+            ),
+        )
+        .collect()[0]
+    )
     return row
 
 
@@ -169,16 +175,21 @@ def test_duplicate_spans_crafted_corpus(spark, tmp_path):
     assert 0 < out[1].shared_frac < 1
 
 
-def test_duplicate_spans_no_join_in_plan(spark):
+def test_duplicate_spans_plan_shape(spark):
     from concerts_etl_sa_spark.operators.decontam import duplicate_spans
 
     plan = (
         duplicate_spans(spark, SF_DIR)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # the cross-doc count is a window over the gram key; a self-join of
-    # the postings (doc-doc pair fan-out) must never appear
-    assert "Join" not in plan
+    # round-7 shape: the cross-doc count is groupBy(gram) + equi-join
+    # back (map-side combine collapses hot grams; AQE skew-join covers
+    # the postings side). A WINDOW over the gram key (single-task
+    # hot-gram straggler) and any doc-doc pair fan-out (cartesian /
+    # nested-loop) must never appear.
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 # ---------------------------------------------------------- tf-idf
