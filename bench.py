@@ -45,6 +45,7 @@ HEADLINE = [
     "l1_duplicate_spans",
     "l3_tfidf_top_terms",
     "unreg_l3_repetition_stats",
+    "unreg_l3_unigram_xent",
 ]
 
 
@@ -53,7 +54,10 @@ def _extra_queries():
     only) — resolved straight from their modules."""
     from concerts_etl_sa_spark.operators import textstats as TS
 
-    return {"unreg_l3_repetition_stats": TS.repetition_stats}
+    return {
+        "unreg_l3_repetition_stats": TS.repetition_stats,
+        "unreg_l3_unigram_xent": TS.unigram_xent,
+    }
 
 
 def main() -> None:

@@ -764,3 +764,109 @@ SELECT doc_id, token, tfidf, rn FROM (
 
 
 TFIDF_TOP_TERMS_SQL = _tfidf_sql()
+
+
+# ------------------------------------- unigram-LM cross-entropy (CCNet-style)
+
+UNIGRAM_VOCAB_K = 1000  # truncated-LM vocabulary size (bounded model)
+
+
+def unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained TRUNCATED
+    unigram LM — the CCNet/Wikipedia-LM perplexity-filter shape: train a
+    small LM on the corpus (here: Laplace-smoothed unigram over the top
+    ``UNIGRAM_VOCAB_K`` tokens), score every document by its mean
+    negative token log-probability, threshold downstream.
+
+    Model: p(t) = (c_t + 1) / (N + V) where c_t is the corpus count for
+    top-K tokens and 0 otherwise (truncated vocabulary — rare tokens
+    score as unseen BY DESIGN, exactly what makes gibberish expensive),
+    N = total token occurrences, V = corpus distinct-token count.
+
+    Scale design (the deliberate contrast to ``tfidf_top_terms``): the
+    LM table is top-K — broadcast-sized BY CONSTRUCTION, independent of
+    corpus size — so scoring is a map-side broadcast join over the
+    postings (no shuffle on the token key); N and V collapse to one
+    broadcast row derived from the same counts aggregate. The postings
+    frame is scoped-persisted: both the vocabulary build and the scoring
+    join consume it (the materialize-the-index trade, as in the LSH
+    signatures). Token-less docs re-enter via the final left join with
+    n_tokens = 0 and a NULL cross-entropy.
+
+    FP determinism across engines: per-token logp is an exact function
+    of (c_t, N, V); the per-doc SUM of ~1e2 doubles carries O(1e-13)
+    association error, far inside the 6-dp round.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from ._cachescope import begin_scope, scoped_persist
+
+    begin_scope("unigram_xent")
+    occ = scoped_persist(
+        "unigram_xent",
+        d.select("doc_id", _tokens(F.col("text")).alias("toks")).select(
+            "doc_id", F.explode("toks").alias("token")
+        ),
+    )
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # N and V from the counts aggregate (token-keyed, already partially
+    # combined) — never a second pass over the postings
+    totals = counts.agg(
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("v_distinct"),
+    )
+    vocab = (
+        counts.orderBy(F.desc("c"), F.asc("token"))
+        .limit(UNIGRAM_VOCAB_K)
+    )
+    logp = F.log(
+        (F.coalesce("c", F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("n_total") + F.col("v_distinct")).cast("double")
+    )
+    per_doc = (
+        occ.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(-logp).alias("neg_lp_sum"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.round(
+            F.col("neg_lp_sum") / F.col("n_tokens"), 6
+        ).alias("cross_entropy"),
+    )
+
+
+UNIGRAM_XENT_SQL = f"""
+WITH occ AS (
+  SELECT doc_id, unnest({_tokens_sql('text')}) AS token FROM documents
+),
+counts AS (SELECT token, count(*) AS c FROM occ GROUP BY token),
+totals AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_total,
+         count(*) AS v_distinct
+  FROM counts
+),
+vocab AS (
+  SELECT token, c FROM counts
+  ORDER BY c DESC, token ASC LIMIT {UNIGRAM_VOCAB_K}
+),
+per_doc AS (
+  SELECT occ.doc_id,
+         count(*) AS n_tokens,
+         sum(-ln(CAST(coalesce(vocab.c, 0) + 1 AS DOUBLE)
+                 / CAST(totals.n_total + totals.v_distinct AS DOUBLE)))
+           AS neg_lp_sum
+  FROM occ
+  LEFT JOIN vocab USING (token)
+  CROSS JOIN totals
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id,
+  coalesce(per_doc.n_tokens, 0) AS n_tokens,
+  round(per_doc.neg_lp_sum / per_doc.n_tokens, 6) AS cross_entropy
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""

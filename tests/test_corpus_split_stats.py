@@ -231,3 +231,41 @@ def test_tfidf_top_terms_matches_python(spark):
         got = sorted(out[d.doc_id])
         want = [(i + 1, t, s) for i, (s, t) in enumerate(scored)]
         assert got == want, d.doc_id
+
+
+# ------------------------------------------------- unigram-LM cross-entropy
+
+def test_unigram_xent_ranks_fluent_below_gibberish(spark, tmp_path):
+    """The truncated-unigram LM must score corpus-typical text cheaper
+    (lower cross-entropy) than never-seen gibberish, and the exact
+    values must match a hand-computed Laplace model."""
+    import math
+    from collections import Counter
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, "zqx vwk jjy qqz plm zzv wxq kkj"))  # gibberish
+    rows.append((101, None))                               # token-less
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in TS.unigram_xent(spark, str(tmp_path)).collect()}
+
+    assert out[101].n_tokens == 0 and out[101].cross_entropy is None
+    assert out[0].cross_entropy < out[100].cross_entropy
+
+    # hand-computed Laplace model over the whole corpus
+    toks = []
+    for _, text in rows:
+        if text:
+            toks += text.lower().split()
+    cnt = Counter(toks)
+    n, v = len(toks), len(cnt)
+
+    def xent(text):
+        ts = text.lower().split()
+        return round(
+            sum(-math.log((cnt[t] + 1) / (n + v)) for t in ts) / len(ts), 6
+        )
+
+    assert out[0].cross_entropy == xent(common)
+    assert out[100].cross_entropy == xent("zqx vwk jjy qqz plm zzv wxq kkj")

@@ -77,6 +77,7 @@ def _all_queries():
         ("unreg_l3_repetition_stats", TS.repetition_stats,
          TS.REPETITION_STATS_SQL),
         ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
+        ("unreg_l3_unigram_xent", TS.unigram_xent, TS.UNIGRAM_XENT_SQL),
         ("unreg_l5_stratified_split", SP.stratified_split,
          SP.STRATIFIED_SPLIT_SQL),
         # rotated OUT of the driver window in round 7 (stub-backed in
