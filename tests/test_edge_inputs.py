@@ -98,3 +98,29 @@ def test_simhash_signatures_cover_degenerate_docs(spark, tmp_path):
     assert set(out) == {1, 2, 3, 4}
     assert out[2] == out[3] == out[4] == 0
     assert out[1] != 0
+
+
+def test_corpus_df_ops_tolerate_empty_inputs(spark):
+    """The L-family df cores must yield empty results on empty corpora,
+    never error (the same K2-style degradation as the join operators)."""
+    from concerts_etl_sa_spark.operators.decontam import (
+        decontaminate_df,
+        duplicate_spans_df,
+    )
+    from concerts_etl_sa_spark.operators.dedup import (
+        minhash_lsh_pairs_df,
+        simhash_near_pairs_df,
+    )
+    from concerts_etl_sa_spark.operators.similarity import (
+        embedding_near_dup_pairs_df,
+    )
+
+    docs = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    assert duplicate_spans_df(docs).count() == 0
+    assert minhash_lsh_pairs_df(docs).count() == 0
+    assert minhash_lsh_pairs_df(docs, max_bucket_size=4).count() == 0
+    assert simhash_near_pairs_df(docs).count() == 0
+    assert decontaminate_df(docs, docs, max_eval_docs=None).count() == 0
+    emb = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    assert embedding_near_dup_pairs_df(emb).count() == 0
+    assert embedding_near_dup_pairs_df(emb, max_bucket_size=4).count() == 0
