@@ -122,16 +122,29 @@ _DOCS_SHINGLES_SQL = (
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash dedup: every doc mapped to its group representative
-    (min doc_id with identical md5(text)) + group size."""
+    (min doc_id with identical md5(text)) + group size.
+
+    Group stats via ``groupBy(content_hash)`` + equi-join back, not a
+    window over the hash (the duplicate_spans hot-key lesson): a
+    corpus-degenerate document duplicated millions of times would land
+    every copy in ONE window partition — a single-task straggler with
+    no AQE remedy, since skew splitting only exists for joins. The
+    aggregate partially combines map-side (a hot hash collapses to one
+    row per partition BEFORE the exchange) and AQE skew-join covers the
+    join-back's fat side."""
     d = load_table(spark, sf_dir, "documents")
     h = d.select("doc_id", F.md5("text").alias("content_hash"))
-    w = Window.partitionBy("content_hash")
-    return h.select(
+    groups = h.groupBy("content_hash").agg(
+        F.min("doc_id").alias("representative_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return h.join(groups, "content_hash").select(
         "doc_id",
         "content_hash",
-        F.min("doc_id").over(w).alias("representative_id"),
-        F.count(F.lit(1)).over(w).alias("group_size"),
-    ).withColumn("is_duplicate", F.col("doc_id") != F.col("representative_id"))
+        "representative_id",
+        "group_size",
+        (F.col("doc_id") != F.col("representative_id")).alias("is_duplicate"),
+    )
 
 
 EXACT_DEDUP_SQL = """

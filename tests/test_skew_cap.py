@@ -235,6 +235,30 @@ def test_duplicate_spans_degenerate_docs_score_zero(spark):
         assert res[i].n_shared_spans >= 1
 
 
+def test_exact_dedup_hot_hash_uses_groupby_not_window(spark, tmp_path):
+    """A massively-duplicated document must not pin a single window
+    partition: exact_dedup's group stats are a map-side-combining
+    groupBy + join back (same rationale as duplicate_spans)."""
+    from concerts_etl_sa_spark.operators.dedup import exact_dedup
+
+    rows = [(i, "the exact same document body") for i in range(500)]
+    rows += [(1000 + i, f"unique body number {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = exact_dedup(spark, str(tmp_path))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "group stats regressed to a window"
+    res = {r.doc_id: r for r in out.collect()}
+    assert len(res) == 550
+    assert res[7].representative_id == 0 and res[7].group_size == 500
+    assert res[7].is_duplicate and not res[0].is_duplicate
+    assert res[1000].group_size == 1 and not res[1000].is_duplicate
+
+
 def test_components_long_chain_converges_in_log_rounds(spark):
     # 1025 vertices in one chain: plain min-label propagation moves the
     # min ONE hop per round (~1024 rounds); pointer doubling composes the
