@@ -134,3 +134,130 @@ FROM (
 )
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------- token-budget mixture planner
+
+# target token budget for the planned mixture (a fraction of the corpus
+# at every sf, so the rate computation is non-trivial in both engines)
+PLAN_TOKEN_BUDGET = 100_000
+# per-source mixture weights: high-value domains (src0/src1) get 2x
+_W_HI = 2
+_W_LO = 1
+
+
+def _plan_weight(source):
+    return F.when(_src_idx(source) < 2, F.lit(_W_HI)).otherwise(F.lit(_W_LO))
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling-rate PLAN from a global token budget — the
+    step a production mixture runs BEFORE sampling: measure each
+    source's actual token mass, split the budget by mixture weight, and
+    emit ``rate = min(1, budget_share / n_tokens)`` (an over-budgeted
+    source caps at keep-everything; rates feed the same hash gate as
+    :func:`mixture_sample`).
+
+    Scale design: one scan -> groupBy(source) token sums (map-side
+    combine; source cardinality is tiny) -> one-row weight total
+    joined back broadcast. Output is source-dimension sized.
+
+    FP parity: the rate is a single double division (exact, same IEEE
+    op in both engines) rounded to 9 dp only for display stability.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        ).alias("n_toks"),
+    )
+    per_src = toked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    ).withColumn("weight", _plan_weight(F.col("source")))
+    wtot = per_src.agg(F.sum("weight").alias("w_total"))
+    return (
+        per_src.crossJoin(F.broadcast(wtot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (
+                        F.lit(PLAN_TOKEN_BUDGET)
+                        * F.col("weight").cast("double")
+                        / F.col("w_total")
+                    )
+                    / F.col("n_tokens").cast("double"),
+                ),
+                9,
+            ).alias("rate"),
+        )
+        .transform(lambda df: sorted_small(df, "source"))
+    )
+
+
+_NTOKS_SQL = (
+    "len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))"
+)
+
+MIXTURE_PLAN_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum({_NTOKS_SQL}) AS BIGINT) AS n_tokens,
+         CASE WHEN CAST(substr(source, 4, 10) AS INT) < 2
+              THEN {_W_HI} ELSE {_W_LO} END AS weight
+  FROM documents GROUP BY source
+),
+wtot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM per_src)
+SELECT source, n_docs, n_tokens, weight,
+  round(least(1.0,
+    ({PLAN_TOKEN_BUDGET} * CAST(weight AS DOUBLE) / w_total)
+      / CAST(n_tokens AS DOUBLE)), 9) AS rate
+FROM per_src CROSS JOIN wtot
+ORDER BY source
+"""
+
+
+def mixture_sample_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated sample under the PLANNED per-source rates: the same
+    deterministic md5 gate as :func:`mixture_sample`, with thresholds
+    derived from :func:`mixture_plan` instead of fixed constants. The
+    plan frame is source-dimension sized — broadcast BY CONSTRUCTION —
+    so the gate stays a map-side join + scalar filter (no corpus
+    shuffle), and the emitted weight (1/rate) keeps downstream token
+    counts unbiased."""
+    d = load_table(spark, sf_dir, "documents")
+    plan = mixture_plan(spark, sf_dir).select("source", "rate")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    threshold = F.floor(F.col("rate") * F.lit(float(_FULL))).cast("bigint")
+    return (
+        d.join(F.broadcast(plan), "source")
+        .filter(u32 < threshold)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.round(F.lit(1.0) / F.col("rate"), 6).alias("sample_weight"),
+        )
+        .transform(lambda df: sorted_small(df, "doc_id"))
+    )
+
+
+MIXTURE_SAMPLE_PLANNED_SQL = f"""
+WITH plan AS ({MIXTURE_PLAN_SQL})
+SELECT d.doc_id, d.source, d.lang,
+       round(1.0 / plan.rate, 6) AS sample_weight
+FROM documents d JOIN plan ON d.source = plan.source
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < CAST(floor(plan.rate * {_FULL}.0) AS BIGINT)
+ORDER BY d.doc_id
+"""

@@ -269,3 +269,29 @@ def test_unigram_xent_ranks_fluent_below_gibberish(spark, tmp_path):
 
     assert out[0].cross_entropy == xent(common)
     assert out[100].cross_entropy == xent("zqx vwk jjy qqz plm zzv wxq kkj")
+
+
+# ------------------------------------------------- token-budget planner
+
+def test_mixture_plan_semantics(spark):
+    """Rates follow min(1, weighted-budget-share / token mass), and the
+    planned sample respects them (observed keep fraction ~ rate)."""
+    plan = {r.source: r for r in SMP.mixture_plan(spark, SF_DIR).collect()}
+    w_total = sum(r.weight for r in plan.values())
+    for src, r in plan.items():
+        share = SMP.PLAN_TOKEN_BUDGET * r.weight / w_total
+        assert r.rate == round(min(1.0, share / r.n_tokens), 9), src
+        assert r.weight == (2 if src in ("src0", "src1") else 1)
+
+    sampled = SMP.mixture_sample_planned(spark, SF_DIR).collect()
+    by_src = Counter(r.source for r in sampled)
+    docs_by_src = Counter(
+        r.source
+        for r in load_table(spark, SF_DIR, "documents").select("source").collect()
+    )
+    for src, n_docs in docs_by_src.items():
+        frac = by_src.get(src, 0) / n_docs
+        assert frac <= min(1.0, plan[src].rate * 2.5 + 0.2), src
+    # weights are the inverse rate
+    for r in sampled[:20]:
+        assert r.sample_weight == round(1.0 / plan[r.source].rate, 6)

@@ -80,6 +80,9 @@ def _all_queries():
         ("unreg_l3_unigram_xent", TS.unigram_xent, TS.UNIGRAM_XENT_SQL),
         ("unreg_l5_stratified_split", SP.stratified_split,
          SP.STRATIFIED_SPLIT_SQL),
+        ("unreg_l5_mixture_plan", SP.mixture_plan, SP.MIXTURE_PLAN_SQL),
+        ("unreg_l5_mixture_sample_planned", SP.mixture_sample_planned,
+         SP.MIXTURE_SAMPLE_PLANNED_SQL),
         # rotated OUT of the driver window in round 7 (stub-backed in
         # this container) — still oracle-parity-checked here
         ("unreg_l4_media_resize", MM.media_resize, MM.MEDIA_RESIZE_SQL),
