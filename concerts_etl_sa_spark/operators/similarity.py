@@ -629,3 +629,94 @@ ORDER BY q.q_id
 
 ANN_RECALL_SQL = _recall_sql(TOPK_COSINE_LSH_SQL)
 IVF_RECALL_SQL = _recall_sql(TOPK_COSINE_IVF_SQL)
+
+
+# ------------------------------------- sign-bucket near-dup quality harness
+
+NEAR_DUP_EVAL_MAX_ID = 500  # bounded eval sample: exact truth is quadratic
+
+
+def near_dup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the sign-bucket-blocked near-dup pairs vs the
+    EXACT cosine >= threshold ground truth over vectors with
+    vec_id < ``NEAR_DUP_EVAL_MAX_ID`` — the third member of the dedup
+    quality-harness family (minhash banding recall, simhash P/R, and now
+    the embedding sign bucket). Precision is 1.0 BY CONSTRUCTION (every
+    emitted pair passes the exact cosine threshold; the bucket only
+    blocks), so recall — P(a true near-pair shares its full 8-bit sign
+    bucket) — is the informative number.
+
+    The truth side enumerates all pairs of the bounded sample
+    (evaluation, not production; broadcast so the enumeration never
+    shuffles); the predicted side reuses the production blocked plan
+    unchanged. One row: n_pred, n_truth, n_hit, precision, recall."""
+    emb = _emb_normed(spark, sf_dir).filter(
+        F.col("vec_id") < NEAR_DUP_EVAL_MAX_ID
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("norm2").alias("a_n2"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("norm2").alias("b_n2"),
+    )
+    truth = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select("a_id", "b_id")
+    )
+    pred = embedding_near_dup_pairs(spark, sf_dir).filter(
+        (F.col("a_id") < NEAR_DUP_EVAL_MAX_ID)
+        & (F.col("b_id") < NEAR_DUP_EVAL_MAX_ID)
+    ).select("a_id", "b_id")
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hit = pred.join(truth, ["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_pred.crossJoin(n_truth)
+        .crossJoin(n_hit)
+        .select(
+            "n_pred",
+            "n_truth",
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1)), 6
+            ).alias("precision"),
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
+
+
+NEAR_DUP_QUALITY_SQL = f"""
+WITH s AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < {NEAR_DUP_EVAL_MAX_ID}
+),
+truth AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+  WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
+),
+pred AS (
+  SELECT a_id, b_id FROM ({EMBEDDING_NEAR_DUP_SQL})
+  WHERE a_id < {NEAR_DUP_EVAL_MAX_ID} AND b_id < {NEAR_DUP_EVAL_MAX_ID}
+),
+m AS (
+  SELECT (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM pred JOIN truth USING (a_id, b_id)) AS n_hit
+)
+SELECT n_pred, n_truth, n_hit,
+       round(CAST(n_hit AS DOUBLE) / greatest(n_pred, 1), 6) AS precision,
+       round(CAST(n_hit AS DOUBLE) / greatest(n_truth, 1), 6) AS recall
+FROM m
+"""

@@ -88,3 +88,28 @@ def test_minhash_quality_precision_is_one_by_construction(spark):
     # banding recall: P(share >= 1 of 4 bands) for J >= 0.5 is high;
     # measured 1.0 at sf0.001
     assert row.recall >= 0.9, row.recall
+
+
+def test_near_dup_quality_precision_one_recall_theory_consistent(spark):
+    """Sign-bucket near-dup: precision is 1.0 BY CONSTRUCTION (every
+    emitted pair passes the exact cosine verify); recall must match the
+    sign-LSH collision theory — P(all 8 sign bits agree) ~ (1 - θ/π)^8,
+    ~1.6% at the synthetic data's weak τ=0.30 (θ≈72.5°). The harness
+    exists precisely to surface this production trade: the bucket
+    targets true DUPLICATES (τ→1, θ→0, recall→1), not 0.3-cosine
+    neighbors."""
+    import math
+
+    from concerts_etl_sa_spark.operators.similarity import (
+        NEAR_DUP_COSINE,
+        near_dup_quality,
+    )
+
+    from .conftest import SF_DIR
+
+    row = near_dup_quality(spark, SF_DIR).collect()[0]
+    assert row.precision == 1.0
+    assert row.n_hit == row.n_pred
+    theory = (1 - math.acos(NEAR_DUP_COSINE) / math.pi) ** 8
+    # generous band: per-pair thresholds vary above τ, raising recall
+    assert 0.25 * theory <= row.recall <= 10 * theory

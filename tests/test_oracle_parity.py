@@ -70,6 +70,8 @@ def _all_queries():
         ("unreg_simhash_signatures", D.simhash_signatures,
          D.SIMHASH_SIGNATURES_SQL),
         ("unreg_l2_ivf_recall", S.ivf_recall, S.IVF_RECALL_SQL),
+        ("unreg_l2_near_dup_quality", S.near_dup_quality,
+         S.NEAR_DUP_QUALITY_SQL),
         ("unreg_l1_simhash_quality", D.simhash_quality,
          D.SIMHASH_QUALITY_SQL),
         ("unreg_l1_minhash_quality", D.minhash_quality,
