@@ -158,24 +158,6 @@ ORDER BY q_id, rn
 """
 
 
-def _sign_bucket(vec: str):
-    """8-bit bucket from the signs of components 1..8."""
-    b = F.lit(0)
-    for i in range(SIGN_BITS):
-        b = b + F.when(
-            F.element_at(F.col(vec), i + 1) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    return b
-
-
-def _sign_bucket_sql(vec: str) -> str:
-    parts = [
-        f"(CASE WHEN {vec}[{i+1}] >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(SIGN_BITS)
-    ]
-    return "(" + " + ".join(parts) + ")"
-
-
 def _band_keys(vec: str):
     """Two banded sign-LSH keys: bits of dims 1-4 and dims 5-8.
 
@@ -483,7 +465,8 @@ TOPK_COSINE_IVF_SQL = _ivf_sql()
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vectors: cosine >= threshold among same-bucket pairs."""
+    """Near-duplicate vectors: cosine >= threshold among pairs sharing
+    at least one sign-LSH band."""
     return embedding_near_dup_pairs_df(_emb_normed(spark, sf_dir))
 
 
@@ -496,51 +479,78 @@ def embedding_near_dup_pairs_df(
     """df-based core of :func:`embedding_near_dup_pairs` over any
     (vec_id, embedding[, norm2]) frame.
 
+    Blocking is the same BANDED sign-LSH as :func:`topk_cosine_lsh`
+    (two 4-bit bands, OR-combined) — the round-7 recall fix: the
+    previous single full 8-bit bucket found a near-pair only when ALL
+    eight sign bits agreed, P ~ (1-θ/π)^8 ≈ 2% at θ ≈ 72° (measured by
+    :func:`near_dup_quality`); two OR'd 4-bit bands lift that an order
+    of magnitude at the same candidate-volume class, the standard LSH
+    banding trade. The uncapped path keeps zero dedup shuffle via
+    first-shared-band emission (a both-bands pair is emitted from band
+    0 only); precision stays 1.0 — every candidate passes the exact
+    cosine verify.
+
     ``max_bucket_size`` is the per-bucket skew guard shared with the
     minhash/simhash families (``util.capped_candidates``): an
-    identical-vector flood puts every flood vector into ONE sign
-    bucket, and the unguarded self-join enumerates |bucket|^2/2 pairs.
+    identical-vector flood puts every flood vector into the SAME band
+    buckets, and the unguarded self-join enumerates |bucket|^2/2 pairs.
     Capped mode bounds each heavy bucket (star: linear anchor edges
     keeping the cluster connected for components; sample: bounded-
-    quadratic subset) over slim (vec_id, bucket) rows, then re-attaches
-    the fat vectors to the bounded pair set by vec_id equi-joins —
-    embedding arrays never enter the bucket self-join.
-    ``multi_band=False``: each vector has exactly ONE sign bucket, so a
-    pair can only form once and the pair dedup would be a provably
-    no-op exchange."""
+    quadratic subset) over slim (vec_id, band_key) rows, then
+    re-attaches the fat vectors to the bounded pair set by vec_id
+    equi-joins — embedding arrays never enter the bucket self-join.
+    ``multi_band=True``: a pair may match both bands, so capped
+    emission needs the pair dedup (first-band suppression is unsound
+    when a bucket may decline to emit)."""
     from .util import capped_candidates
 
     if "norm2" not in emb.columns:
         emb = emb.withColumn("norm2", _norm2("embedding"))
-    emb = emb.withColumn("bucket", _sign_bucket("embedding"))
-    a_cols = emb.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_vec"),
-        F.col("norm2").alias("a_n2"),
-        "bucket",
-    )
-    b_cols = emb.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_vec"),
-        F.col("norm2").alias("b_n2"),
-        "bucket",
-    )
     if max_bucket_size is not None:
-        cand = capped_candidates(
-            emb.select(
-                F.col("vec_id").alias("doc_id"),
-                F.col("bucket").alias("band_fp"),
-            ),
-            max_bucket_size,
-            heavy_bucket_mode,
-            multi_band=False,
+        bands = emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.explode(_band_keys("embedding")).alias("band_fp"),
         )
-        pairs = cand.join(a_cols.drop("bucket"), "a_id").join(
-            b_cols.drop("bucket"), "b_id"
+        cand = capped_candidates(
+            bands, max_bucket_size, heavy_bucket_mode, multi_band=True
+        )
+        pairs = cand.join(
+            emb.select(
+                F.col("vec_id").alias("a_id"),
+                F.col("embedding").alias("a_vec"),
+                F.col("norm2").alias("a_n2"),
+            ),
+            "a_id",
+        ).join(
+            emb.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("embedding").alias("b_vec"),
+                F.col("norm2").alias("b_n2"),
+            ),
+            "b_id",
         )
     else:
-        pairs = a_cols.join(b_cols, "bucket").filter(
-            F.col("a_id") < F.col("b_id")
+        a_cols = emb.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_vec"),
+            F.col("norm2").alias("a_n2"),
+            F.element_at(_band_keys("embedding"), 1).alias("a_bk0"),
+            F.posexplode(_band_keys("embedding")).alias("band_id", "band_key"),
+        )
+        b_cols = emb.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("b_vec"),
+            F.col("norm2").alias("b_n2"),
+            F.element_at(_band_keys("embedding"), 1).alias("b_bk0"),
+            F.explode(_band_keys("embedding")).alias("band_key"),
+        )
+        pairs = (
+            a_cols.join(b_cols, "band_key")
+            .filter(F.col("a_id") < F.col("b_id"))
+            # emit from band 1 only when band 0 did NOT also match
+            .filter(
+                (F.col("band_id") == 0) | (F.col("a_bk0") != F.col("b_bk0"))
+            )
         )
     return (
         pairs.withColumn(
@@ -553,12 +563,21 @@ def embedding_near_dup_pairs_df(
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+WITH vb AS (
+  SELECT vec_id, unnest({_band_keys_sql('embedding')}) AS band_key
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM vb a JOIN vb b ON a.band_key = b.band_key
+  WHERE a.vec_id < b.vec_id
+)
+SELECT a_id, b_id,
        {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
-FROM embeddings a JOIN embeddings b
-  ON {_sign_bucket_sql('a.embedding')} = {_sign_bucket_sql('b.embedding')}
-WHERE a.vec_id < b.vec_id
-  AND {_cosine_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
+FROM cand
+JOIN embeddings a ON cand.a_id = a.vec_id
+JOIN embeddings b ON cand.b_id = b.vec_id
+WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
 ORDER BY a_id, b_id
 """
 

@@ -110,6 +110,9 @@ def test_near_dup_quality_precision_one_recall_theory_consistent(spark):
     row = near_dup_quality(spark, SF_DIR).collect()[0]
     assert row.precision == 1.0
     assert row.n_hit == row.n_pred
-    theory = (1 - math.acos(NEAR_DUP_COSINE) / math.pi) ** 8
-    # generous band: per-pair thresholds vary above τ, raising recall
-    assert 0.25 * theory <= row.recall <= 10 * theory
+    # banded blocking (two OR'd 4-bit sign bands): per-band collision
+    # p4 = (1-θ/π)^4, OR-combined 1-(1-p4)^2 — ~10x the old full-8-bit
+    # bucket's (1-θ/π)^8
+    p4 = (1 - math.acos(NEAR_DUP_COSINE) / math.pi) ** 4
+    theory = 1 - (1 - p4) ** 2
+    assert 0.25 * theory <= row.recall <= 4 * theory

@@ -112,7 +112,7 @@ FAMILIES = {
         ),
         _giant_vector_corpus,
         _small_vector_corpus,
-        1,
+        2,  # two OR'd sign-LSH bands since the round-7 recall fix
     ),
 }
 
