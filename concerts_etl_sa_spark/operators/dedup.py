@@ -350,6 +350,164 @@ def minhash_lsh_pairs_df(
     return _verify_jaccard(cand, ds, jaccard_threshold)
 
 
+PROBE_MOD = 10   # parity split for the asymmetric join: doc_id % 10 == 3
+PROBE_REM = 3
+
+
+def _sig_bands(ds: DataFrame) -> DataFrame:
+    """(doc_id, bfps, band_id, band_fp) band frame from a shingled frame
+    — the slim 64-bit-fingerprint band index both the self-join and the
+    asymmetric probe join shuffle on."""
+    sig = ds.select("doc_id", *_minhash_cols(F.col("shingles")))
+    band_fps = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.col(f"mh{b * ROWS_PER_BAND + r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        band_fps.alias("bfps"),
+        F.posexplode(band_fps).alias("band_id", "band_fp"),
+    )
+
+
+def minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle wrapper for :func:`minhash_lsh_join_df` over a
+    deterministic split of ``documents``: probe = doc_id % 10 == 3,
+    corpus = the rest — the DuckDB twin reproduces the split exactly."""
+    d = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    is_probe = (F.col("doc_id") % PROBE_MOD) == PROBE_REM
+    return minhash_lsh_join_df(
+        d.filter(~is_probe).select("doc_id", "text"),
+        d.filter(is_probe).select("doc_id", "text"),
+    )
+
+
+def minhash_lsh_join_df(
+    corpus: DataFrame,
+    probe: DataFrame,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """ASYMMETRIC near-dup join: each PROBE doc vs the CORPUS index —
+    the incremental-ingest shape (a new batch checked against the
+    existing lake before admission; compose with ``corpus_ingest``'s
+    merge-on-write exact dedup for the full admission gate). No
+    self-join exists: candidates come from the probe bands equi-joined
+    against the corpus band index, so cost is linear in the probe size
+    once the corpus signatures are materialized — re-indexing nothing.
+
+    Same physics as :func:`minhash_lsh_pairs_df`: banded 64-bit band
+    fingerprints, FIRST-shared-band emission (a pair matching k bands
+    is emitted only at its lowest shared band — works unchanged across
+    two frames because both sides carry their full fingerprint array),
+    exact-Jaccard verification on the candidate set. Output:
+    (probe_id, corpus_id, jaccard)."""
+    begin_scope("minhash_lsh_join")
+    cds = scoped_persist(
+        "minhash_lsh_join",
+        corpus if "shingles" in corpus.columns else _with_shingles(corpus),
+    )
+    pds = scoped_persist(
+        "minhash_lsh_join",
+        probe if "shingles" in probe.columns else _with_shingles(probe),
+    )
+    first_band = [
+        (F.col("band_id") <= bp)
+        | (F.element_at("p_bfps", bp + 1) != F.element_at("c_bfps", bp + 1))
+        for bp in range(N_BANDS - 1)
+    ]
+    cand = (
+        _sig_bands(pds)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("bfps").alias("p_bfps"),
+            "band_id",
+            "band_fp",
+        )
+        .join(
+            _sig_bands(cds).select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("bfps").alias("c_bfps"),
+                "band_fp",
+            ),
+            "band_fp",
+        )
+        .filter(functools.reduce(_op.and_, first_band))
+        .select("probe_id", "corpus_id")
+    )
+    pairs = cand.join(
+        pds.select(
+            F.col("doc_id").alias("probe_id"), F.col("shingles").alias("p_sh")
+        ),
+        "probe_id",
+    ).join(
+        cds.select(
+            F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("c_sh")
+        ),
+        "corpus_id",
+    )
+    inter = F.size(F.array_intersect("p_sh", "c_sh"))
+    union = F.size(F.array_union("p_sh", "c_sh"))
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("probe_id", "corpus_id", "jaccard")
+        .transform(lambda d: sorted_small(d, "probe_id", "corpus_id"))
+    )
+
+
+def _minhash_lsh_join_sql() -> str:
+    band_keys = ", ".join(
+        "concat_ws('|', '"
+        + str(b)
+        + "', "
+        + ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ")"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH sh AS ({_DOCS_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id, shingles, {', '.join(_minhash_cols_sql('shingles'))}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, shingles, unnest([{band_keys}]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
+  FROM bands p JOIN bands c ON p.band_key = c.band_key
+  WHERE p.doc_id % {PROBE_MOD} = {PROBE_REM}
+    AND c.doc_id % {PROBE_MOD} <> {PROBE_REM}
+)
+SELECT probe_id, corpus_id,
+  round(CAST(len(list_intersect(p.shingles, c.shingles)) AS DOUBLE)
+        / greatest(len(list_distinct(p.shingles || c.shingles)), 1), 6)
+    AS jaccard
+FROM cand
+JOIN sh p ON cand.probe_id = p.doc_id
+JOIN sh c ON cand.corpus_id = c.doc_id
+WHERE round(CAST(len(list_intersect(p.shingles, c.shingles)) AS DOUBLE)
+        / greatest(len(list_distinct(p.shingles || c.shingles)), 1), 6)
+      >= {JACCARD_THRESHOLD}
+ORDER BY probe_id, corpus_id
+"""
+
+
+MINHASH_LSH_JOIN_SQL = _minhash_lsh_join_sql()
+
+
 def _verify_jaccard(
     cand: DataFrame, ds: DataFrame, jaccard_threshold: float
 ) -> DataFrame:

@@ -386,3 +386,29 @@ def test_extract_decoded_stub_in_this_container(spark):
         assert r.width is None and r.sample_rate is None
         assert r.payload_md5 == stub[r.doc_id].payload_md5
         assert r.feature_dim == stub[r.doc_id].feature_dim
+
+
+def test_minhash_lsh_join_probe_vs_index(spark):
+    """Asymmetric batch-vs-index near-dup: a probe doc near-identical to
+    one corpus doc is flagged against it; unrelated probes pass; no
+    corpus-corpus or probe-probe pairs exist by construction."""
+    from concerts_etl_sa_spark.operators.dedup import minhash_lsh_join_df
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, base + " lambda"),
+            (2, "totally different corpus text with no shared words at all"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    probe = spark.createDataFrame(
+        [
+            (100, base + " mu"),
+            (101, "a separate unrelated probe document entirely its own"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = minhash_lsh_join_df(corpus, probe).collect()
+    assert {(r.probe_id, r.corpus_id) for r in out} == {(100, 1)}
+    assert all(r.jaccard >= 0.5 for r in out)

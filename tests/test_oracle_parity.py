@@ -76,6 +76,8 @@ def _all_queries():
          D.SIMHASH_QUALITY_SQL),
         ("unreg_l1_minhash_quality", D.minhash_quality,
          D.MINHASH_QUALITY_SQL),
+        ("unreg_l1_minhash_lsh_join", D.minhash_lsh_join,
+         D.MINHASH_LSH_JOIN_SQL),
         ("unreg_l3_repetition_stats", TS.repetition_stats,
          TS.REPETITION_STATS_SQL),
         ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
