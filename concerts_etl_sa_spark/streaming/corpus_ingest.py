@@ -34,9 +34,16 @@ from ..schemas import DOCUMENTS
 def annotate_documents_stream(
     docs: DataFrame, min_quality: float = 0.5
 ) -> DataFrame:
-    """Scalar stage (works identically on batch and stream frames)."""
-    qc = quality_cols()
-    return docs.select(
+    """Scalar stage (works identically on batch and stream frames).
+    Staged tokenize — see ``textstats.text_suite``."""
+    from ..operators.textstats import _tokens
+
+    toked = docs.select(
+        "doc_id", "text", "lang", "source",
+        _tokens(F.col("text")).alias("toks"),
+    )
+    qc = quality_cols(toks=F.col("toks"))
+    return toked.select(
         "doc_id",
         "text",
         "lang",
@@ -52,8 +59,18 @@ def run_corpus_ingest(
     out_dir: str,
     checkpoint: str,
     min_quality: float = 0.5,
+    near_dup_threshold: float | None = None,
 ) -> None:
-    """Drain the landing directory (availableNow) into curated parquet."""
+    """Drain the landing directory (availableNow) into curated parquet.
+
+    ``near_dup_threshold`` arms the NEAR-dup admission gate on top of
+    the exact merge-on-write dedup: each batch is probed against the
+    curated sink with the asymmetric :func:`minhash_lsh_join_df`
+    (batch bands vs sink band index — linear in the batch size, no
+    self-join, no stream state), and any probe doc with a Jaccard hit
+    >= threshold is refused admission. The sink remains the only state,
+    so the gate stays idempotent under micro-batch replay exactly like
+    the exact-hash path."""
     stream = spark.readStream.schema(DOCUMENTS).parquet(src_dir)
     ann = annotate_documents_stream(stream, min_quality=min_quality)
 
@@ -61,11 +78,26 @@ def run_corpus_ingest(
         spark_b = batch.sparkSession
         fresh = batch.dropDuplicates(["content_hash"])
         try:
-            seen = spark_b.read.parquet(out_dir).select("content_hash")
+            sink = spark_b.read.parquet(out_dir)
         except Exception:  # noqa: BLE001 — first batch: no sink yet
-            seen = None
-        if seen is not None:
-            fresh = fresh.join(seen, "content_hash", "left_anti")
+            sink = None
+        if sink is not None:
+            fresh = fresh.join(
+                sink.select("content_hash"), "content_hash", "left_anti"
+            )
+            if near_dup_threshold is not None:
+                from ..operators.dedup import minhash_lsh_join_df
+
+                near_hits = (
+                    minhash_lsh_join_df(
+                        sink.select("doc_id", "text"),
+                        fresh.select("doc_id", "text"),
+                        jaccard_threshold=near_dup_threshold,
+                    )
+                    .select(F.col("probe_id").alias("doc_id"))
+                    .distinct()
+                )
+                fresh = fresh.join(near_hits, "doc_id", "left_anti")
         (
             fresh.withColumn("ingest_batch_id", F.lit(batch_id))
             .write.mode("append")

@@ -62,3 +62,39 @@ def test_corpus_ingest_rerun_without_new_files_is_noop(spark, tmp_path):
     n1 = spark.read.parquet(out).count()
     run_corpus_ingest(spark, src, out, ckpt, min_quality=0.0)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_corpus_ingest_near_dup_admission_gate(spark, tmp_path):
+    """With near_dup_threshold set, a second batch's near-variant of an
+    already-curated doc (different hash, high Jaccard) is refused;
+    genuinely new docs are admitted."""
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    base = " ".join(f"w{k} common body token" for k in range(12))
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id BIGINT, text STRING"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    _land(spark, mk([(1, base + " original tail")]), src)
+    run_corpus_ingest(
+        spark, src, out, ckpt, min_quality=0.0, near_dup_threshold=0.5
+    )
+    assert spark.read.parquet(out).count() == 1
+
+    _land(
+        spark,
+        mk([
+            (2, base + " variant tail"),   # near-dup of doc 1
+            (3, " ".join(f"fresh{k} unrelated words" for k in range(12))),
+        ]),
+        src,
+    )
+    run_corpus_ingest(
+        spark, src, out, ckpt, min_quality=0.0, near_dup_threshold=0.5
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}, kept
