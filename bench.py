@@ -116,11 +116,20 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # rounds 1-6 benched the first 16 queries; round 7 added four. The
+    # cross-round-comparable number is the sum over the original set —
+    # emitted alongside so a total that "grew" by adding coverage is
+    # never misread as a regression (per-query history is the real gate,
+    # tools/bench_audit.py).
+    r6_set = HEADLINE[:16]
     result = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "comparable_r6_subtotal": round(
+            sum(timings[q] for q in r6_set if q in timings), 3
+        ),
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
