@@ -702,8 +702,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("doc_len"),
         F.explode("toks").alias("token"),
     )
-    counts = occ.groupBy("doc_id", "doc_len", "token").agg(
-        F.count(F.lit(1)).alias("tc")
+    # counts feeds BOTH the document-frequency aggregate and the scoring
+    # join; exchange reuse does not fire across the differently-shaped
+    # consumers, so without materialization the tokenize+explode+groupBy
+    # lineage runs twice (the same index-build trade as the LSH
+    # signatures — scoped, released on the next call)
+    from ._cachescope import begin_scope, scoped_persist
+
+    begin_scope("tfidf_top_terms")
+    counts = scoped_persist(
+        "tfidf_top_terms",
+        occ.groupBy("doc_id", "doc_len", "token").agg(
+            F.count(F.lit(1)).alias("tc")
+        ),
     )
     dfreq = counts.groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
