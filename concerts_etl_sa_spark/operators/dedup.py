@@ -28,7 +28,6 @@ import operator as _op
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
 from ._cachescope import begin_scope, scoped_persist

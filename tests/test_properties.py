@@ -310,3 +310,40 @@ def test_scoped_persist_releases_previous_run(spark):
 
     CS.release_all()
     assert len(sc._jsc.getPersistentRDDs()) <= baseline
+
+
+def test_round7_ops_invariant_to_input_partitioning(spark):
+    """The round-7 corpus operators claim determinism under any
+    partitioning (hash-keyed aggregates/joins, no order dependence) —
+    pin the row multiset under repartition mangling, like the flagship
+    and legacy-merge pins."""
+    from collections import Counter
+
+    from concerts_etl_sa_spark.operators.decontam import duplicate_spans_df
+    from concerts_etl_sa_spark.operators.dedup import minhash_lsh_join_df
+    from concerts_etl_sa_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    is_probe = (F.col("doc_id") % 10) == 3
+
+    def spans(d):
+        return Counter(tuple(r) for r in duplicate_spans_df(d).collect())
+
+    def lsh_join(d):
+        return Counter(
+            tuple(r)
+            for r in minhash_lsh_join_df(
+                d.filter(~is_probe), d.filter(is_probe)
+            ).collect()
+        )
+
+    base_spans, base_join = spans(docs), lsh_join(docs)
+    assert sum(base_spans.values()) > 0
+    for mangle in (
+        lambda d: d.repartition(1),
+        lambda d: d.repartition(13, "text"),
+    ):
+        assert spans(mangle(docs)) == base_spans
+        assert lsh_join(mangle(docs)) == base_join
