@@ -650,6 +650,88 @@ ANN_RECALL_SQL = _recall_sql(TOPK_COSINE_LSH_SQL)
 IVF_RECALL_SQL = _recall_sql(TOPK_COSINE_IVF_SQL)
 
 
+# ------------------------------------------------- incremental top-k merge
+
+INCR_SPLIT_ID = 600  # parity split: candidates >= this id are the "new batch"
+
+
+def topk_cosine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle wrapper for :func:`topk_cosine_incremental_df` over a
+    deterministic split of ``embeddings``: the index is built from
+    candidates with vec_id < ``INCR_SPLIT_ID``; candidates >= it arrive
+    as the new batch. The DuckDB twin is the FULL brute-force top-k —
+    the merge must be exactly equivalent, so the oracle checks the
+    incremental-maintenance algebra, not just expression parity."""
+    emb = _emb_normed(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    old = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < INCR_SPLIT_ID)
+    )
+    new = emb.filter(F.col("vec_id") >= INCR_SPLIT_ID)
+    prior = _score_topk(q, old)
+    return topk_cosine_incremental_df(prior, q, new)
+
+
+def _score_topk(q: DataFrame, cands: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact top-k of ``q`` (query rows) against ``cands`` — the scoring
+    core shared by the batch and incremental paths."""
+    scored = cands.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("norm2").alias("c_n2"),
+    ).crossJoin(
+        F.broadcast(
+            q.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+                F.col("norm2").alias("q_n2"),
+            )
+        )
+    ).withColumn("cosine", _cosine_pre("q_vec", "c_vec", "q_n2", "c_n2"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "cosine")
+    )
+
+
+def topk_cosine_incremental_df(
+    prior_topk: DataFrame,
+    queries: DataFrame,
+    new_cands: DataFrame,
+    k: int = TOP_K,
+) -> DataFrame:
+    """INCREMENTAL top-k maintenance: merge the prior per-query top-k
+    with scores over ONLY the new candidate batch — the arriving-data
+    shape (ANN index serving a growing corpus): per batch the work is
+    |new| x |queries|, never a rescore of the indexed corpus. Exactly
+    equivalent to recomputing from scratch because top-k is a
+    monotone merge: topk(A ∪ B) = topk(topk(A) ∪ topk(B)) under the
+    deterministic (cosine DESC, c_id ASC) order.
+
+    ``prior_topk`` needs (q_id, c_id, cosine); ``queries``/``new_cands``
+    need (vec_id, embedding[, norm2])."""
+    if "norm2" not in queries.columns:
+        queries = queries.withColumn("norm2", _norm2("embedding"))
+    if "norm2" not in new_cands.columns:
+        new_cands = new_cands.withColumn("norm2", _norm2("embedding"))
+    merged = prior_topk.select("q_id", "c_id", "cosine").unionByName(
+        _score_topk(queries, new_cands, k=k)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "cosine", "rn")
+        .transform(lambda d: sorted_small(d, "q_id", "rn"))
+    )
+
+
+# the incremental merge must reproduce the full batch result exactly
+TOPK_COSINE_INCREMENTAL_SQL = TOPK_COSINE_BRUTEFORCE_SQL
+
+
 # ------------------------------------- sign-bucket near-dup quality harness
 
 NEAR_DUP_EVAL_MAX_ID = 500  # bounded eval sample: exact truth is quadratic

@@ -72,6 +72,10 @@ def _all_queries():
         ("unreg_l2_ivf_recall", S.ivf_recall, S.IVF_RECALL_SQL),
         ("unreg_l2_near_dup_quality", S.near_dup_quality,
          S.NEAR_DUP_QUALITY_SQL),
+        # the oracle here is the FULL brute-force top-k: the incremental
+        # merge must be algebraically equivalent to recomputation
+        ("unreg_l2_topk_incremental", S.topk_cosine_incremental,
+         S.TOPK_COSINE_INCREMENTAL_SQL),
         ("unreg_l1_simhash_quality", D.simhash_quality,
          D.SIMHASH_QUALITY_SQL),
         ("unreg_l1_minhash_quality", D.minhash_quality,
