@@ -1,0 +1,71 @@
+"""Streaming top-k maintenance: an ANN result set that stays exact as
+candidate batches land (SURVEY §2.L2 + I5 composition).
+
+The serving shape of :func:`operators.similarity.topk_cosine_incremental_df`:
+new embedding batches arrive in a landing directory; each micro-batch is
+scored against the (broadcast-bounded) query set ONLY — |batch| x |queries|
+work per batch, never a rescore of everything seen — and merged into the
+per-query top-k state, which is overwrite-snapshotted (I5) to parquet.
+
+State design: the state IS queries x k rows — dimension-sized BY
+CONSTRUCTION (independent of how many candidates ever streamed), so the
+driver-side materialize-before-overwrite is a bounded collect, the same
+class as the kmeans centroid sync. Top-k is a monotone merge under the
+deterministic (cosine DESC, c_id ASC) order, so the state after any
+sequence of batches equals the batch recomputation over their union —
+pinned end-to-end in tests against the brute-force oracle, and replay
+(at-least-once foreachBatch) is idempotent: re-merging rows already in
+the state cannot change a deterministic top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import TOP_K, topk_cosine_incremental_df
+from ..schemas import EMBEDDINGS
+
+_STATE_SCHEMA = "q_id BIGINT, c_id BIGINT, cosine DOUBLE, rn INT"
+
+
+def run_topk_maintenance(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+) -> None:
+    """Drain the embedding landing directory (availableNow), folding each
+    batch into the per-query top-k state at ``state_dir``.
+
+    ``queries`` needs (vec_id, embedding) — cached by the caller if its
+    lineage is expensive; it is re-scored against every batch."""
+    stream = spark.readStream.schema(EMBEDDINGS).parquet(src_dir)
+
+    def _fold_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        try:
+            prior = spark_b.read.parquet(state_dir).select(
+                "q_id", "c_id", "cosine"
+            )
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            prior = spark_b.createDataFrame([], _STATE_SCHEMA).select(
+                "q_id", "c_id", "cosine"
+            )
+        updated = topk_cosine_incremental_df(prior, queries, batch, k=k)
+        # materialize BEFORE the overwrite (reading and rewriting the
+        # same path in one lineage is unsafe); the state is q x k rows
+        # by construction, so this is a bounded driver sync
+        rows = updated.collect()
+        spark_b.createDataFrame(rows, _STATE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_fold_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -163,3 +163,50 @@ def test_native_watermarked_dedup_drops_replays(spark, staged):
     )
     assert got.count() == n_distinct < 2 * n_src
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_streaming_topk_maintenance_matches_batch_bruteforce(spark, tmp_path):
+    """Fold embedding batches through the streaming top-k maintainer;
+    the final state must equal the batch brute-force over everything
+    landed (monotone-merge exactness), and a re-drain with no new files
+    must be a no-op."""
+    from concerts_etl_sa_spark.operators.similarity import (
+        N_QUERIES,
+        topk_cosine_bruteforce,
+    )
+    from concerts_etl_sa_spark.sources.readers import load_table
+    from concerts_etl_sa_spark.streaming.ann_maintenance import (
+        run_topk_maintenance,
+    )
+    from .conftest import SF_DIR
+
+    src = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).cache()
+
+    # two candidate batches landed separately
+    emb.filter((F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < 500)) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_topk_maintenance(spark, src, state, ckpt, queries)
+    emb.filter(F.col("vec_id") >= 500).coalesce(1).write.mode("append") \
+        .parquet(src)
+    run_topk_maintenance(spark, src, state, ckpt, queries)
+
+    got = {
+        (r.q_id, r.rn): (r.c_id, r.cosine)
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r.q_id, r.rn): (r.c_id, r.cosine)
+        for r in topk_cosine_bruteforce(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+    run_topk_maintenance(spark, src, state, ckpt, queries)  # no new files
+    again = {
+        (r.q_id, r.rn): (r.c_id, r.cosine)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == want
