@@ -62,8 +62,12 @@ def connected_components(
     # fixpoint — and an edge list always propagates at least one min in
     # round 1 except when every vertex is its own min, in which case one
     # extra no-op round is the only cost). One collect per round total.
+    # max_iters + 1: detection lags one comparison behind the missing
+    # initial sum, so a graph converging exactly at the max_iters-th
+    # round still gets its confirming (no-op) comparison instead of a
+    # spurious no-fixpoint error.
     prev_sum = None
-    for _ in range(max_iters):
+    for _ in range(max_iters + 1):
         nbr_min = (
             sym.join(
                 labels.select(F.col("u").alias("v"), "label"), "v"

@@ -136,13 +136,21 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = h.groupBy("content_hash").agg(
         F.min("doc_id").alias("representative_id"),
         F.count(F.lit(1)).alias("group_size"),
-    )
-    return h.join(groups, "content_hash").select(
-        "doc_id",
-        "content_hash",
-        "representative_id",
-        "group_size",
-        (F.col("doc_id") != F.col("representative_id")).alias("is_duplicate"),
+    ).withColumnRenamed("content_hash", "g_hash")
+    # NULL-SAFE join back: md5(NULL text) is NULL, and a plain equi-join
+    # would silently drop every null-text doc (groupBy keeps NULL as a
+    # key; the window form and the DuckDB twin both group them together)
+    return (
+        h.join(groups, h["content_hash"].eqNullSafe(groups["g_hash"]))
+        .select(
+            "doc_id",
+            "content_hash",
+            "representative_id",
+            "group_size",
+            (F.col("doc_id") != F.col("representative_id")).alias(
+                "is_duplicate"
+            ),
+        )
     )
 
 
@@ -286,23 +294,7 @@ def minhash_lsh_pairs_df(
     # consistent: the minhashes being banded are themselves md5s, so the
     # operator is already probabilistic-by-hash; a fingerprint collision
     # makes a spurious candidate the exact-Jaccard verify discards.
-    band_fps = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.col(f"mh{b * ROWS_PER_BAND + r}")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        band_fps.alias("bfps"),
-        F.posexplode(band_fps).alias("band_id", "band_fp"),
-    )
+    bands = _band_frame(sig)
 
     if max_bucket_size is not None:
         cand = capped_candidates(
@@ -353,11 +345,11 @@ PROBE_MOD = 10   # parity split for the asymmetric join: doc_id % 10 == 3
 PROBE_REM = 3
 
 
-def _sig_bands(ds: DataFrame) -> DataFrame:
-    """(doc_id, bfps, band_id, band_fp) band frame from a shingled frame
-    — the slim 64-bit-fingerprint band index both the self-join and the
-    asymmetric probe join shuffle on."""
-    sig = ds.select("doc_id", *_minhash_cols(F.col("shingles")))
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, bfps, band_id, band_fp) band frame from a signature
+    frame (doc_id, mh0..mhN) — the SINGLE definition of the banded
+    64-bit fingerprints that the self-join, the asymmetric probe join,
+    and the capped path all shuffle on."""
     band_fps = F.array(
         *[
             F.xxhash64(
@@ -374,6 +366,106 @@ def _sig_bands(ds: DataFrame) -> DataFrame:
         "doc_id",
         band_fps.alias("bfps"),
         F.posexplode(band_fps).alias("band_id", "band_fp"),
+    )
+
+
+def _sig_bands(ds: DataFrame) -> DataFrame:
+    """Band frame straight from a shingled frame."""
+    return _band_frame(ds.select("doc_id", *_minhash_cols(F.col("shingles"))))
+
+
+def band_fps_from_shingles(sh) -> "F.Column":
+    """The N_BANDS 64-bit band fingerprints as ONE array column — the
+    storable form of the LSH index (index-on-write: a sink that carries
+    this column never needs re-shingling to serve as the corpus side of
+    :func:`minhash_lsh_join_indexed`). ``sh`` must be a materialized
+    shingle COLUMN (HOF staging rule)."""
+    mhs = [
+        F.array_min(F.transform(sh, _seeded_md5(j)))
+        for j in range(N_MINHASH)
+    ]
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[mhs[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+def minhash_lsh_join_indexed(
+    corpus: DataFrame,
+    probe: DataFrame,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """:func:`minhash_lsh_join_df` against a PRE-INDEXED corpus:
+    ``corpus`` carries (doc_id, text, band_fps) where ``band_fps`` was
+    stored at write time (:func:`band_fps_from_shingles`). Per call the
+    corpus contributes only a read + explode of its stored fingerprints
+    — no re-shingling, no re-minhashing — so a caller folding batch
+    after batch (the streaming admission gate) pays O(|batch|) index
+    work plus candidate verification; corpus text is re-shingled ONLY
+    for the (small) candidate set.
+    """
+    begin_scope("minhash_lsh_join_indexed")
+    pds = scoped_persist(
+        "minhash_lsh_join_indexed",
+        probe if "shingles" in probe.columns else _with_shingles(probe),
+    )
+    corpus_bands = corpus.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("band_fps").alias("c_bfps"),
+        F.explode("band_fps").alias("band_fp"),
+    )
+    first_band = [
+        (F.col("band_id") <= bp)
+        | (F.element_at("p_bfps", bp + 1) != F.element_at("c_bfps", bp + 1))
+        for bp in range(N_BANDS - 1)
+    ]
+    cand = scoped_persist(
+        "minhash_lsh_join_indexed",
+        _sig_bands(pds)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("bfps").alias("p_bfps"),
+            "band_id",
+            "band_fp",
+        )
+        .join(corpus_bands, "band_fp")
+        .filter(functools.reduce(_op.and_, first_band))
+        .select("probe_id", "corpus_id"),
+    )
+    # shingle only the candidate corpus docs (semi-join pruned)
+    c_sh = _with_shingles(
+        corpus.join(
+            cand.select(F.col("corpus_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        ).select("doc_id", "text")
+    )
+    pairs = cand.join(
+        pds.select(
+            F.col("doc_id").alias("probe_id"), F.col("shingles").alias("p_sh")
+        ),
+        "probe_id",
+    ).join(
+        c_sh.select(
+            F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("c_sh")
+        ),
+        "corpus_id",
+    )
+    inter = F.size(F.array_intersect("p_sh", "c_sh"))
+    union = F.size(F.array_union("p_sh", "c_sh"))
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("probe_id", "corpus_id", "jaccard")
+        .transform(lambda d: sorted_small(d, "probe_id", "corpus_id"))
     )
 
 
@@ -399,8 +491,12 @@ def minhash_lsh_join_df(
     existing lake before admission; compose with ``corpus_ingest``'s
     merge-on-write exact dedup for the full admission gate). No
     self-join exists: candidates come from the probe bands equi-joined
-    against the corpus band index, so cost is linear in the probe size
-    once the corpus signatures are materialized — re-indexing nothing.
+    against the corpus band index. This from-scratch variant builds
+    BOTH indexes per call (the one-shot / oracle-parity form); a caller
+    probing the same corpus repeatedly should store the corpus
+    fingerprints once (:func:`band_fps_from_shingles`) and use
+    :func:`minhash_lsh_join_indexed`, which reads the stored index and
+    re-shingles only candidate docs.
 
     Same physics as :func:`minhash_lsh_pairs_df`: banded 64-bit band
     fingerprints, FIRST-shared-band emission (a pair matching k bands

@@ -165,14 +165,11 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     FP parity: the rate is a single double division (exact, same IEEE
     op in both engines) rounded to 9 dp only for display stability.
     """
+    from .textstats import _tokens  # the one canonical tokenizer
+
     d = load_table(spark, sf_dir, "documents")
     toked = d.select(
-        "source",
-        F.size(
-            F.filter(
-                F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-            )
-        ).alias("n_toks"),
+        "source", F.size(_tokens(F.col("text"))).alias("n_toks")
     )
     per_src = toked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -203,9 +200,9 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NTOKS_SQL = (
-    "len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))"
-)
+from .textstats import _tokens_sql as _toks_sql  # noqa: E402
+
+_NTOKS_SQL = f"len({_toks_sql('text')})"
 
 MIXTURE_PLAN_SQL = f"""
 WITH per_src AS (

@@ -716,8 +716,15 @@ def topk_cosine_incremental_df(
         queries = queries.withColumn("norm2", _norm2("embedding"))
     if "norm2" not in new_cands.columns:
         new_cands = new_cands.withColumn("norm2", _norm2("embedding"))
-    merged = prior_topk.select("q_id", "c_id", "cosine").unionByName(
-        _score_topk(queries, new_cands, k=k)
+    merged = (
+        prior_topk.select("q_id", "c_id", "cosine")
+        .unionByName(_score_topk(queries, new_cands, k=k))
+        # replay safety: an at-least-once caller (foreachBatch) may
+        # re-deliver a batch whose entries are ALREADY in the prior
+        # top-k; without this dedup the duplicate rows take two ranks
+        # and permanently evict genuine k-th candidates. Keyed dedup is
+        # exact — (q_id, c_id) determines the cosine.
+        .dropDuplicates(["q_id", "c_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -738,14 +745,15 @@ NEAR_DUP_EVAL_MAX_ID = 500  # bounded eval sample: exact truth is quadratic
 
 
 def near_dup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision/recall of the sign-bucket-blocked near-dup pairs vs the
+    """Precision/recall of the banded sign-LSH near-dup pairs vs the
     EXACT cosine >= threshold ground truth over vectors with
     vec_id < ``NEAR_DUP_EVAL_MAX_ID`` — the third member of the dedup
-    quality-harness family (minhash banding recall, simhash P/R, and now
-    the embedding sign bucket). Precision is 1.0 BY CONSTRUCTION (every
-    emitted pair passes the exact cosine threshold; the bucket only
-    blocks), so recall — P(a true near-pair shares its full 8-bit sign
-    bucket) — is the informative number.
+    quality-harness family (minhash banding recall, simhash P/R, and
+    the embedding bands). Precision is 1.0 BY CONSTRUCTION (every
+    emitted pair passes the exact cosine threshold; the bands only
+    block), so recall — P(a true near-pair shares at least one of the
+    two 4-bit sign bands, 1-(1-(1-θ/π)^4)^2, the banded amplification
+    of the old full-bucket (1-θ/π)^8 — is the informative number.
 
     The truth side enumerates all pairs of the bounded sample
     (evaluation, not production; broadcast so the enumeration never

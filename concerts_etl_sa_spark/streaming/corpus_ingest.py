@@ -64,13 +64,24 @@ def run_corpus_ingest(
     """Drain the landing directory (availableNow) into curated parquet.
 
     ``near_dup_threshold`` arms the NEAR-dup admission gate on top of
-    the exact merge-on-write dedup: each batch is probed against the
-    curated sink with the asymmetric :func:`minhash_lsh_join_df`
-    (batch bands vs sink band index — linear in the batch size, no
-    self-join, no stream state), and any probe doc with a Jaccard hit
-    >= threshold is refused admission. The sink remains the only state,
-    so the gate stays idempotent under micro-batch replay exactly like
-    the exact-hash path."""
+    the exact merge-on-write dedup, with INDEX-ON-WRITE: every admitted
+    doc is stored WITH its LSH band fingerprints (``band_fps``), so a
+    later batch's probe joins the sink's stored index — the sink is
+    never re-shingled or re-minhashed (per-batch cost is O(|batch|)
+    index work + candidate verification, where the unindexed form would
+    redo O(|sink|) signature work every batch). Any probe doc with a
+    Jaccard hit >= threshold is refused admission. The sink remains the
+    only state, so the gate stays idempotent under micro-batch replay
+    exactly like the exact-hash path. The band_fps column is written
+    even when the gate is unarmed — indexing at write is what makes
+    arming it later (or any other consumer) cheap."""
+    from ..operators.dedup import (
+        _shingles,
+        _tokens,
+        band_fps_from_shingles,
+        minhash_lsh_join_indexed,
+    )
+
     stream = spark.readStream.schema(DOCUMENTS).parquet(src_dir)
     ann = annotate_documents_stream(stream, min_quality=min_quality)
 
@@ -86,11 +97,9 @@ def run_corpus_ingest(
                 sink.select("content_hash"), "content_hash", "left_anti"
             )
             if near_dup_threshold is not None:
-                from ..operators.dedup import minhash_lsh_join_df
-
                 near_hits = (
-                    minhash_lsh_join_df(
-                        sink.select("doc_id", "text"),
+                    minhash_lsh_join_indexed(
+                        sink.select("doc_id", "text", "band_fps"),
                         fresh.select("doc_id", "text"),
                         jaccard_threshold=near_dup_threshold,
                     )
@@ -98,8 +107,16 @@ def run_corpus_ingest(
                     .distinct()
                 )
                 fresh = fresh.join(near_hits, "doc_id", "left_anti")
+        # index-on-write: staged tokenize -> staged shingles -> stored
+        # band fingerprints (4 bigints per doc)
+        indexed = (
+            fresh.withColumn("_toks", _tokens(F.col("text")))
+            .withColumn("_sh", _shingles(F.col("_toks")))
+            .withColumn("band_fps", band_fps_from_shingles(F.col("_sh")))
+            .drop("_toks", "_sh")
+        )
         (
-            fresh.withColumn("ingest_batch_id", F.lit(batch_id))
+            indexed.withColumn("ingest_batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(out_dir)
         )

@@ -412,3 +412,55 @@ def test_minhash_lsh_join_probe_vs_index(spark):
     out = minhash_lsh_join_df(corpus, probe).collect()
     assert {(r.probe_id, r.corpus_id) for r in out} == {(100, 1)}
     assert all(r.jaccard >= 0.5 for r in out)
+
+
+def test_minhash_lsh_join_indexed_matches_from_scratch(spark):
+    """Index-on-write equivalence: joining against a corpus with STORED
+    band fingerprints gives exactly the from-scratch result."""
+    from pyspark.sql import functions as F
+
+    from concerts_etl_sa_spark.operators.dedup import (
+        _shingles,
+        _tokens,
+        band_fps_from_shingles,
+        minhash_lsh_join_df,
+        minhash_lsh_join_indexed,
+    )
+    from concerts_etl_sa_spark.sources.readers import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    is_probe = (F.col("doc_id") % 10) == 3
+    corpus, probe = docs.filter(~is_probe), docs.filter(is_probe)
+    indexed = (
+        corpus.withColumn("_toks", _tokens(F.col("text")))
+        .withColumn("_sh", _shingles(F.col("_toks")))
+        .withColumn("band_fps", band_fps_from_shingles(F.col("_sh")))
+        .drop("_toks", "_sh")
+    )
+    want = {tuple(r) for r in minhash_lsh_join_df(corpus, probe).collect()}
+    got = {
+        tuple(r) for r in minhash_lsh_join_indexed(indexed, probe).collect()
+    }
+    assert got == want and want
+
+
+def test_exact_dedup_keeps_null_text_docs_grouped(spark, tmp_path):
+    """md5(NULL) is NULL; the groupBy+join-back must be NULL-safe so
+    null-text docs stay in the output as one group (the window form and
+    the DuckDB twin both group them together)."""
+    from pyspark.sql import functions as F
+
+    from concerts_etl_sa_spark.operators.dedup import exact_dedup
+
+    rows = [(1, "real body one"), (2, None), (3, None), (4, "real body two")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.coalesce(F.length("text"), F.lit(0)).cast("long").alias("n_chars"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in exact_dedup(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2].representative_id == 2 and out[3].representative_id == 2
+    assert out[3].group_size == 2 and out[3].is_duplicate

@@ -210,3 +210,35 @@ def test_streaming_topk_maintenance_matches_batch_bruteforce(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert again == want
+
+
+def test_incremental_topk_replay_is_idempotent(spark):
+    """Re-merging a batch whose entries already live in the prior top-k
+    (at-least-once foreachBatch redelivery) must not change the state —
+    duplicates would otherwise occupy two ranks and evict genuine k-th
+    candidates."""
+    from concerts_etl_sa_spark.operators.similarity import (
+        N_QUERIES,
+        _emb_normed,
+        topk_cosine_incremental_df,
+    )
+    from .conftest import SF_DIR
+
+    emb = _emb_normed(spark, SF_DIR)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    batch = emb.filter(F.col("vec_id") >= 500)
+    prior = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < 500)
+    )
+    from concerts_etl_sa_spark.operators.similarity import _score_topk
+
+    state1 = topk_cosine_incremental_df(
+        _score_topk(queries, prior), queries, batch
+    )
+    once = {(r.q_id, r.rn): (r.c_id, r.cosine) for r in state1.collect()}
+    # replay: fold the SAME batch into the state it already produced
+    state2 = topk_cosine_incremental_df(
+        state1.select("q_id", "c_id", "cosine"), queries, batch
+    )
+    twice = {(r.q_id, r.rn): (r.c_id, r.cosine) for r in state2.collect()}
+    assert twice == once
