@@ -399,6 +399,7 @@ def minhash_lsh_join_indexed(
     corpus: DataFrame,
     probe: DataFrame,
     jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_join_df` against a PRE-INDEXED corpus:
     ``corpus`` carries (doc_id, text, band_fps) where ``band_fps`` was
@@ -408,7 +409,14 @@ def minhash_lsh_join_indexed(
     after batch (the streaming admission gate) pays O(|batch|) index
     work plus candidate verification; corpus text is re-shingled ONLY
     for the (small) candidate set.
-    """
+
+    ``max_bucket_size`` caps the CORPUS side of each band bucket (rank
+    by xxhash64, keep the first N — the same deterministic order as
+    ``util.capped_candidates``). SAFE for admission semantics: a probe
+    near a giant sink cluster still matches the cap's surviving members
+    (hit/no-hit is what the gate consumes), while the unguarded join
+    would fan |sink_bucket| x |probe_bucket| candidates under an
+    identical-doc flood."""
     begin_scope("minhash_lsh_join_indexed")
     pds = scoped_persist(
         "minhash_lsh_join_indexed",
@@ -419,6 +427,18 @@ def minhash_lsh_join_indexed(
         F.col("band_fps").alias("c_bfps"),
         F.explode("band_fps").alias("band_fp"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window as _W
+
+        wo = _W.partitionBy("band_fp").orderBy(
+            F.xxhash64(F.col("corpus_id"), F.col("band_fp")),
+            F.col("corpus_id"),
+        )
+        corpus_bands = (
+            corpus_bands.withColumn("bk_rn", F.row_number().over(wo))
+            .filter(F.col("bk_rn") <= max_bucket_size)
+            .drop("bk_rn")
+        )
     first_band = [
         (F.col("band_id") <= bp)
         | (F.element_at("p_bfps", bp + 1) != F.element_at("c_bfps", bp + 1))

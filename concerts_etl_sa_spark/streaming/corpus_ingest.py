@@ -60,6 +60,7 @@ def run_corpus_ingest(
     checkpoint: str,
     min_quality: float = 0.5,
     near_dup_threshold: float | None = None,
+    near_dup_max_bucket: int | None = None,
 ) -> None:
     """Drain the landing directory (availableNow) into curated parquet.
 
@@ -102,6 +103,7 @@ def run_corpus_ingest(
                         sink.select("doc_id", "text", "band_fps"),
                         fresh.select("doc_id", "text"),
                         jaccard_threshold=near_dup_threshold,
+                        max_bucket_size=near_dup_max_bucket,
                     )
                     .select(F.col("probe_id").alias("doc_id"))
                     .distinct()

@@ -98,3 +98,47 @@ def test_corpus_ingest_near_dup_admission_gate(spark, tmp_path):
     )
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1, 3}, kept
+
+
+def test_near_dup_gate_survives_sink_flood_with_bucket_cap(spark, tmp_path):
+    """A giant near-dup cluster already in the sink must not blow up the
+    gate's band join: with the corpus-side bucket cap the probe is still
+    refused (any surviving bucket member triggers the hit)."""
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    words = [f"w{k}" for k in range(70)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id BIGINT, text STRING"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    # 60 case-variant copies: distinct hashes, identical shingle sets
+    flood = [
+        (i, " ".join(w.upper() if j == i else w for j, w in enumerate(words)))
+        for i in range(60)
+    ]
+    _land(spark, mk(flood), src)
+    run_corpus_ingest(
+        spark, src, out, ckpt, min_quality=0.0,
+        near_dup_threshold=0.5, near_dup_max_bucket=8,
+    )
+    n_sink = spark.read.parquet(out).count()
+    assert n_sink == 60  # first batch: nothing in the sink to refuse against
+
+    _land(
+        spark,
+        mk([
+            (100, " ".join(words) + " extra"),  # near-dup of the flood
+            (101, " ".join(f"fresh{k} novel words" for k in range(12))),
+        ]),
+        src,
+    )
+    run_corpus_ingest(
+        spark, src, out, ckpt, min_quality=0.0,
+        near_dup_threshold=0.5, near_dup_max_bucket=8,
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 100 not in kept and 101 in kept
