@@ -49,6 +49,10 @@ SIM_THRESHOLD = 0.90    # name_threshold (matching.py:47)
 
 import os as _os
 
+# A/B instrumentation for the assembly-leg broadcast hints (matched-set
+# frames; see legacy_merge). Default ON; SPARK_GRAFT_D8_BROADCAST=0
+# reproduces the shuffle-join variant for matched-conditions comparisons
+# — the documented fallback if matches ever outgrow broadcast.
 _HINT_BROADCAST = _os.environ.get("SPARK_GRAFT_D8_BROADCAST", "1") == "1"
 
 
