@@ -105,7 +105,7 @@ def connected_components(
         prev_sum = new_sum
     else:
         raise RuntimeError(
-            f"connected_components: no fixpoint in {max_iters} rounds"
+            f"connected_components: no fixpoint in {max_iters + 1} rounds"
         )
     sym.unpersist()
     return labels.select(F.col("u").alias("vertex"), F.col("label").alias("component"))

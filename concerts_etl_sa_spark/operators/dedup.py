@@ -202,11 +202,21 @@ def _seeded_md5(j):
     return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
 
 
-def _minhash_cols(shingles):
-    """N_MINHASH min-hashes: min over shingles of md5(seed || shingle)."""
+def _minhash_exprs(shingles):
+    """N_MINHASH min-hash EXPRESSIONS: min over shingles of
+    md5(seed || shingle) — the single definition of the minhash formula
+    (both the column-aliased signature frames and the stored
+    index-on-write fingerprints derive from it)."""
     return [
-        F.array_min(F.transform(shingles, _seeded_md5(j))).alias(f"mh{j}")
+        F.array_min(F.transform(shingles, _seeded_md5(j)))
         for j in range(N_MINHASH)
+    ]
+
+
+def _minhash_cols(shingles):
+    """N_MINHASH min-hashes as aliased mh{j} columns."""
+    return [
+        e.alias(f"mh{j}") for j, e in enumerate(_minhash_exprs(shingles))
     ]
 
 
@@ -345,22 +355,31 @@ PROBE_MOD = 10   # parity split for the asymmetric join: doc_id % 10 == 3
 PROBE_REM = 3
 
 
-def _band_frame(sig: DataFrame) -> DataFrame:
-    """(doc_id, bfps, band_id, band_fp) band frame from a signature
-    frame (doc_id, mh0..mhN) — the SINGLE definition of the banded
-    64-bit fingerprints that the self-join, the asymmetric probe join,
-    and the capped path all shuffle on."""
-    band_fps = F.array(
+def _band_fp_array(mhs) -> "F.Column":
+    """The N_BANDS 64-bit band fingerprints as ONE array column, from a
+    list of N_MINHASH minhash expressions — the SINGLE definition of the
+    banded fingerprint formula (xxhash64 seeded by band index over the
+    band's minhashes). ``_band_frame`` (in-flight signatures) and
+    :func:`band_fps_from_shingles` (stored index-on-write fingerprints)
+    both derive from it, so the two representations cannot silently
+    diverge and zero the persisted index."""
+    return F.array(
         *[
             F.xxhash64(
                 F.lit(b),
-                *[
-                    F.col(f"mh{b * ROWS_PER_BAND + r}")
-                    for r in range(ROWS_PER_BAND)
-                ],
+                *[mhs[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)],
             )
             for b in range(N_BANDS)
         ]
+    )
+
+
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, bfps, band_id, band_fp) band frame from a signature
+    frame (doc_id, mh0..mhN) — what the self-join, the asymmetric probe
+    join, and the capped path all shuffle on."""
+    band_fps = _band_fp_array(
+        [F.col(f"mh{j}") for j in range(N_MINHASH)]
     )
     return sig.select(
         "doc_id",
@@ -379,20 +398,10 @@ def band_fps_from_shingles(sh) -> "F.Column":
     storable form of the LSH index (index-on-write: a sink that carries
     this column never needs re-shingling to serve as the corpus side of
     :func:`minhash_lsh_join_indexed`). ``sh`` must be a materialized
-    shingle COLUMN (HOF staging rule)."""
-    mhs = [
-        F.array_min(F.transform(sh, _seeded_md5(j)))
-        for j in range(N_MINHASH)
-    ]
-    return F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[mhs[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)],
-            )
-            for b in range(N_BANDS)
-        ]
-    )
+    shingle COLUMN (HOF staging rule). Derives from the same
+    ``_minhash_exprs`` + ``_band_fp_array`` definitions as the
+    in-flight band frames — one formula, two callers."""
+    return _band_fp_array(_minhash_exprs(sh))
 
 
 def minhash_lsh_join_indexed(
@@ -416,7 +425,19 @@ def minhash_lsh_join_indexed(
     near a giant sink cluster still matches the cap's surviving members
     (hit/no-hit is what the gate consumes), while the unguarded join
     would fan |sink_bucket| x |probe_bucket| candidates under an
-    identical-doc flood."""
+    identical-doc flood. Two capped-mode specifics:
+
+    - ranking is PRUNED to buckets the probe actually touches (the
+      probe's distinct band fingerprints — batch-sized by the gate
+      contract — broadcast-semi-join the sink index BEFORE the window),
+      so per-call cost is bounded by the touched buckets, never an
+      O(|sink| x N_BANDS) full-index sort per micro-batch;
+    - capping breaks the first-shared-band invariant (same argument as
+      :func:`minhash_lsh_pairs_df`): a pair whose lowest shared band was
+      capped away would be suppressed at every later band by the
+      fingerprint-equality filter, silently dropping a qualifying hit —
+      capped mode therefore pays the explicit pair ``dropDuplicates``
+      instead."""
     begin_scope("minhash_lsh_join_indexed")
     pds = scoped_persist(
         "minhash_lsh_join_indexed",
@@ -427,9 +448,20 @@ def minhash_lsh_join_indexed(
         F.col("band_fps").alias("c_bfps"),
         F.explode("band_fps").alias("band_fp"),
     )
+    p_bands = _sig_bands(pds).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("bfps").alias("p_bfps"),
+        "band_id",
+        "band_fp",
+    )
     if max_bucket_size is not None:
         from pyspark.sql.window import Window as _W
 
+        p_bands = scoped_persist("minhash_lsh_join_indexed", p_bands)
+        touched = p_bands.select("band_fp").distinct()
+        corpus_bands = corpus_bands.join(
+            F.broadcast(touched), "band_fp", "left_semi"
+        )
         wo = _W.partitionBy("band_fp").orderBy(
             F.xxhash64(F.col("corpus_id"), F.col("band_fp")),
             F.col("corpus_id"),
@@ -439,24 +471,26 @@ def minhash_lsh_join_indexed(
             .filter(F.col("bk_rn") <= max_bucket_size)
             .drop("bk_rn")
         )
-    first_band = [
-        (F.col("band_id") <= bp)
-        | (F.element_at("p_bfps", bp + 1) != F.element_at("c_bfps", bp + 1))
-        for bp in range(N_BANDS - 1)
-    ]
-    cand = scoped_persist(
-        "minhash_lsh_join_indexed",
-        _sig_bands(pds)
-        .select(
-            F.col("doc_id").alias("probe_id"),
-            F.col("bfps").alias("p_bfps"),
-            "band_id",
-            "band_fp",
+        raw_cand = (
+            p_bands.join(corpus_bands, "band_fp")
+            .select("probe_id", "corpus_id")
+            .dropDuplicates(["probe_id", "corpus_id"])
         )
-        .join(corpus_bands, "band_fp")
-        .filter(functools.reduce(_op.and_, first_band))
-        .select("probe_id", "corpus_id"),
-    )
+    else:
+        first_band = [
+            (F.col("band_id") <= bp)
+            | (
+                F.element_at("p_bfps", bp + 1)
+                != F.element_at("c_bfps", bp + 1)
+            )
+            for bp in range(N_BANDS - 1)
+        ]
+        raw_cand = (
+            p_bands.join(corpus_bands, "band_fp")
+            .filter(functools.reduce(_op.and_, first_band))
+            .select("probe_id", "corpus_id")
+        )
+    cand = scoped_persist("minhash_lsh_join_indexed", raw_cand)
     # shingle only the candidate corpus docs (semi-join pruned)
     c_sh = _with_shingles(
         corpus.join(

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.similarity import TOP_K, topk_cosine_incremental_df
 from ..schemas import EMBEDDINGS
+from ._fs import path_exists
 
 _STATE_SCHEMA = "q_id BIGINT, c_id BIGINT, cosine DOUBLE, rn INT"
 
@@ -45,11 +46,20 @@ def run_topk_maintenance(
 
     def _fold_batch(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
-        try:
-            prior = spark_b.read.parquet(state_dir).select(
-                "q_id", "c_id", "cosine"
-            )
-        except Exception:  # noqa: BLE001 — first batch: no state yet
+        # explicit existence probe, NOT a swallowed read exception: this
+        # sink is overwrite-mode, so treating a transient read failure
+        # (corrupt footer, FS hiccup, permissions) as "first batch"
+        # would replace the entire accumulated top-k state with just
+        # this batch's — silent, unrecoverable loss. With the probe, a
+        # missing path is the only no-state signal; real read failures
+        # kill the stream loudly and a retry resumes from intact state.
+        # The pinned read schema makes a pre-created empty dir read as
+        # an empty frame instead of a schema-infer error.
+        if path_exists(spark_b, state_dir):
+            prior = spark_b.read.schema(_STATE_SCHEMA).parquet(
+                state_dir
+            ).select("q_id", "c_id", "cosine")
+        else:
             prior = spark_b.createDataFrame([], _STATE_SCHEMA).select(
                 "q_id", "c_id", "cosine"
             )

@@ -27,8 +27,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..operators.textstats import quality_cols
 from ..schemas import DOCUMENTS
+from ._fs import path_exists
+
+# The curated sink's full schema, pinned for the state read-back: reading
+# with an EXPLICIT schema (instead of parquet inference) makes the sink
+# read (a) total — a pre-created empty directory yields an empty frame
+# instead of an infer error — and (b) forward-compatible — files written
+# before index-on-write existed have no band_fps column and simply read
+# it as NULL, which the gate re-indexes on the fly (see _merge_batch)
+# rather than crashing or silently exempting pre-upgrade docs.
+CURATED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("quality", T.DoubleType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("band_fps", T.ArrayType(T.LongType())),
+        T.StructField("ingest_batch_id", T.LongType()),
+    ]
+)
 
 
 def annotate_documents_stream(
@@ -86,42 +109,87 @@ def run_corpus_ingest(
     stream = spark.readStream.schema(DOCUMENTS).parquet(src_dir)
     ann = annotate_documents_stream(stream, min_quality=min_quality)
 
-    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
-        spark_b = batch.sparkSession
-        fresh = batch.dropDuplicates(["content_hash"])
-        try:
-            sink = spark_b.read.parquet(out_dir)
-        except Exception:  # noqa: BLE001 — first batch: no sink yet
-            sink = None
-        if sink is not None:
-            fresh = fresh.join(
-                sink.select("content_hash"), "content_hash", "left_anti"
-            )
-            if near_dup_threshold is not None:
-                near_hits = (
-                    minhash_lsh_join_indexed(
-                        sink.select("doc_id", "text", "band_fps"),
-                        fresh.select("doc_id", "text"),
-                        jaccard_threshold=near_dup_threshold,
-                        max_bucket_size=near_dup_max_bucket,
-                    )
-                    .select(F.col("probe_id").alias("doc_id"))
-                    .distinct()
-                )
-                fresh = fresh.join(near_hits, "doc_id", "left_anti")
-        # index-on-write: staged tokenize -> staged shingles -> stored
-        # band fingerprints (4 bigints per doc)
-        indexed = (
-            fresh.withColumn("_toks", _tokens(F.col("text")))
+    def _reindex(df: DataFrame) -> DataFrame:
+        """(doc_id, text) -> (doc_id, text, band_fps): on-the-fly
+        signature computation for sink rows written before
+        index-on-write existed."""
+        return (
+            df.withColumn("_toks", _tokens(F.col("text")))
             .withColumn("_sh", _shingles(F.col("_toks")))
             .withColumn("band_fps", band_fps_from_shingles(F.col("_sh")))
-            .drop("_toks", "_sh")
+            .select("doc_id", "text", "band_fps")
         )
-        (
-            indexed.withColumn("ingest_batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        # explicit existence probe, not a swallowed read exception: any
+        # real sink-read failure must surface, not masquerade as "first
+        # batch" (see streaming/_fs.py)
+        sink = (
+            spark_b.read.schema(CURATED_SCHEMA).parquet(out_dir)
+            if path_exists(spark_b, out_dir)
+            else None
         )
+        # ONE signature pass per batch: the staged shingle column
+        # computed here serves BOTH the near-dup probe and the
+        # index-on-write band_fps of the surviving rows (the signature
+        # pipeline — tokenize, 3-gram shingle, N_MINHASH seeded-md5
+        # array_min passes — is the CPU-dominant per-batch cost, and the
+        # previous form ran it twice: once inside the gate join, once
+        # rebuilding the index from raw text). persist() pins the batch
+        # so the gate's probe subtree and the write subtree share one
+        # computation; a micro-batch is memory-sized by construction.
+        fresh = (
+            batch.dropDuplicates(["content_hash"])
+            .withColumn("_toks", _tokens(F.col("text")))
+            .withColumn("shingles", _shingles(F.col("_toks")))
+            .drop("_toks")
+            .persist()
+        )
+        try:
+            surv = fresh
+            if sink is not None:
+                surv = surv.join(
+                    sink.select("content_hash"), "content_hash", "left_anti"
+                )
+                if near_dup_threshold is not None:
+                    # pre-upgrade rows (band_fps NULL under the pinned
+                    # schema) are re-indexed on the fly so the gate
+                    # covers the WHOLE sink — explode would silently
+                    # drop NULL arrays, exempting every pre-upgrade doc
+                    sink_idx = sink.filter(
+                        F.col("band_fps").isNotNull()
+                    ).select("doc_id", "text", "band_fps").unionByName(
+                        _reindex(
+                            sink.filter(F.col("band_fps").isNull()).select(
+                                "doc_id", "text"
+                            )
+                        )
+                    )
+                    near_hits = (
+                        minhash_lsh_join_indexed(
+                            sink_idx,
+                            surv.select("doc_id", "text", "shingles"),
+                            jaccard_threshold=near_dup_threshold,
+                            max_bucket_size=near_dup_max_bucket,
+                        )
+                        .select(F.col("probe_id").alias("doc_id"))
+                        .distinct()
+                    )
+                    surv = surv.join(near_hits, "doc_id", "left_anti")
+            # index-on-write: band fingerprints from the SAME staged
+            # shingles the gate probed with (4 bigints per doc)
+            (
+                surv.withColumn(
+                    "band_fps", band_fps_from_shingles(F.col("shingles"))
+                )
+                .drop("shingles")
+                .withColumn("ingest_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+        finally:
+            fresh.unpersist()
 
     q = (
         ann.writeStream.foreachBatch(_merge_batch)

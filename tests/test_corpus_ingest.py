@@ -142,3 +142,46 @@ def test_near_dup_gate_survives_sink_flood_with_bucket_cap(spark, tmp_path):
     )
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 100 not in kept and 101 in kept
+
+
+def test_near_dup_gate_covers_pre_index_sink(spark, tmp_path):
+    """A sink written BEFORE index-on-write existed (no band_fps column)
+    must neither crash the armed gate nor silently exempt pre-upgrade
+    docs: legacy rows read band_fps = NULL under the pinned sink schema
+    and are re-indexed on the fly, so a near-dup of a pre-upgrade doc is
+    still refused while genuinely new docs are admitted."""
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    base = " ".join(f"w{k} common body token" for k in range(12))
+    # simulate the pre-upgrade layout: write the sink directly with the
+    # old writer's schema (no band_fps)
+    spark.createDataFrame(
+        [(1, base + " original tail")], "doc_id BIGINT, text STRING"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.lit(1.0).alias("quality"),
+        F.md5("text").alias("content_hash"),
+        F.lit(0).cast("long").alias("ingest_batch_id"),
+    ).write.mode("append").parquet(out)
+
+    _land(
+        spark,
+        spark.createDataFrame(
+            [
+                (2, base + " variant tail"),  # near-dup of pre-upgrade doc 1
+                (3, " ".join(f"fresh{k} unrelated words" for k in range(12))),
+            ],
+            "doc_id BIGINT, text STRING",
+        ).select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("src0").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        ),
+        src,
+    )
+    run_corpus_ingest(
+        spark, src, out, ckpt, min_quality=0.0, near_dup_threshold=0.5
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {1, 3}, kept

@@ -445,6 +445,75 @@ def test_minhash_lsh_join_indexed_matches_from_scratch(spark):
     assert got == want and want
 
 
+def test_capped_indexed_join_keeps_pair_when_first_band_capped(spark):
+    """Capping the corpus side of a band bucket must not suppress a
+    qualifying pair whose LOWEST shared band got capped away: capped
+    mode dedupes pairs explicitly instead of relying on the
+    first-shared-band filter (whose invariant breaks under capping).
+
+    Crafted stored index: corpus doc C shares bands 0 AND 1 with probe
+    P, but C is chosen (by computing the cap window's own xxhash rank
+    order) to rank DEAD LAST in the band-0 bucket behind a 20-doc
+    flood, so under max_bucket_size=8 its only surviving join match is
+    band 1 — which the old first-band filter suppressed because the
+    band-0 fingerprints still compare equal."""
+    from pyspark.sql import functions as F
+
+    from concerts_etl_sa_spark.operators.dedup import (
+        _shingles,
+        _tokens,
+        band_fps_from_shingles,
+        minhash_lsh_join_indexed,
+    )
+
+    words = [f"tok{k}" for k in range(30)]
+    p_text = " ".join(words)
+    c_text = " ".join(words[:-1] + ["changed"])
+    p_fps = (
+        spark.createDataFrame([(p_text,)], "text STRING")
+        .withColumn("_t", _tokens(F.col("text")))
+        .withColumn("_s", _shingles(F.col("_t")))
+        .select(band_fps_from_shingles(F.col("_s")).alias("fps"))
+        .collect()[0]
+        .fps
+    )
+    # rank candidate corpus ids by the SAME order the cap window uses
+    # within the band-0 bucket: (xxhash64(corpus_id, band_fp), corpus_id)
+    ranked = (
+        spark.createDataFrame(
+            [(i,) for i in range(1, 41)], "corpus_id BIGINT"
+        )
+        .select(
+            "corpus_id",
+            F.xxhash64(F.col("corpus_id"), F.lit(p_fps[0])).alias("h"),
+        )
+        .orderBy("h", "corpus_id")
+        .collect()
+    )
+    flood_ids = [r.corpus_id for r in ranked[:20]]  # always inside the cap
+    c_id = ranked[-1].corpus_id                     # always capped out
+    junk = iter(range(-10_000, 0))                  # never collide with fps
+    assert not set(p_fps) & set(range(-10_000, 0))
+    rows = [(c_id, c_text, [p_fps[0], p_fps[1], next(junk), next(junk)])] + [
+        (
+            i,
+            "unrelated text " + " ".join(f"x{i}_{k}" for k in range(10)),
+            [p_fps[0], next(junk), next(junk), next(junk)],
+        )
+        for i in flood_ids
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, band_fps ARRAY<BIGINT>"
+    )
+    probe = spark.createDataFrame(
+        [(100, p_text)], "doc_id BIGINT, text STRING"
+    )
+    got = minhash_lsh_join_indexed(
+        corpus, probe, jaccard_threshold=0.5, max_bucket_size=8
+    ).collect()
+    assert {(r.probe_id, r.corpus_id) for r in got} == {(100, c_id)}
+
+
 def test_exact_dedup_keeps_null_text_docs_grouped(spark, tmp_path):
     """md5(NULL) is NULL; the groupBy+join-back must be NULL-safe so
     null-text docs stay in the output as one group (the window form and

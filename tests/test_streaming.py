@@ -212,6 +212,41 @@ def test_streaming_topk_maintenance_matches_batch_bruteforce(spark, tmp_path):
     assert again == want
 
 
+def test_topk_maintenance_corrupt_state_fails_loudly(spark, tmp_path):
+    """A present-but-unreadable state dir must NOT be treated as 'first
+    batch' (the old bare-except path): the overwrite would silently
+    replace the accumulated top-k with just this batch's. With the
+    explicit existence probe, the read failure kills the stream and the
+    state dir is left untouched for a retry."""
+    import pathlib
+
+    import pytest
+
+    from concerts_etl_sa_spark.operators.similarity import N_QUERIES
+    from concerts_etl_sa_spark.sources.readers import load_table
+    from concerts_etl_sa_spark.streaming.ann_maintenance import (
+        run_topk_maintenance,
+    )
+    from .conftest import SF_DIR
+
+    src = str(tmp_path / "landing")
+    state_p = tmp_path / "state"
+    ckpt = str(tmp_path / "ckpt")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    emb.filter(F.col("vec_id") >= N_QUERIES).limit(50).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    state_p.mkdir()
+    corrupt = state_p / "part-00000-corrupt.parquet"
+    corrupt.write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        run_topk_maintenance(spark, src, str(state_p), ckpt, queries)
+    # nothing overwrote the state dir — the corrupt file survives intact
+    assert corrupt.read_bytes() == b"this is not a parquet file"
+    assert pathlib.Path(corrupt).exists()
+
+
 def test_incremental_topk_replay_is_idempotent(spark):
     """Re-merging a batch whose entries already live in the prior top-k
     (at-least-once foreachBatch redelivery) must not change the state —
