@@ -1,0 +1,389 @@
+"""SemDeDup: semantic deduplication via embedding clustering
+(SURVEY §2.L1+L2 composition; Abbas et al. 2023, arXiv:2303.09540).
+
+The web-scale recipe for pruning *semantic* duplicates — documents
+whose embeddings are near-identical even when their text differs (the
+case token-level minhash/simhash cannot see): cluster every embedding,
+call two members of the SAME cluster duplicates when their cosine
+exceeds ``tau``, and keep per duplicate group the member FARTHEST from
+its centroid (the paper's rule: peripheral examples are the most
+informative; the near-centroid copies are redundant).
+
+Scale design (100 TB corpus, N embeddings):
+- **Assignment is a shuffle-free broadcast projection** — the K
+  centroids collapse into one broadcast row and every embedding ranks
+  them in-place (``similarity._assign_buckets``, the IVF machinery
+  reused verbatim). K is the real scale lever: the paper runs ~50k
+  clusters on LAION so each cluster holds ~N/K vectors; the centroid
+  table stays broadcast-sized (K x DIM floats) far beyond that.
+- **The only required exchange is the within-cluster self-join** on
+  ``centroid_id`` — pairwise work is sum(|cluster|^2)/2, bounded by
+  choosing K, never a global N^2. A degenerate giant cluster (an
+  identical-embedding flood) is the same skew hazard as an LSH bucket
+  flood, and takes the SAME shared guard: ``max_cluster_size`` routes
+  slim (vec_id, centroid_id) rows through ``util.capped_candidates``
+  (star/sample modes, vectors re-attached to the bounded pair set by
+  equi-join — embeddings never enter the bucket self-join).
+- **The keep rule is one aggregation, not an iteration**: a vector is
+  dropped iff some tau-neighbor ranks more peripheral than it
+  (lower ``cent_cos``, vec_id tiebreak). This local-min rule is the
+  one-shot relational form of the paper's per-group argmin — it keeps
+  every group's global argmin (which has no more-peripheral neighbor)
+  and may additionally keep interior local minima of chain-shaped
+  groups; :func:`semdedup_groups_df` implements the exact per-group
+  rule via connected components (iterative, pytest-pinned superset
+  relation), for callers that want the paper's semantics verbatim.
+
+Reference parity: extends the dedup family of
+concerts_etl/core/consolidate_events.py:91-104 (token-overlap match)
+to embedding space; no reference analog exists — this is the
+training-data-pipeline surface the engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from ._cachescope import begin_scope, scoped_persist
+from .similarity import (
+    _assign_buckets,
+    _cosine_pre,
+    _cosine_sql,
+    _emb_normed,
+    _norm2,
+)
+from .util import sorted_small
+
+# Deterministic "trained" centroids: fixed vectors FROM the table (the
+# same oracle-reproducibility device as IVF_CENTROID_IDS — a DuckDB
+# one-shot can rebuild the identical index). Production uses
+# kmeans-trained centroids via semdedup_trained. K = 32 (~N/60 on the
+# 2000-vector test tables): the pair stage is quadratic per cluster and
+# parallelized by cluster key, so K is both the cost bound and the
+# parallelism — measured at sf0.1, K=32 runs ~1.6x faster end-to-end
+# than K=8 (61k vs 250k candidate pairs) even though the broadcast
+# assignment ranking scales with K.
+SEMDEDUP_CENTROID_IDS = list(range(5, 471, 15))  # 32 ids, all < sf0.001's 500
+SEMDEDUP_TAU = 0.30  # same scale as NEAR_DUP_COSINE (p99 pair cosine ~0.29)
+
+
+def _fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread=False: K rows — repartitioning them across 32 cores is pure
+    # overhead (same rationale as the IVF centroid scan)
+    return (
+        load_table(spark, sf_dir, "embeddings", spread=False)
+        .filter(F.col("vec_id").isin(SEMDEDUP_CENTROID_IDS))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+            _norm2("embedding").alias("c_n2"),
+        )
+    )
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SemDeDup decision frame over ``embeddings`` with the
+    fixed deterministic centroids: (vec_id, centroid_id, cent_cos,
+    n_dup_neighbors, is_kept) — the frame a curation pipeline filters
+    on ``is_kept`` (or joins back to documents by id)."""
+    return semdedup_df(
+        _emb_normed(spark, sf_dir), _fixed_centroids(spark, sf_dir)
+    )
+
+
+def _dup_pairs(
+    assigned: DataFrame,
+    tau: float,
+    max_cluster_size: int | None,
+    heavy_bucket_mode: str,
+) -> DataFrame:
+    """(a_id, a_cc, b_id, b_cc) tau-duplicate pairs within clusters,
+    from the persisted ``assigned`` frame (vec_id, embedding, norm2,
+    centroid_id, cent_cos)."""
+    if max_cluster_size is not None:
+        from .util import capped_candidates
+
+        buckets = assigned.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("centroid_id").alias("band_fp"),
+        )
+        # multi_band=False: every vector lives in exactly ONE cluster,
+        # so a pair can only form once — the pair dedup would be a
+        # provably-no-op exchange
+        cand = capped_candidates(
+            buckets, max_cluster_size, heavy_bucket_mode, multi_band=False
+        )
+        pairs = cand.join(
+            assigned.select(
+                F.col("vec_id").alias("a_id"),
+                F.col("embedding").alias("a_vec"),
+                F.col("norm2").alias("a_n2"),
+                F.col("cent_cos").alias("a_cc"),
+            ),
+            "a_id",
+        ).join(
+            assigned.select(
+                F.col("vec_id").alias("b_id"),
+                F.col("embedding").alias("b_vec"),
+                F.col("norm2").alias("b_n2"),
+                F.col("cent_cos").alias("b_cc"),
+            ),
+            "b_id",
+        )
+    else:
+        pairs = assigned.select(
+            "centroid_id",
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_vec"),
+            F.col("norm2").alias("a_n2"),
+            F.col("cent_cos").alias("a_cc"),
+        ).join(
+            assigned.select(
+                "centroid_id",
+                F.col("vec_id").alias("b_id"),
+                F.col("embedding").alias("b_vec"),
+                F.col("norm2").alias("b_n2"),
+                F.col("cent_cos").alias("b_cc"),
+            ),
+            "centroid_id",
+        ).filter(F.col("a_id") < F.col("b_id"))
+    return (
+        pairs.withColumn(
+            "pair_cos", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2")
+        )
+        .filter(F.col("pair_cos") >= tau)
+        .select("a_id", "a_cc", "b_id", "b_cc")
+    )
+
+
+def semdedup_df(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    max_cluster_size: int | None = None,
+    heavy_bucket_mode: str = "star",
+) -> DataFrame:
+    """df-based core over any (vec_id, embedding[, norm2]) frame and a
+    (centroid_id, centroid_vec, c_n2) centroid frame.
+
+    ``cent_cos`` is each vector's cosine to its OWN (nearest) centroid,
+    recomputed after assignment with the shared ``_cosine_pre`` formula
+    (the assignment ranking already ordered by this exact rounded
+    value, so nearest-centroid and cent_cos are mutually consistent).
+    Keep rule: ``is_kept`` iff NO tau-neighbor is more peripheral —
+    (n_cc, n_id) < (cent_cos, vec_id) lexicographically — so every
+    duplicate group retains at least its most-peripheral member, per
+    the paper's keep-farthest-from-centroid rule."""
+    if "norm2" not in emb.columns:
+        emb = emb.withColumn("norm2", _norm2("embedding"))
+    begin_scope("semdedup")
+    # persisted: the pair self-join consumes it on both legs, and the
+    # assignment projection (K x DIM dot products per row) is the
+    # CPU-heavy stage — the standard materialize-the-index trade
+    assigned = scoped_persist(
+        "semdedup",
+        _assign_buckets(emb, centroids, n_keep=1)
+        .join(F.broadcast(centroids), "centroid_id")
+        .withColumn(
+            "cent_cos",
+            _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2"),
+        )
+        .select("vec_id", "embedding", "norm2", "centroid_id", "cent_cos"),
+    )
+    dup = _dup_pairs(assigned, tau, max_cluster_size, heavy_bucket_mode)
+    nb = dup.select(
+        F.col("a_id").alias("vec_id"),
+        F.col("b_cc").alias("n_cc"),
+        F.col("b_id").alias("n_id"),
+    ).unionByName(
+        dup.select(
+            F.col("b_id").alias("vec_id"),
+            F.col("a_cc").alias("n_cc"),
+            F.col("a_id").alias("n_id"),
+        )
+    )
+    own = assigned.select("vec_id", "centroid_id", "cent_cos")
+    # map-side combining aggregate — even a vector with millions of
+    # tau-neighbors collapses per partition before the exchange
+    agg = (
+        nb.join(own.select("vec_id", "cent_cos"), "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_neighbors"),
+            F.bool_or(
+                (F.col("n_cc") < F.col("cent_cos"))
+                | (
+                    (F.col("n_cc") == F.col("cent_cos"))
+                    & (F.col("n_id") < F.col("vec_id"))
+                )
+            ).alias("has_more_peripheral"),
+        )
+    )
+    return (
+        own.join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "cent_cos",
+            F.coalesce("n_dup_neighbors", F.lit(0)).alias(
+                "n_dup_neighbors"
+            ),
+            F.coalesce(~F.col("has_more_peripheral"), F.lit(True)).alias(
+                "is_kept"
+            ),
+        )
+        .transform(lambda d: sorted_small(d, "vec_id"))
+    )
+
+
+def semdedup_groups_df(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    max_cluster_size: int | None = None,
+    heavy_bucket_mode: str = "star",
+) -> DataFrame:
+    """The paper's EXACT per-group rule: duplicate groups are connected
+    components of the tau-graph (within clusters), and each group keeps
+    only its most-peripheral member — argmin (cent_cos, vec_id).
+
+    Iterative (pointer-doubling components), hence pytest-pinned rather
+    than DuckDB-oracled; its kept set is PROVABLY a subset of
+    :func:`semdedup_df`'s (a group's global argmin has no
+    more-peripheral neighbor, so the local rule keeps it too — the
+    local rule may additionally keep interior local minima of
+    chain-shaped groups). Same output schema as :func:`semdedup_df`."""
+    from .components import connected_components
+
+    if "norm2" not in emb.columns:
+        emb = emb.withColumn("norm2", _norm2("embedding"))
+    begin_scope("semdedup_groups")
+    assigned = scoped_persist(
+        "semdedup_groups",
+        _assign_buckets(emb, centroids, n_keep=1)
+        .join(F.broadcast(centroids), "centroid_id")
+        .withColumn(
+            "cent_cos",
+            _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2"),
+        )
+        .select("vec_id", "embedding", "norm2", "centroid_id", "cent_cos"),
+    )
+    dup = scoped_persist(
+        "semdedup_groups",
+        _dup_pairs(assigned, tau, max_cluster_size, heavy_bucket_mode),
+    )
+    comp = connected_components(
+        dup.select("a_id", "b_id"), src="a_id", dst="b_id"
+    )
+    own = assigned.select("vec_id", "centroid_id", "cent_cos")
+    grouped = own.join(
+        comp.select(F.col("vertex").alias("vec_id"), "component"),
+        "vec_id",
+        "left",
+    )
+    keepers = (
+        grouped.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(
+            F.min(F.struct("cent_cos", "vec_id")).alias("mn"),
+        )
+        .select("component", F.col("mn.vec_id").alias("keeper_id"))
+    )
+    n_nbrs = (
+        dup.select(F.col("a_id").alias("vec_id"))
+        .unionByName(dup.select(F.col("b_id").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_neighbors"))
+    )
+    return (
+        grouped.join(keepers, "component", "left")
+        .join(n_nbrs, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "cent_cos",
+            F.coalesce("n_dup_neighbors", F.lit(0)).alias(
+                "n_dup_neighbors"
+            ),
+            (
+                F.col("component").isNull()
+                | (F.col("vec_id") == F.col("keeper_id"))
+            ).alias("is_kept"),
+        )
+        .transform(lambda d: sorted_small(d, "vec_id"))
+    )
+
+
+def semdedup_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    k_centroids: int = 8,
+    tau: float = SEMDEDUP_TAU,
+    max_iters: int = 3,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup over kmeans-TRAINED centroids — the production index
+    build (the paper trains k-means on the embedding space). Composes
+    the distributed Lloyd's trainer exactly like
+    :func:`similarity.topk_cosine_ivf_trained`; deterministic for a
+    given input but not a DuckDB one-shot, hence pytest-pinned."""
+    from .kmeans import centroids_df, kmeans_fit
+
+    emb = _emb_normed(spark, sf_dir)
+    fitted, _ = kmeans_fit(emb, k=k_centroids, max_iters=max_iters)
+    centroids = centroids_df(spark, fitted).withColumn(
+        "c_n2", _norm2("centroid_vec")
+    )
+    return semdedup_df(
+        emb, centroids, tau=tau, max_cluster_size=max_cluster_size
+    )
+
+
+def _semdedup_sql() -> str:
+    ids = ", ".join(str(i) for i in SEMDEDUP_CENTROID_IDS)
+    cos_c = _cosine_sql("e.embedding", "c.centroid_vec")
+    return f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id, cent_cos FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           {cos_c} AS cent_cos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_c} DESC, c.centroid_id) AS crn
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE crn = 1
+),
+dup AS (
+  SELECT a.vec_id AS a_id, a.cent_cos AS a_cc,
+         b.vec_id AS b_id, b.cent_cos AS b_cc
+  FROM assigned a JOIN assigned b USING (centroid_id)
+  WHERE a.vec_id < b.vec_id
+    AND {_cosine_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+),
+nb AS (
+  SELECT a_id AS vec_id, b_cc AS n_cc, b_id AS n_id FROM dup
+  UNION ALL
+  SELECT b_id AS vec_id, a_cc AS n_cc, a_id AS n_id FROM dup
+),
+agg AS (
+  SELECT nb.vec_id, count(*) AS n_dup_neighbors,
+         bool_or(nb.n_cc < a.cent_cos
+                 OR (nb.n_cc = a.cent_cos AND nb.n_id < nb.vec_id))
+           AS has_more_peripheral
+  FROM nb JOIN assigned a ON nb.vec_id = a.vec_id
+  GROUP BY nb.vec_id
+)
+SELECT a.vec_id, a.centroid_id, a.cent_cos,
+       coalesce(g.n_dup_neighbors, 0) AS n_dup_neighbors,
+       coalesce(NOT g.has_more_peripheral, true) AS is_kept
+FROM assigned a LEFT JOIN agg g ON a.vec_id = g.vec_id
+ORDER BY a.vec_id
+"""
+
+
+SEMDEDUP_SQL = _semdedup_sql()

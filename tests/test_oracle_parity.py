@@ -62,9 +62,11 @@ def _all_queries():
     from concerts_etl_sa_spark.operators import similarity as S
 
     from concerts_etl_sa_spark.operators import sampling as SP
+    from concerts_etl_sa_spark.operators import semdedup as SEM
     from concerts_etl_sa_spark.operators import textstats as TS
 
     entries += [
+        ("unreg_l2_semdedup", SEM.semdedup, SEM.SEMDEDUP_SQL),
         ("unreg_minhash_signatures", D.minhash_signatures,
          D.MINHASH_SIGNATURES_SQL),
         ("unreg_simhash_signatures", D.simhash_signatures,

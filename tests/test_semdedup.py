@@ -1,0 +1,184 @@
+"""SemDeDup (embedding-cluster semantic dedup): keep-rule invariants,
+paper-exact groups variant, skew cap, trained centroids, edge cases.
+
+The DuckDB value parity of the fixed-centroid `semdedup` runs in
+tests/test_oracle_parity.py like every other oracle-backed op.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from concerts_etl_sa_spark.operators.semdedup import (
+    SEMDEDUP_TAU,
+    _fixed_centroids,
+    semdedup,
+    semdedup_df,
+    semdedup_groups_df,
+    semdedup_trained,
+)
+from concerts_etl_sa_spark.operators.similarity import _emb_normed, _norm2
+
+from .conftest import SF_DIR
+
+EMB_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>"
+
+
+def _centroid_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "centroid_id BIGINT, centroid_vec ARRAY<FLOAT>"
+    ).withColumn("c_n2", _norm2("centroid_vec"))
+
+
+def test_groups_rule_is_subset_of_local_rule(spark):
+    """The paper-exact per-group keeper (connected components + argmin)
+    must be kept by the one-shot local rule too: a group's global
+    (cent_cos, id)-min has no more-peripheral neighbor. The local rule
+    may keep MORE (interior local minima of chains), never fewer."""
+    emb = _emb_normed(spark, SF_DIR)
+    cents = _fixed_centroids(spark, SF_DIR)
+    local = {r.vec_id: r for r in semdedup_df(emb, cents).collect()}
+    groups = {r.vec_id: r for r in semdedup_groups_df(emb, cents).collect()}
+    assert set(local) == set(groups)  # both cover every vector
+    kept_local = {v for v, r in local.items() if r.is_kept}
+    kept_groups = {v for v, r in groups.items() if r.is_kept}
+    assert kept_groups <= kept_local
+    # both rules agree on neighbor counts and assignment
+    for v in local:
+        assert local[v].n_dup_neighbors == groups[v].n_dup_neighbors
+        assert local[v].centroid_id == groups[v].centroid_id
+    # non-trivial at this sf: some duplicates exist and some are dropped
+    assert any(r.n_dup_neighbors > 0 for r in local.values())
+    assert kept_groups < set(groups)
+
+
+def test_groups_rule_keeps_exactly_one_per_group(spark):
+    """Every vector with tau-neighbors belongs to a duplicate group;
+    under the groups rule each group keeps exactly one member — its
+    most-peripheral (lowest cent_cos, id tiebreak)."""
+    emb = _emb_normed(spark, SF_DIR)
+    cents = _fixed_centroids(spark, SF_DIR)
+    rows = semdedup_groups_df(emb, cents).collect()
+    # reconstruct groups from the output: kept member + its dropped
+    # neighbors share a component; we only check the global invariant
+    # that #kept == #isolated + #groups, by recomputing components from
+    # the pair frame
+    from concerts_etl_sa_spark.operators.components import (
+        connected_components,
+    )
+    from concerts_etl_sa_spark.operators.semdedup import _dup_pairs
+    # recompute pairs exactly as the operator does
+    from concerts_etl_sa_spark.operators.similarity import (
+        _assign_buckets,
+        _cosine_pre,
+    )
+
+    a = (
+        _assign_buckets(emb, cents, n_keep=1)
+        .join(F.broadcast(cents), "centroid_id")
+        .withColumn(
+            "cent_cos",
+            _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2"),
+        )
+        .select("vec_id", "embedding", "norm2", "centroid_id", "cent_cos")
+    )
+    dup = _dup_pairs(a, SEMDEDUP_TAU, None, "star")
+    comp = {
+        r.vertex: r.component
+        for r in connected_components(
+            dup.select("a_id", "b_id"), src="a_id", dst="b_id"
+        ).collect()
+    }
+    n_groups = len(set(comp.values()))
+    n_isolated = sum(1 for r in rows if r.vec_id not in comp)
+    assert sum(1 for r in rows if r.is_kept) == n_isolated + n_groups
+    # the keeper of each group is its (cent_cos, vec_id) minimum
+    by_comp: dict = {}
+    meta = {r.vec_id: r for r in rows}
+    for v, c in comp.items():
+        by_comp.setdefault(c, []).append(v)
+    for members in by_comp.values():
+        keepers = [v for v in members if meta[v].is_kept]
+        want = min(members, key=lambda v: (meta[v].cent_cos, v))
+        assert keepers == [want]
+
+
+def test_semdedup_flood_capped_cluster(spark):
+    """An identical-embedding flood lands in ONE cluster; with
+    max_cluster_size the pair stage is bounded (star anchor edges, not
+    |cluster|^2/2) and the groups rule still collapses the whole flood
+    to a single keeper — connectivity survives the cap."""
+    rng = random.Random(7)
+    v = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+    w = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+    flood = [(i, v) for i in range(1, 41)]           # 40 identical vectors
+    lone = [(100, w)]                                # unrelated singleton
+    emb = spark.createDataFrame(flood + lone, EMB_SCHEMA)
+    cents = _centroid_frame(spark, [(0, v), (1, w)])
+    from concerts_etl_sa_spark.operators.semdedup import _dup_pairs
+    from concerts_etl_sa_spark.operators.similarity import (
+        _assign_buckets,
+        _cosine_pre,
+    )
+
+    assigned = (
+        _assign_buckets(
+            emb.withColumn("norm2", _norm2("embedding")), cents, n_keep=1
+        )
+        .join(F.broadcast(cents), "centroid_id")
+        .withColumn(
+            "cent_cos",
+            _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2"),
+        )
+        .select("vec_id", "embedding", "norm2", "centroid_id", "cent_cos")
+    )
+    n_pairs = _dup_pairs(assigned, 0.9, 5, "star").count()
+    assert n_pairs <= 39 + 5 * 4  # star edges + capped-core pairs, not 780
+
+    out = semdedup_groups_df(
+        emb, cents, tau=0.9, max_cluster_size=5
+    ).collect()
+    kept = {r.vec_id for r in out if r.is_kept}
+    assert 100 in kept
+    assert len(kept & set(range(1, 41))) == 1  # one keeper for the flood
+    # identical vectors tie on cent_cos; id breaks the tie -> keeper is 1
+    assert 1 in kept
+
+    # the local rule under the same cap also keeps doc 1 and the lone doc
+    out_local = semdedup_df(
+        emb, cents, tau=0.9, max_cluster_size=5
+    ).collect()
+    kept_local = {r.vec_id for r in out_local if r.is_kept}
+    assert 1 in kept_local and 100 in kept_local
+
+
+def test_semdedup_trained_covers_all_and_is_deterministic(spark):
+    out1 = semdedup_trained(spark, SF_DIR, k_centroids=4, max_iters=2)
+    rows1 = {r.vec_id: tuple(r) for r in out1.collect()}
+    n_emb = _emb_normed(spark, SF_DIR).count()
+    assert len(rows1) == n_emb
+    out2 = semdedup_trained(spark, SF_DIR, k_centroids=4, max_iters=2)
+    rows2 = {r.vec_id: tuple(r) for r in out2.collect()}
+    assert rows1 == rows2
+
+
+def test_semdedup_empty_corpus_degrades(spark):
+    emb = spark.createDataFrame([], EMB_SCHEMA)
+    cents = _centroid_frame(
+        spark, [(0, [1.0] * 64)]
+    )
+    assert semdedup_df(emb, cents).count() == 0
+    assert semdedup_groups_df(emb, cents).count() == 0
+
+
+def test_semdedup_registry_shape(spark):
+    """The sf wrapper emits one decision row per embedding with the
+    documented schema."""
+    out = semdedup(spark, SF_DIR)
+    assert out.columns == [
+        "vec_id", "centroid_id", "cent_cos", "n_dup_neighbors", "is_kept"
+    ]
+    n = out.count()
+    assert n == _emb_normed(spark, SF_DIR).count()
