@@ -258,3 +258,79 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       < CAST(floor(plan.rate * {_FULL}.0) AS BIGINT)
 ORDER BY d.doc_id
 """
+
+
+# ------------------------------------------- exact per-source eval sample
+
+PER_SOURCE_N = 20        # docs kept per source
+_EVAL_SALT = "evalsample:"
+_N_SALT_BUCKETS = 16     # stage-1 fan-out for the few-fat-groups window
+
+
+def per_source_sample(
+    spark: SparkSession, sf_dir: str, n: int = PER_SOURCE_N
+) -> DataFrame:
+    """Deterministic uniform sample of EXACTLY ``n`` docs per source —
+    eval-set construction ("20 random-but-reproducible docs from every
+    domain"): the n lowest salted-md5 hashes per source, doc_id
+    tiebreak, ranked 1..n.
+
+    Scale design — exact top-n per group with FEW, FAT groups: a single
+    row_number window partitioned by ``source`` would put an entire
+    source (billions of rows at 100 TB) into ONE window partition — the
+    single-task straggler class (window partitions get no AQE skew
+    splitting). Instead the classic salted two-stage top-n:
+
+      stage 1: rank within (source, doc_id % B) — B bounded parallel
+               partitions per source — and keep each bucket's top-n;
+      stage 2: rank the <= B*n survivors per source (a dimension-sized
+               frame) and keep the top-n.
+
+    Every global top-n row is its bucket's top-n too, so the two-stage
+    result EQUALS the single-window answer (the DuckDB twin) at any
+    scale. The hash is salted independently of the mixture and split
+    gates, so eval membership is stable when rates change."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(_EVAL_SALT), F.col("doc_id").cast("string"))
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    h = d.withColumn("h", u32)
+    w1 = Window.partitionBy(
+        "source", F.pmod(F.col("doc_id"), F.lit(_N_SALT_BUCKETS))
+    ).orderBy("h", "doc_id")
+    stage1 = (
+        h.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= n)
+        .drop("rn1")
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        stage1.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= n)
+        .select("doc_id", "source", "sample_rank")
+        .transform(lambda df: sorted_small(df, "source", "sample_rank"))
+    )
+
+
+PER_SOURCE_SAMPLE_SQL = f"""
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY u32, doc_id)
+           AS sample_rank
+  FROM (
+    SELECT doc_id, source,
+      CAST(('0x' || substr(md5('{_EVAL_SALT}' || CAST(doc_id AS VARCHAR)),
+                           1, 8)) AS BIGINT) AS u32
+    FROM documents
+  )
+) WHERE sample_rank <= {PER_SOURCE_N}
+ORDER BY source, sample_rank
+"""

@@ -181,6 +181,81 @@ FROM (
 """
 
 
+N_DECILES = 10
+_DECILE_PS = [round(i / N_DECILES, 1) for i in range(1, N_DECILES)]
+
+
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality DECILE assignment (doc_id, quality, decile) —
+    the binning a curation pipeline sweeps thresholds over (keep top-k
+    deciles) or feeds to curriculum schedules.
+
+    Two passes: (1) the nine decile thresholds as ONE exact-percentile
+    aggregate row, broadcast; (2) a scalar scoring pass binning each doc
+    by counting thresholds strictly below its quality. The exact
+    ``percentile`` is a sort-based global aggregate — correct for the
+    oracle contract; at 100 TB swap in ``approx_percentile`` (same
+    1-row shape, same downstream binning) and document the epsilon.
+    Thresholds AND quality are rounded to 6 dp before comparison so the
+    Spark and DuckDB binning decisions agree bit-for-bit (quantile_cont
+    and percentile share the linear-interpolation definition)."""
+    from ._cachescope import begin_scope, scoped_persist
+    from .util import sorted_small
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _tokens(F.col("text")).alias("toks")
+    )
+    # persisted: the threshold aggregate and the scoring pass both read
+    # the scored frame; without it the tokenize+quality projection (the
+    # CPU-heavy stage) runs twice
+    begin_scope("quality_deciles")
+    q = scoped_persist(
+        "quality_deciles",
+        d.select(
+            "doc_id",
+            quality_cols(toks=F.col("toks"))["quality"].alias("quality"),
+        ),
+    )
+    ps = ", ".join(f"{p}D" for p in _DECILE_PS)
+    ths = q.agg(
+        F.expr(
+            f"transform(percentile(quality, array({ps})), t -> round(t, 6))"
+        ).alias("ths")
+    )
+    return (
+        q.crossJoin(F.broadcast(ths))
+        .select(
+            "doc_id",
+            "quality",
+            (
+                F.expr(
+                    "aggregate(ths, 0, (acc, t) -> acc + "
+                    "CASE WHEN quality > t THEN 1 ELSE 0 END)"
+                )
+                + F.lit(1)
+            ).alias("decile"),
+        )
+        .transform(lambda df: sorted_small(df, "doc_id"))
+    )
+
+
+QUALITY_DECILES_SQL = f"""
+WITH q AS (
+  SELECT doc_id, quality FROM ({QUALITY_SCORE_SQL})
+),
+ths AS (
+  SELECT list_transform(
+           quantile_cont(quality, [{', '.join(str(p) for p in _DECILE_PS)}]),
+           t -> round(t, 6)) AS ths
+  FROM q
+)
+SELECT q.doc_id, q.quality,
+       len(list_filter(ths.ths, t -> q.quality > t)) + 1 AS decile
+FROM q CROSS JOIN ths
+ORDER BY q.doc_id
+"""
+
+
 def lang_cols(text=None, toks=None) -> dict[str, "F.Column"]:
     """Column builders for marker-word language ID (argmax of marker hit
     counts, lexicographic tie-break) — shared with the curation plan.

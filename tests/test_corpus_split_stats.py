@@ -295,3 +295,39 @@ def test_mixture_plan_semantics(spark):
     # weights are the inverse rate
     for r in sampled[:20]:
         assert r.sample_weight == round(1.0 / plan[r.source].rate, 6)
+
+
+def test_per_source_sample_exact_n_and_stable(spark):
+    """Exactly n docs per source, ranks 1..n, identical across runs and
+    across n: the top-10 sample is a PREFIX of the top-20 (lowering n
+    never reshuffles membership — the property eval sets need)."""
+    from concerts_etl_sa_spark.operators.sampling import per_source_sample
+
+    s20 = per_source_sample(spark, SF_DIR, n=20).collect()
+    by_src: dict = {}
+    for r in s20:
+        by_src.setdefault(r.source, []).append(r.sample_rank)
+    assert all(sorted(v) == list(range(1, 21)) for v in by_src.values())
+    s10 = {(r.source, r.sample_rank, r.doc_id)
+           for r in per_source_sample(spark, SF_DIR, n=10).collect()}
+    prefix = {(r.source, r.sample_rank, r.doc_id) for r in s20
+              if r.sample_rank <= 10}
+    assert s10 == prefix
+
+
+def test_quality_deciles_cover_and_are_monotone(spark):
+    """Every decile 1..10 is populated at this sf, sizes are near-
+    uniform (ties at mass points allowed), and the binning is monotone:
+    a higher-quality doc never lands in a lower decile."""
+    from concerts_etl_sa_spark.operators.textstats import quality_deciles
+
+    rows = quality_deciles(spark, SF_DIR).collect()
+    sizes: dict = {}
+    for r in rows:
+        sizes[r.decile] = sizes.get(r.decile, 0) + 1
+    assert set(sizes) == set(range(1, 11))
+    n = len(rows)
+    assert all(abs(c - n / 10) <= n * 0.05 for c in sizes.values())
+    by_quality = sorted(rows, key=lambda r: r.quality)
+    deciles_in_quality_order = [r.decile for r in by_quality]
+    assert deciles_in_quality_order == sorted(deciles_in_quality_order)

@@ -90,6 +90,10 @@ def _all_queries():
         ("unreg_l3_unigram_xent", TS.unigram_xent, TS.UNIGRAM_XENT_SQL),
         ("unreg_l5_stratified_split", SP.stratified_split,
          SP.STRATIFIED_SPLIT_SQL),
+        ("unreg_l5_per_source_sample", SP.per_source_sample,
+         SP.PER_SOURCE_SAMPLE_SQL),
+        ("unreg_l3_quality_deciles", TS.quality_deciles,
+         TS.QUALITY_DECILES_SQL),
         ("unreg_l5_mixture_plan", SP.mixture_plan, SP.MIXTURE_PLAN_SQL),
         ("unreg_l5_mixture_sample_planned", SP.mixture_sample_planned,
          SP.MIXTURE_SAMPLE_PLANNED_SQL),
