@@ -21,6 +21,13 @@ The canonical large-scale pretraining-data pipeline over the
    standard LSH-dedup compromise) or, with ``transitive_dedup=True``,
    a full connected-components collapse (``operators.components``) that
    keeps exactly one representative per transitive near-dup group.
+5b. **semantic dedup** (optional, ``embeddings=``) — SemDeDup over the
+   lexical survivors (``operators.semdedup``): paraphrase-class
+   duplicates minhash cannot see. Runs AFTER the token-level stages so
+   the expensive cluster/pair machinery only touches already-deduped
+   text; docs with no embedding row are kept (un-judgeable, flagged in
+   the count). Centroids: caller-supplied frame, else kmeans-trained on
+   the survivor embeddings (the production build).
 6. **token budget** (optional) — cap total retained tokens. Scale-aware:
    a single global running-sum window would serialize on one partition,
    so docs are hash-bucketed into ``n_budget_buckets`` and each bucket
@@ -57,6 +64,7 @@ class CurationReport:
     n_after_exact: int
     n_after_decontam: int
     n_after_near: int
+    n_after_sem: int
     n_final: int
     tokens_final: int
     curated: DataFrame
@@ -76,6 +84,11 @@ def curate_corpus(
     transitive_dedup: bool = False,
     max_bucket_size: int | None = None,
     heavy_bucket_mode: str = "star",
+    embeddings: DataFrame | None = None,
+    sem_tau: float | None = None,
+    sem_centroids: DataFrame | None = None,
+    sem_k: int = 8,
+    sem_max_cluster: int | None = None,
 ) -> CurationReport:
     docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     return curate_corpus_df(
@@ -90,6 +103,11 @@ def curate_corpus(
         transitive_dedup=transitive_dedup,
         max_bucket_size=max_bucket_size,
         heavy_bucket_mode=heavy_bucket_mode,
+        embeddings=embeddings,
+        sem_tau=sem_tau,
+        sem_centroids=sem_centroids,
+        sem_k=sem_k,
+        sem_max_cluster=sem_max_cluster,
     )
 
 
@@ -106,6 +124,11 @@ def curate_corpus_df(
     transitive_dedup: bool = False,
     max_bucket_size: int | None = None,
     heavy_bucket_mode: str = "star",
+    embeddings: DataFrame | None = None,
+    sem_tau: float | None = None,
+    sem_centroids: DataFrame | None = None,
+    sem_k: int = 8,
+    sem_max_cluster: int | None = None,
 ) -> CurationReport:
     """``docs`` needs (doc_id, text); extra columns ride along.
 
@@ -115,7 +138,15 @@ def curate_corpus_df(
     ``transitive_dedup=True``: star edges guarantee cluster
     CONNECTIVITY, so the components closure still collapses the whole
     flood to one representative (the bucket anchor under greedy, the
-    min id under transitive)."""
+    min id under transitive).
+
+    ``embeddings`` (vec_id = doc_id, embedding) arms the SemDeDup stage
+    over the lexical survivors: tau = ``sem_tau`` (default
+    ``semdedup.SEMDEDUP_TAU``), centroids = ``sem_centroids`` or a
+    ``sem_k``-means fit on the survivor embeddings, giant clusters
+    bounded by ``sem_max_cluster`` through the shared skew guard.
+    Survivor docs with NO embedding row are kept — an un-judgeable doc
+    is not silently dropped."""
     # staged tokenize (see textstats.text_suite): materialize the token
     # array once; quality/lang/count expressions read the column instead
     # of re-inlining the regex-split HOF per consuming expression
@@ -192,6 +223,47 @@ def curate_corpus_df(
     )
     survivors = near.filter("near_kept")
 
+    if embeddings is not None:
+        from ..operators.semdedup import SEMDEDUP_TAU, semdedup_df
+
+        # eager pre-count so the report can show the stage's effect
+        # (same one-extra-job trade as the decontam stage)
+        n_after_near_pre = survivors.count()
+        emb_sub = embeddings.join(
+            survivors.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        )
+        if sem_centroids is None:
+            from ..operators.kmeans import centroids_df, kmeans_fit
+            from ..operators.similarity import _norm2
+
+            fitted, _ = kmeans_fit(emb_sub, k=sem_k, max_iters=3)
+            sem_centroids = centroids_df(
+                emb_sub.sparkSession, fitted
+            ).withColumn("c_n2", _norm2("centroid_vec"))
+        sem_dropped = (
+            semdedup_df(
+                emb_sub,
+                sem_centroids,
+                tau=sem_tau if sem_tau is not None else SEMDEDUP_TAU,
+                max_cluster_size=sem_max_cluster,
+            )
+            .filter(~F.col("is_kept"))
+            .select(F.col("vec_id").alias("doc_id"))
+            .withColumn("sem_dropped", F.lit(True))
+        )
+        # left join + null flag: a survivor with no embedding row joins
+        # nothing and stays kept
+        survivors = (
+            survivors.join(sem_dropped, "doc_id", "left")
+            .withColumn("sem_kept", F.col("sem_dropped").isNull())
+            .drop("sem_dropped")
+            .filter("sem_kept")
+        )
+    else:
+        n_after_near_pre = None
+
     if token_budget is not None:
         per_bucket = max(1, token_budget // n_budget_buckets)
         w_budget = (
@@ -220,6 +292,9 @@ def curate_corpus_df(
     curated = flagged.filter("in_budget").select(
         "doc_id", "text", "quality", "lang_detected", "n_tokens"
     )
+    # count(flagged) is the post-near count with the sem stage off, and
+    # the post-sem count with it armed (the stage filters before the
+    # budget flags); n_after_near_pre holds the pre-sem count then
     stats = flagged.agg(
         F.count(F.lit(1)).alias("n_after_near"),
         F.sum(F.when(F.col("in_budget"), 1).otherwise(0)).alias("n_final"),
@@ -239,7 +314,12 @@ def curate_corpus_df(
         n_after_decontam=(
             n_after_decontam if n_after_decontam is not None else n_after_exact
         ),
-        n_after_near=stats["n_after_near"],
+        n_after_near=(
+            n_after_near_pre
+            if n_after_near_pre is not None
+            else stats["n_after_near"]
+        ),
+        n_after_sem=stats["n_after_near"],
         n_final=stats["n_final"] or 0,
         tokens_final=stats["tokens_final"] or 0,
         curated=curated,

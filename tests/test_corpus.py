@@ -220,3 +220,54 @@ def test_corpus_datacard_consistency(spark):
     for r in card:
         assert 0.0 <= r.avg_quality <= 1.0
         assert 0 <= r.n_exact_dups < r.n_docs or r.n_docs == 0
+
+
+def test_curation_semantic_dedup_stage(spark):
+    """Arming the SemDeDup stage (fixed centroids for determinism) drops
+    semantic duplicates AFTER the lexical stages: n_after_sem <=
+    n_after_near, the sem-armed curated set is a subset of the unarmed
+    one, and survivors with no embedding row are kept."""
+    from concerts_etl_sa_spark.operators.semdedup import _fixed_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = curate_corpus(spark, SF_DIR, min_quality=0.0)
+    rep = curate_corpus(
+        spark, SF_DIR, min_quality=0.0,
+        embeddings=emb, sem_centroids=_fixed_centroids(spark, SF_DIR),
+    )
+    assert rep.n_after_near == base.n_after_near
+    assert rep.n_after_sem <= rep.n_after_near
+    assert rep.n_after_sem < rep.n_after_near  # tau=0.30 bites at this sf
+    assert rep.n_final == rep.n_after_sem  # no budget stage armed
+    base_ids = {r.doc_id for r in base.curated.collect()}
+    sem_ids = {r.doc_id for r in rep.curated.collect()}
+    assert sem_ids < base_ids
+
+    # survivors lacking an embedding row are kept, not silently dropped
+    half_emb = emb.filter("vec_id % 2 = 0")
+    rep_half = curate_corpus(
+        spark, SF_DIR, min_quality=0.0,
+        embeddings=half_emb, sem_centroids=_fixed_centroids(spark, SF_DIR),
+    )
+    odd_survivors = {i for i in base_ids if i % 2 == 1}
+    kept_half = {r.doc_id for r in rep_half.curated.collect()}
+    assert odd_survivors <= kept_half
+
+    # unarmed report mirrors n_after_near into n_after_sem
+    assert base.n_after_sem == base.n_after_near
+
+
+def test_curation_semantic_dedup_trained_default(spark):
+    """With no sem_centroids the stage trains kmeans on the survivor
+    embeddings — the production path; the run is deterministic."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = curate_corpus(
+        spark, SF_DIR, min_quality=0.0, embeddings=emb, sem_k=4
+    )
+    b = curate_corpus(
+        spark, SF_DIR, min_quality=0.0, embeddings=emb, sem_k=4
+    )
+    assert a.n_after_sem == b.n_after_sem > 0
+    assert {r.doc_id for r in a.curated.collect()} == {
+        r.doc_id for r in b.curated.collect()
+    }
