@@ -46,20 +46,22 @@ HEADLINE = [
     "l3_tfidf_top_terms",
     "unreg_l3_repetition_stats",
     "unreg_l3_unigram_xent",
-    "unreg_l2_semdedup",
+    "l2_semdedup",
 ]
 
 
 def _extra_queries():
     """Benched operators that hold no driver-window slot (pytest-parity
     only) — resolved straight from their modules."""
-    from concerts_etl_sa_spark.operators import semdedup as SEM
+    from concerts_etl_sa_spark.operators import dedup as D
     from concerts_etl_sa_spark.operators import textstats as TS
 
     return {
         "unreg_l3_repetition_stats": TS.repetition_stats,
         "unreg_l3_unigram_xent": TS.unigram_xent,
-        "unreg_l2_semdedup": SEM.semdedup,
+        # rotated out of the driver window in favor of l2_semdedup;
+        # stays benched under its historical name for the ratchet
+        "l1_exact_dedup": D.exact_dedup,
     }
 
 

@@ -179,7 +179,7 @@ DECONTAMINATE_SQL = f"""
 WITH t AS (
   SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents
 ),
-g AS (
+g AS MATERIALIZED (
   SELECT doc_id, {_ngrams_sql('toks')} AS grams FROM t
 ),
 eval_grams AS (
@@ -285,7 +285,7 @@ def duplicate_spans_df(d: DataFrame) -> DataFrame:
 
 
 DUPLICATE_SPANS_SQL = f"""
-WITH posts AS (
+WITH posts AS MATERIALIZED (
   SELECT doc_id, unnest(grams) AS gram
   FROM (
     SELECT doc_id,

@@ -349,7 +349,7 @@ WITH centroids AS (
   SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings
   WHERE vec_id IN ({ids})
 ),
-assigned AS (
+assigned AS MATERIALIZED (
   SELECT vec_id, embedding, centroid_id, cent_cos FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
            {cos_c} AS cent_cos,
@@ -358,7 +358,7 @@ assigned AS (
     FROM embeddings e CROSS JOIN centroids c
   ) WHERE crn = 1
 ),
-dup AS (
+dup AS MATERIALIZED (
   SELECT a.vec_id AS a_id, a.cent_cos AS a_cc,
          b.vec_id AS b_id, b.cent_cos AS b_cc
   FROM assigned a JOIN assigned b USING (centroid_id)

@@ -828,7 +828,7 @@ WITH occ AS (
   SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS token
   FROM (SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents)
 ),
-counts AS (
+counts AS MATERIALIZED (
   SELECT doc_id, doc_len, token, count(*) AS tc
   FROM occ GROUP BY doc_id, doc_len, token
 ),

@@ -94,11 +94,17 @@ from .operators import decontam as DC  # noqa: E402
 from .operators import dedup as D  # noqa: E402
 from .operators import multimodal as MM  # noqa: E402
 from .operators import sampling as SMP  # noqa: E402
+from .operators import semdedup as SEM  # noqa: E402
 from .operators import similarity as S  # noqa: E402
 from .operators import textstats as TS  # noqa: E402
 
 _L_FAMILY = [
-    ("l1_exact_dedup", D.exact_dedup, D.EXACT_DEDUP_SQL),
+    # round-7 rotation #2: l1_exact_dedup (raw documents hold NO exact
+    # duplicates at any sf, so every group is size 1 — the collapse
+    # mechanics are exercised by the selfunion row below and the
+    # NULL-safety by pytest) cedes its slot to l2_semdedup, putting the
+    # round's semantic-dedup operator under the driver gate; exact_dedup
+    # keeps pytest oracle parity as unreg_* and stays benched
     ("l1_exact_dedup_selfunion", D.exact_dedup_selfunion,
      D.EXACT_DEDUP_SELFUNION_SQL),
     ("l1_minhash_lsh_pairs", D.minhash_lsh_pairs, D.MINHASH_LSH_PAIRS_SQL),
@@ -116,6 +122,7 @@ _L_FAMILY = [
     ("l2_embedding_near_dup", S.embedding_near_dup_pairs,
      S.EMBEDDING_NEAR_DUP_SQL),
     ("l2_ann_recall", S.ann_recall, S.ANN_RECALL_SQL),
+    ("l2_semdedup", SEM.semdedup, SEM.SEMDEDUP_SQL),
     ("l4_media_features", MM.media_features, MM.MEDIA_FEATURES_SQL),
     # one-scan suite of every per-doc text projection (token stats,
     # BPE-ish counts, quality, lang-id, fingerprints) — the standalone

@@ -62,11 +62,12 @@ def _all_queries():
     from concerts_etl_sa_spark.operators import similarity as S
 
     from concerts_etl_sa_spark.operators import sampling as SP
-    from concerts_etl_sa_spark.operators import semdedup as SEM
     from concerts_etl_sa_spark.operators import textstats as TS
 
     entries += [
-        ("unreg_l2_semdedup", SEM.semdedup, SEM.SEMDEDUP_SQL),
+        # rotated out of the driver window (raw docs hold no exact
+        # dupes; the selfunion row covers the collapse) — parity kept
+        ("unreg_l1_exact_dedup", D.exact_dedup, D.EXACT_DEDUP_SQL),
         ("unreg_minhash_signatures", D.minhash_signatures,
          D.MINHASH_SIGNATURES_SQL),
         ("unreg_simhash_signatures", D.simhash_signatures,
