@@ -76,6 +76,65 @@ def annotate_documents_stream(
     ).filter(F.col("quality") >= min_quality)
 
 
+def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
+    """One-shot upgrade of a pre-index-on-write sink: rewrite it with
+    ``band_fps`` populated for every row, so the armed near-dup gate
+    never pays the per-batch legacy re-index again (see _merge_batch).
+
+    Returns the number of rows that were re-indexed (0 = already fully
+    indexed; the sink is left untouched then). NOT concurrency-safe:
+    stop the ingest stream first. The rewrite stages to a sibling
+    ``<sink>__backfill`` directory and swaps via two renames — the swap
+    window is small but not atomic (parquet directories are not a
+    transactional table format; at production scale put the sink behind
+    a table format and make this a MERGE)."""
+    from ..operators.dedup import _shingles, _tokens, band_fps_from_shingles
+
+    if not path_exists(spark, sink_dir):
+        return 0
+    sink = spark.read.schema(CURATED_SCHEMA).parquet(sink_dir)
+    n_legacy = sink.filter(F.col("band_fps").isNull()).count()
+    if n_legacy == 0:
+        return 0
+    # staged tokenize (HOF staging rule); _toks is NULL for rows that
+    # already carry band_fps, so the signature pipeline only runs on the
+    # legacy rows — coalesce keeps the stored fingerprints verbatim
+    upgraded = (
+        sink.withColumn(
+            "_toks",
+            F.when(F.col("band_fps").isNull(), _tokens(F.col("text"))),
+        )
+        .withColumn("_sh", _shingles(F.col("_toks")))
+        .withColumn(
+            "band_fps",
+            F.coalesce("band_fps", band_fps_from_shingles(F.col("_sh"))),
+        )
+        .drop("_toks", "_sh")
+    )
+    tmp_dir = sink_dir.rstrip("/") + "__backfill"
+    old_dir = sink_dir.rstrip("/") + "__pre_backfill"
+    upgraded.write.mode("overwrite").parquet(tmp_dir)
+    n = spark.read.schema(CURATED_SCHEMA).parquet(tmp_dir).filter(
+        F.col("band_fps").isNull()
+    ).count()
+    if n != 0:  # defensive: the rewrite must leave nothing unindexed
+        raise RuntimeError(f"backfill left {n} rows without band_fps")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p_sink = jvm.org.apache.hadoop.fs.Path(sink_dir)
+    fs = p_sink.getFileSystem(hconf)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+    p_old = jvm.org.apache.hadoop.fs.Path(old_dir)
+    if not fs.rename(p_sink, p_old):
+        raise RuntimeError(f"backfill: could not stage {sink_dir} aside")
+    if not fs.rename(p_tmp, p_sink):
+        # roll back so the sink is never left missing
+        fs.rename(p_old, p_sink)
+        raise RuntimeError(f"backfill: could not promote {tmp_dir}")
+    fs.delete(p_old, True)
+    return n_legacy
+
+
 def run_corpus_ingest(
     spark: SparkSession,
     src_dir: str,

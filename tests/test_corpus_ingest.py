@@ -185,3 +185,73 @@ def test_near_dup_gate_covers_pre_index_sink(spark, tmp_path):
     )
     kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert kept == {1, 3}, kept
+
+
+def test_backfill_band_fps_upgrades_pre_index_sink(spark, tmp_path):
+    """One-shot backfill: legacy rows gain band_fps identical to the
+    write-path definition, already-indexed rows keep their stored
+    fingerprints verbatim, the call is idempotent, and the armed gate
+    works against the upgraded sink."""
+    from pyspark.sql import functions as F2
+
+    from concerts_etl_sa_spark.operators.dedup import (
+        _shingles,
+        _tokens,
+        band_fps_from_shingles,
+    )
+    from concerts_etl_sa_spark.streaming.corpus_ingest import (
+        backfill_band_fps,
+        run_corpus_ingest,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    base = " ".join(f"w{k} common body token" for k in range(12))
+    legacy = spark.createDataFrame(
+        [(1, base + " original tail"), (2, "another unrelated doc body")],
+        "doc_id BIGINT, text STRING",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.lit(1.0).alias("quality"),
+        F.md5("text").alias("content_hash"),
+        F.lit(0).cast("long").alias("ingest_batch_id"),
+    )
+    legacy.write.mode("append").parquet(out)
+
+    assert backfill_band_fps(spark, out) == 2
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    want = {
+        r.doc_id: list(r.fps)
+        for r in legacy.select(
+            "doc_id",
+            F2.col("text").alias("text"),
+        ).withColumn("_t", _tokens(F2.col("text")))
+        .withColumn("_s", _shingles(F2.col("_t")))
+        .select("doc_id", band_fps_from_shingles(F2.col("_s")).alias("fps"))
+        .collect()
+    }
+    assert {k: list(v.band_fps) for k, v in rows.items()} == want
+
+    # idempotent no-op on an already-indexed sink
+    assert backfill_band_fps(spark, out) == 0
+    assert {r.doc_id: list(r.band_fps)
+            for r in spark.read.parquet(out).collect()} == want
+
+    # the gate refuses a near-dup of a backfilled doc
+    _land(
+        spark,
+        spark.createDataFrame(
+            [(10, base + " variant tail")], "doc_id BIGINT, text STRING"
+        ).select(
+            "doc_id", "text", F.lit("en").alias("lang"),
+            F.lit("src0").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        ),
+        src,
+    )
+    run_corpus_ingest(
+        spark, src, out, ckpt, min_quality=0.0, near_dup_threshold=0.5
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {1, 2}, kept

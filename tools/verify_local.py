@@ -104,6 +104,11 @@ def main():
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
             scols = sdf.columns
+            # index-building queries scope-persist signature frames that
+            # only release when the SAME query runs again; across 50
+            # distinct queries at sf0.1 the dead caches overflow the
+            # plain session's default 1g heap (same hygiene as bench.py)
+            spark.catalog.clearCache()
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failed.append(name)
