@@ -1,0 +1,154 @@
+"""Incremental embedding ingest: streaming vectors -> curated parquet
+with exact and near-dup admission — the L2 (embedding-modality) twin of
+``corpus_ingest`` (SURVEY §2.I + L2 composition).
+
+Merge-on-write, sink-is-the-state (same physics as the document path):
+each availableNow micro-batch is
+
+1. **exact-deduped** within the batch and against the sink. The sink
+   probe joins on a 64-bit content key (``xxhash64`` over the float
+   array) and then VERIFIES exact array equality, so the hash only
+   prunes — a hash collision can never refuse a distinct vector;
+2. **near-dup gated** (optional, ``near_dup_cosine``) against the
+   sink's STORED sign-LSH band keys — index-on-write: ``band_keys`` is
+   persisted with every admitted row, so the sink is never re-hashed;
+   per batch the sink contributes a read + explode only. Any surviving
+   candidate with cosine >= threshold refuses admission.
+
+Replay idempotency: foreachBatch is at-least-once, but a re-delivered
+vector exact-matches its own earlier admission (hash + equality) and
+anti-joins away, so the sink stays exactly-once.
+
+Scale note — sign-LSH blocking width: the 2x4-bit band keyspace (32
+buckets) is deliberately tiny at test scale; on a large cluster widen
+``similarity.SIGN_BITS``/band count or the per-bucket candidate volume
+approaches |sink|/32 per probe. ``near_dup_max_bucket`` bounds a
+flooded bucket meanwhile (rank by xxhash64, keep the first N — the same
+deterministic cap as the minhash gate, with the same documented recall
+trade: a capped-out true neighbor is not seen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.similarity import _band_keys, _cosine_pre, _norm2
+from ..schemas import EMBEDDINGS
+from ._fs import path_exists
+
+CURATED_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+        T.StructField("vec_hash", T.LongType()),
+        T.StructField("norm2", T.DoubleType()),
+        T.StructField("band_keys", T.ArrayType(T.IntegerType())),
+        T.StructField("ingest_batch_id", T.LongType()),
+    ]
+)
+
+
+def run_embedding_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    near_dup_cosine: float | None = None,
+    near_dup_max_bucket: int | None = None,
+) -> None:
+    """Drain the embedding landing directory (availableNow) into the
+    curated vector sink at ``out_dir``."""
+    stream = spark.readStream.schema(EMBEDDINGS).parquet(src_dir)
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        sink = (
+            spark_b.read.schema(CURATED_EMB_SCHEMA).parquet(out_dir)
+            if path_exists(spark_b, out_dir)
+            else None
+        )
+        # index columns computed ONCE per batch; array equality makes
+        # the within-batch dedup precise (not hash-trusting)
+        fresh = (
+            batch.dropDuplicates(["embedding"])
+            .withColumn("vec_hash", F.xxhash64("embedding"))
+            .withColumn("norm2", _norm2("embedding"))
+            .withColumn(
+                "band_keys",
+                _band_keys("embedding").cast("array<int>"),
+            )
+        )
+        if sink is not None:
+            # exact gate: hash-equi join prunes, equality verifies
+            exact_hits = (
+                fresh.select("vec_id", "vec_hash", "embedding")
+                .join(
+                    sink.select(
+                        F.col("vec_hash").alias("s_hash"),
+                        F.col("embedding").alias("s_vec"),
+                    ),
+                    F.col("vec_hash") == F.col("s_hash"),
+                )
+                .filter(F.col("embedding") == F.col("s_vec"))
+                .select("vec_id")
+                .distinct()
+            )
+            fresh = fresh.join(exact_hits, "vec_id", "left_anti")
+            if near_dup_cosine is not None:
+                probe = fresh.select(
+                    F.col("vec_id").alias("p_id"),
+                    F.col("embedding").alias("p_vec"),
+                    F.col("norm2").alias("p_n2"),
+                    F.explode("band_keys").alias("band_key"),
+                )
+                sink_bands = sink.select(
+                    F.col("embedding").alias("s_vec"),
+                    F.col("norm2").alias("s_n2"),
+                    F.col("vec_id").alias("s_id"),
+                    F.explode("band_keys").alias("band_key"),
+                )
+                if near_dup_max_bucket is not None:
+                    from pyspark.sql.window import Window as _W
+
+                    touched = probe.select("band_key").distinct()
+                    sink_bands = sink_bands.join(
+                        F.broadcast(touched), "band_key", "left_semi"
+                    )
+                    wo = _W.partitionBy("band_key").orderBy(
+                        F.xxhash64(F.col("s_id"), F.col("band_key")),
+                        F.col("s_id"),
+                    )
+                    sink_bands = (
+                        sink_bands.withColumn(
+                            "bk_rn", F.row_number().over(wo)
+                        )
+                        .filter(F.col("bk_rn") <= near_dup_max_bucket)
+                        .drop("bk_rn")
+                    )
+                near_hits = (
+                    probe.join(sink_bands, "band_key")
+                    .withColumn(
+                        "cosine",
+                        _cosine_pre("p_vec", "s_vec", "p_n2", "s_n2"),
+                    )
+                    .filter(F.col("cosine") >= near_dup_cosine)
+                    .select(F.col("p_id").alias("vec_id"))
+                    .distinct()
+                )
+                fresh = fresh.join(near_hits, "vec_id", "left_anti")
+        (
+            fresh.withColumn("ingest_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

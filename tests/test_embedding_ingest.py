@@ -1,0 +1,84 @@
+"""Streaming embedding ingest: content-exact dedup, sign-LSH near-dup
+admission gate over the stored band-key index, bucket cap, idempotent
+re-drain."""
+
+from __future__ import annotations
+
+import random
+
+from concerts_etl_sa_spark.streaming.embedding_ingest import (
+    run_embedding_ingest,
+)
+
+EMB_SCHEMA = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def _vec(seed: int):
+    rng = random.Random(seed)
+    return [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+
+
+def _land(spark, rows, path):
+    spark.createDataFrame(rows, EMB_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_embedding_ingest_exact_dedup_across_batches(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("land", "cur", "ck"))
+    a, b = _vec(1), _vec(2)
+    _land(spark, [(1, a, 0), (2, b, 0), (3, a, 0)], src)  # 3 dups 1 in-batch
+    run_embedding_ingest(spark, src, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    # re-land the same content under a new id: refused against the sink
+    _land(spark, [(10, a, 1)], src)
+    run_embedding_ingest(spark, src, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2 and {r.vec_id for r in rows} <= {1, 2, 3}
+    assert all(r.band_keys is not None and len(r.band_keys) == 2
+               and r.vec_hash is not None for r in rows)
+
+
+def test_embedding_ingest_near_dup_gate(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("land", "cur", "ck"))
+    a = _vec(7)
+    near = [round(x * 1.001, 6) for x in a]        # same signs, cos ~ 1
+    anti = [-x for x in a]                         # cos = -1, other buckets
+    _land(spark, [(1, a, 0)], src)
+    run_embedding_ingest(spark, src, out, ckpt, near_dup_cosine=0.95)
+    _land(spark, [(2, near, 0), (3, anti, 0)], src)
+    run_embedding_ingest(spark, src, out, ckpt, near_dup_cosine=0.95)
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}, kept
+
+    # idempotent re-drain with no new files
+    run_embedding_ingest(spark, src, out, ckpt, near_dup_cosine=0.95)
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_embedding_ingest_gate_survives_flood_with_cap(spark, tmp_path):
+    """30 distinct near-identical vectors flood one band bucket in the
+    sink; with the bucket cap the probe is still refused (any surviving
+    member is a cosine hit) and the join stays bounded."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("land", "cur", "ck"))
+    base = _vec(11)
+    flood = [
+        (i, [round(x + (0.0001 * i if j == 60 else 0.0), 6)
+             for j, x in enumerate(base)], 0)
+        for i in range(30)
+    ]
+    _land(spark, flood, src)
+    run_embedding_ingest(
+        spark, src, out, ckpt, near_dup_cosine=0.95, near_dup_max_bucket=4
+    )
+    assert spark.read.parquet(out).count() == 30  # first drain: empty sink
+
+    probe = [(100, [round(x * 0.999, 6) for x in base], 0),
+             (101, [-x for x in base], 1)]
+    _land(spark, probe, src)
+    run_embedding_ingest(
+        spark, src, out, ckpt, near_dup_cosine=0.95, near_dup_max_bucket=4
+    )
+    kept = {r.vec_id for r in spark.read.parquet(out).collect()}
+    assert 100 not in kept and 101 in kept
