@@ -448,28 +448,34 @@ def minhash_lsh_join_indexed(
         F.col("band_fps").alias("c_bfps"),
         F.explode("band_fps").alias("band_fp"),
     )
-    p_bands = _sig_bands(pds).select(
+    # a probe that already carries band_fps (the ingest computes the
+    # index once per batch and reuses it for the write) skips the
+    # N_MINHASH seeded-md5 signature passes entirely; shingles are still
+    # required for the exact-Jaccard verify
+    if "band_fps" in pds.columns:
+        p_sig = pds.select(
+            "doc_id",
+            F.col("band_fps").alias("bfps"),
+            F.posexplode("band_fps").alias("band_id", "band_fp"),
+        )
+    else:
+        p_sig = _sig_bands(pds)
+    p_bands = p_sig.select(
         F.col("doc_id").alias("probe_id"),
         F.col("bfps").alias("p_bfps"),
         "band_id",
         "band_fp",
     )
     if max_bucket_size is not None:
-        from pyspark.sql.window import Window as _W
+        from .util import capped_probe_bands
 
         p_bands = scoped_persist("minhash_lsh_join_indexed", p_bands)
-        touched = p_bands.select("band_fp").distinct()
-        corpus_bands = corpus_bands.join(
-            F.broadcast(touched), "band_fp", "left_semi"
-        )
-        wo = _W.partitionBy("band_fp").orderBy(
-            F.xxhash64(F.col("corpus_id"), F.col("band_fp")),
-            F.col("corpus_id"),
-        )
-        corpus_bands = (
-            corpus_bands.withColumn("bk_rn", F.row_number().over(wo))
-            .filter(F.col("bk_rn") <= max_bucket_size)
-            .drop("bk_rn")
+        corpus_bands = capped_probe_bands(
+            corpus_bands,
+            p_bands,
+            max_bucket_size,
+            key_col="band_fp",
+            id_col="corpus_id",
         )
         raw_cand = (
             p_bands.join(corpus_bands, "band_fp")

@@ -158,6 +158,25 @@ def _dup_pairs(
     )
 
 
+def _assigned_frame(
+    emb: DataFrame, centroids: DataFrame, scope: str
+) -> DataFrame:
+    """Scope-persisted (vec_id, embedding, norm2, centroid_id, cent_cos)
+    assignment frame — the ONE definition both keep-rule variants build
+    on (a drift between them would silently break the tested subset
+    invariant)."""
+    return scoped_persist(
+        scope,
+        _assign_buckets(emb, centroids, n_keep=1)
+        .join(F.broadcast(centroids), "centroid_id")
+        .withColumn(
+            "cent_cos",
+            _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2"),
+        )
+        .select("vec_id", "embedding", "norm2", "centroid_id", "cent_cos"),
+    )
+
+
 def semdedup_df(
     emb: DataFrame,
     centroids: DataFrame,
@@ -182,16 +201,7 @@ def semdedup_df(
     # persisted: the pair self-join consumes it on both legs, and the
     # assignment projection (K x DIM dot products per row) is the
     # CPU-heavy stage — the standard materialize-the-index trade
-    assigned = scoped_persist(
-        "semdedup",
-        _assign_buckets(emb, centroids, n_keep=1)
-        .join(F.broadcast(centroids), "centroid_id")
-        .withColumn(
-            "cent_cos",
-            _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2"),
-        )
-        .select("vec_id", "embedding", "norm2", "centroid_id", "cent_cos"),
-    )
+    assigned = _assigned_frame(emb, centroids, "semdedup")
     dup = _dup_pairs(assigned, tau, max_cluster_size, heavy_bucket_mode)
     nb = dup.select(
         F.col("a_id").alias("vec_id"),
@@ -260,16 +270,7 @@ def semdedup_groups_df(
     if "norm2" not in emb.columns:
         emb = emb.withColumn("norm2", _norm2("embedding"))
     begin_scope("semdedup_groups")
-    assigned = scoped_persist(
-        "semdedup_groups",
-        _assign_buckets(emb, centroids, n_keep=1)
-        .join(F.broadcast(centroids), "centroid_id")
-        .withColumn(
-            "cent_cos",
-            _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2"),
-        )
-        .select("vec_id", "embedding", "norm2", "centroid_id", "cent_cos"),
-    )
+    assigned = _assigned_frame(emb, centroids, "semdedup_groups")
     dup = scoped_persist(
         "semdedup_groups",
         _dup_pairs(assigned, tau, max_cluster_size, heavy_bucket_mode),

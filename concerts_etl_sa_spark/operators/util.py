@@ -112,3 +112,47 @@ def capped_candidates(
     if not multi_band:
         return pairs
     return pairs.dropDuplicates(["a_id", "b_id"])
+
+
+def capped_probe_bands(
+    sink_bands: DataFrame,
+    probe_keys: DataFrame,
+    max_bucket_size: int,
+    key_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Bound the SINK side of an asymmetric probe-vs-index band join —
+    the admission-gate form of the skew cap, shared by the minhash gate
+    (``dedup.minhash_lsh_join_indexed``) and the embedding gate
+    (``streaming.embedding_ingest``) so the two cannot silently diverge.
+
+    Two steps, both deterministic under any partitioning:
+
+    1. PRUNE to buckets the probe actually touches: ``probe_keys`` (one
+       column ``key_col``, distinct, batch-sized by the gate contract)
+       broadcast-semi-joins the exploded index BEFORE any ranking, so
+       per-call cost is bounded by the touched buckets — never an
+       O(|sink| x bands) full-index sort per micro-batch;
+    2. CAP each surviving bucket at ``max_bucket_size`` rows in
+       ``xxhash64(id, key)`` order (id tiebreak) — the same order as
+       ``capped_candidates``, uncorrelated with id so a flooded
+       bucket's survivors aren't age-biased.
+
+    Admission semantics: a probe near a flooded cluster still matches
+    the cap's surviving members (hit/no-hit is what gates consume); the
+    documented recall trade is that a capped-out true neighbor is not
+    seen — callers choosing a cap accept bounded work over exhaustive
+    matching."""
+    pruned = sink_bands.join(
+        F.broadcast(probe_keys.select(key_col).distinct()),
+        key_col,
+        "left_semi",
+    )
+    wo = Window.partitionBy(key_col).orderBy(
+        F.xxhash64(F.col(id_col), F.col(key_col)), F.col(id_col)
+    )
+    return (
+        pruned.withColumn("bk_rn", F.row_number().over(wo))
+        .filter(F.col("bk_rn") <= max_bucket_size)
+        .drop("bk_rn")
+    )

@@ -234,33 +234,41 @@ def curate_corpus_df(
             "vec_id",
             "left_semi",
         )
-        if sem_centroids is None:
-            from ..operators.kmeans import centroids_df, kmeans_fit
-            from ..operators.similarity import _norm2
+        # degradation contract: with NO judgeable survivor (id-space
+        # mismatch, or every embedded doc already filtered) the stage is
+        # a no-op — everything is kept — rather than crashing the
+        # trained-centroid path (kmeans cannot fit on an empty frame)
+        if emb_sub.limit(1).count() == 0:
+            sem_dropped = None
+        else:
+            if sem_centroids is None:
+                from ..operators.kmeans import centroids_df, kmeans_fit
+                from ..operators.similarity import _norm2
 
-            fitted, _ = kmeans_fit(emb_sub, k=sem_k, max_iters=3)
-            sem_centroids = centroids_df(
-                emb_sub.sparkSession, fitted
-            ).withColumn("c_n2", _norm2("centroid_vec"))
-        sem_dropped = (
-            semdedup_df(
-                emb_sub,
-                sem_centroids,
-                tau=sem_tau if sem_tau is not None else SEMDEDUP_TAU,
-                max_cluster_size=sem_max_cluster,
+                fitted, _ = kmeans_fit(emb_sub, k=sem_k, max_iters=3)
+                sem_centroids = centroids_df(
+                    emb_sub.sparkSession, fitted
+                ).withColumn("c_n2", _norm2("centroid_vec"))
+            sem_dropped = (
+                semdedup_df(
+                    emb_sub,
+                    sem_centroids,
+                    tau=sem_tau if sem_tau is not None else SEMDEDUP_TAU,
+                    max_cluster_size=sem_max_cluster,
+                )
+                .filter(~F.col("is_kept"))
+                .select(F.col("vec_id").alias("doc_id"))
+                .withColumn("sem_dropped", F.lit(True))
             )
-            .filter(~F.col("is_kept"))
-            .select(F.col("vec_id").alias("doc_id"))
-            .withColumn("sem_dropped", F.lit(True))
-        )
-        # left join + null flag: a survivor with no embedding row joins
-        # nothing and stays kept
-        survivors = (
-            survivors.join(sem_dropped, "doc_id", "left")
-            .withColumn("sem_kept", F.col("sem_dropped").isNull())
-            .drop("sem_dropped")
-            .filter("sem_kept")
-        )
+        if sem_dropped is not None:
+            # left join + null flag: a survivor with no embedding row
+            # joins nothing and stays kept
+            survivors = (
+                survivors.join(sem_dropped, "doc_id", "left")
+                .withColumn("sem_kept", F.col("sem_dropped").isNull())
+                .drop("sem_dropped")
+                .filter("sem_kept")
+            )
     else:
         n_after_near_pre = None
 

@@ -90,6 +90,36 @@ def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
     a table format and make this a MERGE)."""
     from ..operators.dedup import _shingles, _tokens, band_fps_from_shingles
 
+    tmp_dir = sink_dir.rstrip("/") + "__backfill"
+    old_dir = sink_dir.rstrip("/") + "__pre_backfill"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p_sink = jvm.org.apache.hadoop.fs.Path(sink_dir)
+    fs = p_sink.getFileSystem(hconf)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
+    p_old = jvm.org.apache.hadoop.fs.Path(old_dir)
+    # crash-window recovery BEFORE the existence probe: a death between
+    # the two renames below leaves the sink missing while the corpus
+    # lives in the staging dirs — without this, a rerun would report
+    # "already indexed" (0) and the next ingest would silently rebuild
+    # an EMPTY sink with every gate disarmed
+    if path_exists(spark, old_dir):
+        if not path_exists(spark, sink_dir):
+            if path_exists(spark, tmp_dir):
+                # tmp was fully verified before the swap began — resume
+                # the interrupted promote
+                if not fs.rename(p_tmp, p_sink):
+                    raise RuntimeError(
+                        f"backfill recovery: could not promote {tmp_dir}"
+                    )
+            else:
+                # no rewrite on disk: roll the original back
+                if not fs.rename(p_old, p_sink):
+                    raise RuntimeError(
+                        f"backfill recovery: could not restore {old_dir}"
+                    )
+        if path_exists(spark, old_dir) and path_exists(spark, sink_dir):
+            fs.delete(p_old, True)  # completed-swap leftover
     if not path_exists(spark, sink_dir):
         return 0
     sink = spark.read.schema(CURATED_SCHEMA).parquet(sink_dir)
@@ -111,20 +141,12 @@ def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
         )
         .drop("_toks", "_sh")
     )
-    tmp_dir = sink_dir.rstrip("/") + "__backfill"
-    old_dir = sink_dir.rstrip("/") + "__pre_backfill"
     upgraded.write.mode("overwrite").parquet(tmp_dir)
     n = spark.read.schema(CURATED_SCHEMA).parquet(tmp_dir).filter(
         F.col("band_fps").isNull()
     ).count()
     if n != 0:  # defensive: the rewrite must leave nothing unindexed
         raise RuntimeError(f"backfill left {n} rows without band_fps")
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    p_sink = jvm.org.apache.hadoop.fs.Path(sink_dir)
-    fs = p_sink.getFileSystem(hconf)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
-    p_old = jvm.org.apache.hadoop.fs.Path(old_dir)
     if not fs.rename(p_sink, p_old):
         raise RuntimeError(f"backfill: could not stage {sink_dir} aside")
     if not fs.rename(p_tmp, p_sink):
@@ -189,19 +211,22 @@ def run_corpus_ingest(
             if path_exists(spark_b, out_dir)
             else None
         )
-        # ONE signature pass per batch: the staged shingle column
-        # computed here serves BOTH the near-dup probe and the
-        # index-on-write band_fps of the surviving rows (the signature
-        # pipeline — tokenize, 3-gram shingle, N_MINHASH seeded-md5
-        # array_min passes — is the CPU-dominant per-batch cost, and the
-        # previous form ran it twice: once inside the gate join, once
-        # rebuilding the index from raw text). persist() pins the batch
-        # so the gate's probe subtree and the write subtree share one
+        # ONE signature pass per batch: tokenize -> shingles -> band
+        # fingerprints are all computed here, once, and serve BOTH the
+        # near-dup probe (minhash_lsh_join_indexed consumes the stored
+        # band_fps directly — zero signature work inside the gate) and
+        # the index-on-write of the surviving rows. The signature
+        # pipeline (N_MINHASH seeded-md5 array_min passes over the
+        # shingles) is the CPU-dominant per-batch cost. persist() pins
+        # the batch so the probe and write subtrees share the one
         # computation; a micro-batch is memory-sized by construction.
         fresh = (
             batch.dropDuplicates(["content_hash"])
             .withColumn("_toks", _tokens(F.col("text")))
             .withColumn("shingles", _shingles(F.col("_toks")))
+            .withColumn(
+                "band_fps", band_fps_from_shingles(F.col("shingles"))
+            )
             .drop("_toks")
             .persist()
         )
@@ -228,7 +253,9 @@ def run_corpus_ingest(
                     near_hits = (
                         minhash_lsh_join_indexed(
                             sink_idx,
-                            surv.select("doc_id", "text", "shingles"),
+                            surv.select(
+                                "doc_id", "text", "shingles", "band_fps"
+                            ),
                             jaccard_threshold=near_dup_threshold,
                             max_bucket_size=near_dup_max_bucket,
                         )
@@ -236,13 +263,10 @@ def run_corpus_ingest(
                         .distinct()
                     )
                     surv = surv.join(near_hits, "doc_id", "left_anti")
-            # index-on-write: band fingerprints from the SAME staged
-            # shingles the gate probed with (4 bigints per doc)
+            # index-on-write: the SAME band_fps the gate probed with
+            # (4 bigints per doc)
             (
-                surv.withColumn(
-                    "band_fps", band_fps_from_shingles(F.col("shingles"))
-                )
-                .drop("shingles")
+                surv.drop("shingles")
                 .withColumn("ingest_batch_id", F.lit(batch_id))
                 .write.mode("append")
                 .parquet(out_dir)

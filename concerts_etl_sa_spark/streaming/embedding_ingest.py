@@ -71,8 +71,11 @@ def run_embedding_ingest(
             else None
         )
         # index columns computed ONCE per batch; array equality makes
-        # the within-batch dedup precise (not hash-trusting)
-        fresh = (
+        # the within-batch dedup precise (not hash-trusting). persist()
+        # pins the projection + anti-join chain so the exact gate, the
+        # near-gate probe, and the final write share one computation
+        # (same pattern and rationale as corpus_ingest._merge_batch).
+        base = (
             batch.dropDuplicates(["embedding"])
             .withColumn("vec_hash", F.xxhash64("embedding"))
             .withColumn("norm2", _norm2("embedding"))
@@ -80,23 +83,33 @@ def run_embedding_ingest(
                 "band_keys",
                 _band_keys("embedding").cast("array<int>"),
             )
+            .persist()
         )
+        try:
+            _write_gated(base, sink, batch_id)
+        finally:
+            base.unpersist()
+
+    def _write_gated(base, sink, batch_id: int) -> None:
+        fresh = base
         if sink is not None:
-            # exact gate: hash-equi join prunes, equality verifies
-            exact_hits = (
-                fresh.select("vec_id", "vec_hash", "embedding")
-                .join(
-                    sink.select(
-                        F.col("vec_hash").alias("s_hash"),
-                        F.col("embedding").alias("s_vec"),
-                    ),
-                    F.col("vec_hash") == F.col("s_hash"),
-                )
-                .filter(F.col("embedding") == F.col("s_vec"))
-                .select("vec_id")
-                .distinct()
+            # exact gate: hash-equi join prunes, array equality
+            # verifies. The anti-join key is the dedup IDENTITY — the
+            # (hash, embedding) pair — NOT vec_id: anti-joining on
+            # vec_id would let one sink-matching row delete a DISTINCT
+            # new vector that happens to share its vec_id (at-least-
+            # once upstreams re-emitting a corrected embedding under
+            # the same id).
+            sink_keys = sink.select(
+                F.col("vec_hash").alias("s_hash"),
+                F.col("embedding").alias("s_vec"),
             )
-            fresh = fresh.join(exact_hits, "vec_id", "left_anti")
+            fresh = fresh.join(
+                sink_keys,
+                (F.col("vec_hash") == F.col("s_hash"))
+                & (F.col("embedding") == F.col("s_vec")),
+                "left_anti",
+            )
             if near_dup_cosine is not None:
                 probe = fresh.select(
                     F.col("vec_id").alias("p_id"),
@@ -111,22 +124,14 @@ def run_embedding_ingest(
                     F.explode("band_keys").alias("band_key"),
                 )
                 if near_dup_max_bucket is not None:
-                    from pyspark.sql.window import Window as _W
+                    from ..operators.util import capped_probe_bands
 
-                    touched = probe.select("band_key").distinct()
-                    sink_bands = sink_bands.join(
-                        F.broadcast(touched), "band_key", "left_semi"
-                    )
-                    wo = _W.partitionBy("band_key").orderBy(
-                        F.xxhash64(F.col("s_id"), F.col("band_key")),
-                        F.col("s_id"),
-                    )
-                    sink_bands = (
-                        sink_bands.withColumn(
-                            "bk_rn", F.row_number().over(wo)
-                        )
-                        .filter(F.col("bk_rn") <= near_dup_max_bucket)
-                        .drop("bk_rn")
+                    sink_bands = capped_probe_bands(
+                        sink_bands,
+                        probe,
+                        near_dup_max_bucket,
+                        key_col="band_key",
+                        id_col="s_id",
                     )
                 near_hits = (
                     probe.join(sink_bands, "band_key")

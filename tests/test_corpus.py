@@ -271,3 +271,17 @@ def test_curation_semantic_dedup_trained_default(spark):
     assert {r.doc_id for r in a.curated.collect()} == {
         r.doc_id for r in b.curated.collect()
     }
+
+
+def test_curation_sem_stage_no_judgeable_survivors_is_noop(spark):
+    """Armed SemDeDup stage with an embeddings frame that overlaps NO
+    lexical survivor (id-space mismatch) must degrade to a no-op —
+    everything kept — not crash the trained-centroid path on an empty
+    kmeans fit."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    base = curate_corpus(spark, SF_DIR, min_quality=0.0)
+    rep = curate_corpus(spark, SF_DIR, min_quality=0.0, embeddings=emb)
+    assert rep.n_after_sem == rep.n_after_near == base.n_after_near
+    assert rep.n_final == base.n_final

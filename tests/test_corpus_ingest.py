@@ -255,3 +255,48 @@ def test_backfill_band_fps_upgrades_pre_index_sink(spark, tmp_path):
     )
     kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert kept == {1, 2}, kept
+
+
+def test_backfill_crash_window_recovery(spark, tmp_path):
+    """A death between the backfill's two renames must be repairable:
+    a rerun promotes the verified rewrite (or rolls the original back)
+    instead of reporting 'already indexed' while the next ingest
+    silently rebuilds an empty sink."""
+    import os
+    import shutil
+
+    from concerts_etl_sa_spark.streaming.corpus_ingest import (
+        backfill_band_fps,
+    )
+
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta body text")],
+        "doc_id BIGINT, text STRING",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.lit(1.0).alias("quality"),
+        F.md5("text").alias("content_hash"),
+        F.lit(0).cast("long").alias("ingest_batch_id"),
+    ).write.mode("append").parquet(out)
+
+    # run a full backfill once to get the upgraded layout, then
+    # reconstruct the mid-swap crash state: sink gone, old + tmp present
+    assert backfill_band_fps(spark, out) == 1
+    shutil.copytree(out, out + "__backfill")
+    os.rename(out, out + "__pre_backfill")
+    assert not os.path.isdir(out)
+
+    # recovery path: rerun promotes the verified tmp and cleans up
+    assert backfill_band_fps(spark, out) == 0
+    assert os.path.isdir(out)
+    assert not os.path.isdir(out + "__backfill")
+    assert not os.path.isdir(out + "__pre_backfill")
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].band_fps is not None
+
+    # rollback path: old exists, no tmp
+    os.rename(out, out + "__pre_backfill")
+    assert backfill_band_fps(spark, out) == 0
+    assert os.path.isdir(out) and not os.path.isdir(out + "__pre_backfill")
+    assert spark.read.parquet(out).count() == 1

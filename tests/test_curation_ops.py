@@ -443,6 +443,19 @@ def test_minhash_lsh_join_indexed_matches_from_scratch(spark):
         tuple(r) for r in minhash_lsh_join_indexed(indexed, probe).collect()
     }
     assert got == want and want
+    # a probe that ALSO carries precomputed band_fps + shingles (the
+    # ingest's single-signature-pass path) gives the identical result
+    probe_idx = (
+        probe.withColumn("_toks", _tokens(F.col("text")))
+        .withColumn("shingles", _shingles(F.col("_toks")))
+        .withColumn("band_fps", band_fps_from_shingles(F.col("shingles")))
+        .drop("_toks")
+    )
+    got_pre = {
+        tuple(r)
+        for r in minhash_lsh_join_indexed(indexed, probe_idx).collect()
+    }
+    assert got_pre == want
 
 
 def test_capped_indexed_join_keeps_pair_when_first_band_capped(spark):

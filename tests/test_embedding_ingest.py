@@ -82,3 +82,24 @@ def test_embedding_ingest_gate_survives_flood_with_cap(spark, tmp_path):
     )
     kept = {r.vec_id for r in spark.read.parquet(out).collect()}
     assert 100 not in kept and 101 in kept
+
+
+def test_embedding_ingest_same_id_distinct_vector_is_admitted(spark, tmp_path):
+    """The exact gate's anti-join identity is the (hash, embedding)
+    pair, not vec_id: a batch row whose vec_id collides with a
+    sink-matching row must not be dragged out with it."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("land", "cur", "ck"))
+    a, b = _vec(21), _vec(22)
+    _land(spark, [(1, a, 0)], src)
+    run_embedding_ingest(spark, src, out, ckpt)
+    # one batch: the sink copy of a (same id) AND a distinct vector b
+    # under the SAME vec_id
+    _land(spark, [(1, a, 0), (1, b, 0)], src)
+    run_embedding_ingest(spark, src, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    # old behavior left 1 row (b anti-joined away by its colliding id);
+    # two DISTINCT vectors must survive (float32 storage rounds the
+    # python literals, so compare distinctness, not exact values)
+    assert len(rows) == 2
+    assert len({tuple(r.embedding) for r in rows}) == 2
+    assert len({r.vec_hash for r in rows}) == 2
