@@ -19,6 +19,11 @@ Replay idempotency: foreachBatch is at-least-once, but a re-delivered
 vector exact-matches its own earlier admission (hash + equality) and
 anti-joins away, so the sink stays exactly-once.
 
+Reference analog: the content-hash card dedup of the landing-zone
+ingest (A6, concerts_etl/adapters/shotgun.py:116-478) re-expressed for
+the embedding modality, with the near-dup gate as the L2 counterpart of
+the token-level admission check.
+
 Scale note — sign-LSH blocking width: the 2x4-bit band keyspace (32
 buckets) is deliberately tiny at test scale; on a large cluster widen
 ``similarity.SIGN_BITS``/band count or the per-bucket candidate volume
