@@ -238,9 +238,7 @@ def curate_corpus_df(
         # mismatch, or every embedded doc already filtered) the stage is
         # a no-op — everything is kept — rather than crashing the
         # trained-centroid path (kmeans cannot fit on an empty frame)
-        if emb_sub.limit(1).count() == 0:
-            sem_dropped = None
-        else:
+        if emb_sub.limit(1).count() > 0:
             if sem_centroids is None:
                 from ..operators.kmeans import centroids_df, kmeans_fit
                 from ..operators.similarity import _norm2
@@ -260,7 +258,6 @@ def curate_corpus_df(
                 .select(F.col("vec_id").alias("doc_id"))
                 .withColumn("sem_dropped", F.lit(True))
             )
-        if sem_dropped is not None:
             # left join + null flag: a survivor with no embedding row
             # joins nothing and stays kept
             survivors = (

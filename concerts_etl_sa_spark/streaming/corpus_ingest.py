@@ -119,6 +119,21 @@ def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
                         f"backfill recovery: could not restore {old_dir}"
                     )
         if path_exists(spark, old_dir) and path_exists(spark, sink_dir):
+            # a genuinely completed swap has no tmp dir left (it was
+            # renamed onto the sink). old+sink+tmp ALL present means an
+            # ingest recreated the sink INSIDE the crash window — the
+            # original corpus lives in old_dir and deleting it here
+            # would silently destroy it. Fail loudly instead.
+            if path_exists(spark, tmp_dir):
+                raise RuntimeError(
+                    f"backfill: ambiguous state — {sink_dir}, {old_dir} "
+                    f"and {tmp_dir} all exist. The sink was likely "
+                    "recreated by an ingest during an interrupted "
+                    "backfill; the original corpus is in the "
+                    "__pre_backfill dir. Reconcile manually (merge the "
+                    "recreated sink's rows into the staged corpus) "
+                    "before rerunning."
+                )
             fs.delete(p_old, True)  # completed-swap leftover
     if not path_exists(spark, sink_dir):
         return 0
@@ -211,18 +226,26 @@ def run_corpus_ingest(
             if path_exists(spark_b, out_dir)
             else None
         )
-        # ONE signature pass per batch: tokenize -> shingles -> band
-        # fingerprints are all computed here, once, and serve BOTH the
-        # near-dup probe (minhash_lsh_join_indexed consumes the stored
-        # band_fps directly — zero signature work inside the gate) and
-        # the index-on-write of the surviving rows. The signature
-        # pipeline (N_MINHASH seeded-md5 array_min passes over the
-        # shingles) is the CPU-dominant per-batch cost. persist() pins
-        # the batch so the probe and write subtrees share the one
-        # computation; a micro-batch is memory-sized by construction.
+        # the exact content-hash gate runs FIRST, on the slim annotated
+        # rows: a fully-replayed micro-batch (at-least-once redelivery)
+        # anti-joins to zero rows before any signature work is spent
+        pruned = batch.dropDuplicates(["content_hash"])
+        if sink is not None:
+            pruned = pruned.join(
+                sink.select("content_hash"), "content_hash", "left_anti"
+            )
+        # ONE signature pass per batch, on the exact-gate SURVIVORS:
+        # tokenize -> shingles -> band fingerprints computed here, once,
+        # serve BOTH the near-dup probe (minhash_lsh_join_indexed
+        # consumes the stored band_fps directly — zero signature work
+        # inside the gate) and the index-on-write of the admitted rows.
+        # The signature pipeline (N_MINHASH seeded-md5 array_min passes
+        # over the shingles) is the CPU-dominant per-batch cost.
+        # persist() pins the frame so the probe and write subtrees share
+        # the one computation; a micro-batch is memory-sized by
+        # construction.
         fresh = (
-            batch.dropDuplicates(["content_hash"])
-            .withColumn("_toks", _tokens(F.col("text")))
+            pruned.withColumn("_toks", _tokens(F.col("text")))
             .withColumn("shingles", _shingles(F.col("_toks")))
             .withColumn(
                 "band_fps", band_fps_from_shingles(F.col("shingles"))
@@ -233,9 +256,6 @@ def run_corpus_ingest(
         try:
             surv = fresh
             if sink is not None:
-                surv = surv.join(
-                    sink.select("content_hash"), "content_hash", "left_anti"
-                )
                 if near_dup_threshold is not None:
                     # pre-upgrade rows (band_fps NULL under the pinned
                     # schema) are re-indexed on the fly so the gate

@@ -109,23 +109,35 @@ def run_embedding_ingest(
                 F.col("vec_hash").alias("s_hash"),
                 F.col("embedding").alias("s_vec"),
             )
+            # eqNullSafe on the array leg: a NULL-embedding row must
+            # exact-match its own earlier admission on replay (plain ==
+            # evaluates NULL, keeps the row, and appends a duplicate per
+            # redelivery — the md5(NULL) hazard of dedup.exact_dedup)
             fresh = fresh.join(
                 sink_keys,
                 (F.col("vec_hash") == F.col("s_hash"))
-                & (F.col("embedding") == F.col("s_vec")),
+                & F.col("embedding").eqNullSafe(F.col("s_vec")),
                 "left_anti",
             )
             if near_dup_cosine is not None:
+                # the refusal identity is the CONTENT (vec_hash), same
+                # as the exact gate — anti-joining near hits on vec_id
+                # would drag out a distinct batch vector sharing the
+                # hit row's id
                 probe = fresh.select(
-                    F.col("vec_id").alias("p_id"),
+                    F.col("vec_hash").alias("p_hash"),
                     F.col("embedding").alias("p_vec"),
                     F.col("norm2").alias("p_n2"),
                     F.explode("band_keys").alias("band_key"),
                 )
+                # the cap's in-bucket id is vec_hash, not vec_id: the
+                # exact gate admits multiple rows per vec_id but at most
+                # one per content, so vec_hash keeps the cap's rank
+                # order total (deterministic survivor selection)
                 sink_bands = sink.select(
                     F.col("embedding").alias("s_vec"),
                     F.col("norm2").alias("s_n2"),
-                    F.col("vec_id").alias("s_id"),
+                    F.col("vec_hash").alias("s_id"),
                     F.explode("band_keys").alias("band_key"),
                 )
                 if near_dup_max_bucket is not None:
@@ -145,10 +157,14 @@ def run_embedding_ingest(
                         _cosine_pre("p_vec", "s_vec", "p_n2", "s_n2"),
                     )
                     .filter(F.col("cosine") >= near_dup_cosine)
-                    .select(F.col("p_id").alias("vec_id"))
+                    .select(F.col("p_hash").alias("h_hash"))
                     .distinct()
                 )
-                fresh = fresh.join(near_hits, "vec_id", "left_anti")
+                fresh = fresh.join(
+                    near_hits,
+                    F.col("vec_hash") == F.col("h_hash"),
+                    "left_anti",
+                )
         (
             fresh.withColumn("ingest_batch_id", F.lit(batch_id))
             .write.mode("append")

@@ -300,3 +300,39 @@ def test_backfill_crash_window_recovery(spark, tmp_path):
     assert backfill_band_fps(spark, out) == 0
     assert os.path.isdir(out) and not os.path.isdir(out + "__pre_backfill")
     assert spark.read.parquet(out).count() == 1
+
+
+def test_backfill_ambiguous_state_fails_loudly(spark, tmp_path):
+    """sink + __pre_backfill + __backfill all present means an ingest
+    recreated the sink inside the crash window: the original corpus
+    lives in __pre_backfill and MUST NOT be silently deleted as a
+    'completed-swap leftover'."""
+    import os
+    import shutil
+
+    import pytest
+
+    from concerts_etl_sa_spark.streaming.corpus_ingest import (
+        backfill_band_fps,
+    )
+
+    out = str(tmp_path / "curated")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta body text")],
+        "doc_id BIGINT, text STRING",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.lit(1.0).alias("quality"),
+        F.md5("text").alias("content_hash"),
+        F.lit(0).cast("long").alias("ingest_batch_id"),
+    ).write.mode("append").parquet(out)
+    assert backfill_band_fps(spark, out) == 1
+
+    shutil.copytree(out, out + "__backfill")
+    shutil.copytree(out, out + "__pre_backfill")
+    with pytest.raises(RuntimeError, match="ambiguous state"):
+        backfill_band_fps(spark, out)
+    # nothing was deleted
+    assert os.path.isdir(out + "__pre_backfill")
+    assert os.path.isdir(out + "__backfill")
+    assert os.path.isdir(out)

@@ -103,3 +103,36 @@ def test_embedding_ingest_same_id_distinct_vector_is_admitted(spark, tmp_path):
     assert len(rows) == 2
     assert len({tuple(r.embedding) for r in rows}) == 2
     assert len({r.vec_hash for r in rows}) == 2
+
+
+def test_embedding_ingest_null_embedding_replay_exactly_once(spark, tmp_path):
+    """A NULL-embedding row must exact-match its own earlier admission
+    on redelivery (eqNullSafe) — plain equality would append a duplicate
+    NULL row per replay."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("land", "cur", "ck"))
+    _land(spark, [(1, None, 0), (2, _vec(31), 0)], src)
+    run_embedding_ingest(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+    _land(spark, [(1, None, 0)], src)  # redelivered content
+    run_embedding_ingest(spark, src, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2
+    assert sum(1 for r in rows if r.embedding is None) == 1
+
+
+def test_embedding_ingest_near_gate_refuses_by_content_not_id(spark, tmp_path):
+    """With the near gate armed, a batch row near a sink vector is
+    refused while a DISTINCT row sharing its vec_id is admitted — the
+    refusal identity is content, not id."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("land", "cur", "ck"))
+    a = _vec(41)
+    near_a = [round(x * 1.001, 6) for x in a]
+    unrelated = [-x for x in a]
+    _land(spark, [(1, a, 0)], src)
+    run_embedding_ingest(spark, src, out, ckpt, near_dup_cosine=0.95)
+    _land(spark, [(1, near_a, 0), (1, unrelated, 0)], src)
+    run_embedding_ingest(spark, src, out, ckpt, near_dup_cosine=0.95)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # a + unrelated; near_a refused
+    hashes = {r.vec_hash for r in rows}
+    assert len(hashes) == 2
