@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 from .dedup import simhash_near_pairs
-from .util import sorted_small
 
 
 def connected_components(
@@ -138,5 +137,4 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("doc_id") == F.col("cluster_rep")).alias("is_representative"),
         )
-        .transform(lambda d: sorted_small(d, "doc_id"))
     )

@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_table
 from ._cachescope import begin_scope, scoped_persist
 from .dedup import _tokens, _tokens_sql
-from .util import sorted_small
 
 N_GRAM = 5       # n-gram width (words)
 MIN_HITS = 2     # distinct shared n-grams to flag contamination
@@ -172,7 +171,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(~is_eval).select("doc_id", "text"),
         d.filter(is_eval).select("doc_id", "text"),
         max_eval_docs=None,
-    ).transform(lambda df: sorted_small(df, "doc_id"))
+    )
 
 
 DECONTAMINATE_SQL = f"""

@@ -178,7 +178,6 @@ def exact_dedup_selfunion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("representative_id"),
             F.count(F.lit(1)).alias("group_size"),
         )
-        .transform(lambda d: sorted_small(d, "representative_id"))
     )
 
 

@@ -249,7 +249,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: synthesize media table -> mapInPandas feature extract."""
-    return sorted_small(extract_features(media_table(spark, sf_dir)), "doc_id")
+    return extract_features(media_table(spark, sf_dir))
 
 
 # Oracle: the stub features are computable straight from documents.text
@@ -323,7 +323,7 @@ def resize_media(
 
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end resize query: media table -> mapInPandas resize."""
-    return sorted_small(resize_media(media_table(spark, sf_dir)), "doc_id")
+    return resize_media(media_table(spark, sf_dir))
 
 
 # Oracle: the truncation stub is computable from documents.text directly
@@ -361,7 +361,7 @@ def frame_sample(spark: SparkSession, sf_dir: str, every: int = 7) -> DataFrame:
         "doc_id",
         F.concat_ws("", "sampled_bytes").alias("sample_sig"),
         "n_samples",
-    ).transform(lambda d: sorted_small(d, "doc_id"))
+    )
 
 
 FRAME_SAMPLE_SQL = """

@@ -57,7 +57,6 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.round(F.lit(1.0) / rate, 6).alias("sample_weight"),
         )
-        .transform(lambda df: sorted_small(df, "doc_id"))
     )
 
 
@@ -245,7 +244,6 @@ def mixture_sample_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.round(F.lit(1.0) / F.col("rate"), 6).alias("sample_weight"),
         )
-        .transform(lambda df: sorted_small(df, "doc_id"))
     )
 
 

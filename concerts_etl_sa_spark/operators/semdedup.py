@@ -54,7 +54,6 @@ from .similarity import (
     _emb_normed,
     _norm2,
 )
-from .util import sorted_small
 
 # Deterministic "trained" centroids: fixed vectors FROM the table (the
 # same oracle-reproducibility device as IVF_CENTROID_IDS — a DuckDB
@@ -244,7 +243,6 @@ def semdedup_df(
                 "is_kept"
             ),
         )
-        .transform(lambda d: sorted_small(d, "vec_id"))
     )
 
 
@@ -313,7 +311,6 @@ def semdedup_groups_df(
                 | (F.col("vec_id") == F.col("keeper_id"))
             ).alias("is_kept"),
         )
-        .transform(lambda d: sorted_small(d, "vec_id"))
     )
 
 

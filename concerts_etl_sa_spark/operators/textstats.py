@@ -200,7 +200,6 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark and DuckDB binning decisions agree bit-for-bit (quantile_cont
     and percentile share the linear-interpolation definition)."""
     from ._cachescope import begin_scope, scoped_persist
-    from .util import sorted_small
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", _tokens(F.col("text")).alias("toks")
@@ -235,7 +234,6 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(1)
             ).alias("decile"),
         )
-        .transform(lambda df: sorted_small(df, "doc_id"))
     )
 
 
