@@ -19,7 +19,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
+# the rounds-1-6 headline set, named explicitly because the sum over
+# EXACTLY these queries is the cross-round-comparable subtotal — never
+# derive it positionally from HEADLINE (adding coverage must not shift
+# the comparison window)
+R6_HEADLINE = [
     # the reference's own workload
     "consolidate_flagship",
     "d8_legacy_merge",
@@ -39,9 +43,13 @@ HEADLINE = [
     "l3_text_suite",
     "l3_pii_redact",
     "l5_mixture_sample",
-    # round-7 additions: the two heaviest round-6 corpus operators
-    # (rotated into the driver window) + repetition_stats (pytest-only,
-    # resolved via _extra_queries) now ratchet under the bench gate
+]
+
+HEADLINE = R6_HEADLINE + [
+    # round-7 additions (FIVE): duplicate_spans + tfidf + semdedup
+    # rotated into the driver window, repetition_stats + unigram_xent
+    # pytest-only (resolved via _extra_queries) — all ratchet under the
+    # bench gate
     "l1_duplicate_spans",
     "l3_tfidf_top_terms",
     "unreg_l3_repetition_stats",
@@ -121,12 +129,12 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    # rounds 1-6 benched the first 16 queries; round 7 added four. The
+    # rounds 1-6 benched the R6_HEADLINE set; round 7 added five. The
     # cross-round-comparable number is the sum over the original set —
     # emitted alongside so a total that "grew" by adding coverage is
     # never misread as a regression (per-query history is the real gate,
     # tools/bench_audit.py).
-    r6_set = HEADLINE[:16]
+    r6_set = R6_HEADLINE
     result = {
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -5,7 +5,8 @@ The serving shape of :func:`operators.similarity.topk_cosine_incremental_df`:
 new embedding batches arrive in a landing directory; each micro-batch is
 scored against the (broadcast-bounded) query set ONLY — |batch| x |queries|
 work per batch, never a rescore of everything seen — and merged into the
-per-query top-k state, which is overwrite-snapshotted (I5) to parquet.
+per-query top-k state, which is snapshot-replaced (I5) via a staged
+write + rename promote so the prior snapshot survives any crash window.
 
 State design: the state IS queries x k rows — dimension-sized BY
 CONSTRUCTION (independent of how many candidates ever streamed), so the
@@ -44,17 +45,40 @@ def run_topk_maintenance(
     lineage is expensive; it is re-scored against every batch."""
     stream = spark.readStream.schema(EMBEDDINGS).parquet(src_dir)
 
+    staging_dir = state_dir.rstrip("/") + "__staging"
+    old_dir = state_dir.rstrip("/") + "__old"
+
     def _fold_batch(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
+        jvm = spark_b._jvm
+        p_state = jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = p_state.getFileSystem(spark_b._jsc.hadoopConfiguration())
+        p_staging = jvm.org.apache.hadoop.fs.Path(staging_dir)
+        p_old = jvm.org.apache.hadoop.fs.Path(old_dir)
+        # crash-window recovery from a prior promote (see below): a
+        # death between the two renames leaves the state staged aside
+        # in __old — roll it back (the checkpoint replays the
+        # interrupted batch, and the monotone merge makes the refold
+        # equal the lost result); a completed promote that died before
+        # the cleanup just leaves a stale __old to delete
+        if path_exists(spark_b, old_dir):
+            if not path_exists(spark_b, state_dir):
+                if not fs.rename(p_old, p_state):
+                    raise RuntimeError(
+                        f"topk state recovery: could not restore {old_dir}"
+                    )
+            else:
+                fs.delete(p_old, True)
         # explicit existence probe, NOT a swallowed read exception: this
-        # sink is overwrite-mode, so treating a transient read failure
-        # (corrupt footer, FS hiccup, permissions) as "first batch"
-        # would replace the entire accumulated top-k state with just
-        # this batch's — silent, unrecoverable loss. With the probe, a
-        # missing path is the only no-state signal; real read failures
-        # kill the stream loudly and a retry resumes from intact state.
-        # The pinned read schema makes a pre-created empty dir read as
-        # an empty frame instead of a schema-infer error.
+        # sink is snapshot-replaced per batch, so treating a transient
+        # read failure (corrupt footer, FS hiccup, permissions) as
+        # "first batch" would replace the entire accumulated top-k
+        # state with just this batch's — silent, unrecoverable loss.
+        # With the probe, a missing path is the only no-state signal;
+        # real read failures kill the stream loudly and a retry resumes
+        # from intact state. The pinned read schema makes a pre-created
+        # empty dir read as an empty frame instead of a schema-infer
+        # error.
         if path_exists(spark_b, state_dir):
             prior = spark_b.read.schema(_STATE_SCHEMA).parquet(
                 state_dir
@@ -64,13 +88,30 @@ def run_topk_maintenance(
                 "q_id", "c_id", "cosine"
             )
         updated = topk_cosine_incremental_df(prior, queries, batch, k=k)
-        # materialize BEFORE the overwrite (reading and rewriting the
+        # materialize BEFORE the rewrite (reading and rewriting the
         # same path in one lineage is unsafe); the state is q x k rows
         # by construction, so this is a bounded driver sync
         rows = updated.collect()
+        # STAGED promote, never mode('overwrite') on the live path: an
+        # overwrite deletes the state dir before the new files commit,
+        # so a crash in that window destroys the accumulated top-k and
+        # the replayed batch silently rebuilds state from itself alone.
+        # Writing to __staging and swapping via renames means the prior
+        # snapshot survives every crash window (recovered above).
         spark_b.createDataFrame(rows, _STATE_SCHEMA).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(state_dir)
+        ).parquet(staging_dir)
+        if path_exists(spark_b, state_dir):
+            if not fs.rename(p_state, p_old):
+                raise RuntimeError(
+                    f"topk state: could not stage {state_dir} aside"
+                )
+        if not fs.rename(p_staging, p_state):
+            fs.rename(p_old, p_state)  # roll back; staging is scratch
+            raise RuntimeError(
+                f"topk state: could not promote {staging_dir}"
+            )
+        fs.delete(p_old, True)
 
     q = (
         stream.writeStream.foreachBatch(_fold_batch)

@@ -54,6 +54,13 @@ CURATED_SCHEMA = T.StructType(
 )
 
 
+def backfill_marker_path(sink_dir: str) -> str:
+    """The swap-window fence marker for ``backfill_band_fps``: exists
+    exactly while a backfill's two-rename swap is unsettled. Ingest
+    refuses to start while it exists (see ``run_corpus_ingest``)."""
+    return sink_dir.rstrip("/") + "__backfill_manifest"
+
+
 def annotate_documents_stream(
     docs: DataFrame, min_quality: float = 0.5
 ) -> DataFrame:
@@ -87,17 +94,27 @@ def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
     ``<sink>__backfill`` directory and swaps via two renames — the swap
     window is small but not atomic (parquet directories are not a
     transactional table format; at production scale put the sink behind
-    a table format and make this a MERGE)."""
+    a table format and make this a MERGE).
+
+    Crash-window FENCE: a ``<sink>__backfill_manifest`` marker file is
+    created before the first rename and removed only after the swap is
+    fully settled. :func:`run_corpus_ingest` refuses to start while the
+    marker exists, so the one state this recovery cannot repair — an
+    ingest recreating the sink INSIDE the swap window (the "ambiguous
+    state" error below) — is prevented from ever arising, instead of
+    merely detected after the fact."""
     from ..operators.dedup import _shingles, _tokens, band_fps_from_shingles
 
     tmp_dir = sink_dir.rstrip("/") + "__backfill"
     old_dir = sink_dir.rstrip("/") + "__pre_backfill"
+    marker_dir = backfill_marker_path(sink_dir)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     p_sink = jvm.org.apache.hadoop.fs.Path(sink_dir)
     fs = p_sink.getFileSystem(hconf)
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
     p_old = jvm.org.apache.hadoop.fs.Path(old_dir)
+    p_marker = jvm.org.apache.hadoop.fs.Path(marker_dir)
     # crash-window recovery BEFORE the existence probe: a death between
     # the two renames below leaves the sink missing while the corpus
     # lives in the staging dirs — without this, a rerun would report
@@ -140,6 +157,11 @@ def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
     sink = spark.read.schema(CURATED_SCHEMA).parquet(sink_dir)
     n_legacy = sink.filter(F.col("band_fps").isNull()).count()
     if n_legacy == 0:
+        # the sink is settled and fully indexed — any marker left here
+        # is a stale fence from a crash after the swap completed but
+        # before the marker delete; clear it so ingest can resume
+        if path_exists(spark, marker_dir):
+            fs.delete(p_marker, False)
         return 0
     # staged tokenize (HOF staging rule); _toks is NULL for rows that
     # already carry band_fps, so the signature pipeline only runs on the
@@ -162,13 +184,19 @@ def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
     ).count()
     if n != 0:  # defensive: the rewrite must leave nothing unindexed
         raise RuntimeError(f"backfill left {n} rows without band_fps")
+    # fence FIRST: from here until the marker delete, run_corpus_ingest
+    # refuses to start, so no ingest can recreate the sink mid-swap
+    fs.createNewFile(p_marker)
     if not fs.rename(p_sink, p_old):
+        fs.delete(p_marker, False)  # swap never started
         raise RuntimeError(f"backfill: could not stage {sink_dir} aside")
     if not fs.rename(p_tmp, p_sink):
         # roll back so the sink is never left missing
         fs.rename(p_old, p_sink)
+        fs.delete(p_marker, False)
         raise RuntimeError(f"backfill: could not promote {tmp_dir}")
     fs.delete(p_old, True)
+    fs.delete(p_marker, False)
     return n_legacy
 
 
@@ -180,6 +208,7 @@ def run_corpus_ingest(
     min_quality: float = 0.5,
     near_dup_threshold: float | None = None,
     near_dup_max_bucket: int | None = None,
+    intra_batch_near_dup: bool = False,
 ) -> None:
     """Drain the landing directory (availableNow) into curated parquet.
 
@@ -194,7 +223,22 @@ def run_corpus_ingest(
     only state, so the gate stays idempotent under micro-batch replay
     exactly like the exact-hash path. The band_fps column is written
     even when the gate is unarmed — indexing at write is what makes
-    arming it later (or any other consumer) cheap."""
+    arming it later (or any other consumer) cheap.
+
+    Intra-batch near-dups: by DEFAULT the gate probes only the SINK, so
+    two mutual near-dups (distinct hashes) arriving in one micro-batch
+    are BOTH admitted — the admitted set then depends on how files were
+    batched relative to one-doc-per-batch delivery. This is the cheap
+    contract (no batch self-join) and it is stable under replay (the
+    exact gate removes redelivered rows before the probe).
+    ``intra_batch_near_dup=True`` adds a batch self-probe over the
+    already-computed band index: within each batch, any doc with a
+    near-neighbor of strictly smaller ``content_hash`` is refused — the
+    min-hash-anchor rule, same representative convention as exact dedup.
+    Deterministic and content-keyed, but transitively conservative: in a
+    chain a~b~c (a<b<c, a!~c), c is refused because of b even though b
+    itself was refused. Cross-batch arrival-order dependence is inherent
+    to any admission gate whose state is the sink."""
     from ..operators.dedup import (
         _shingles,
         _tokens,
@@ -202,6 +246,15 @@ def run_corpus_ingest(
         minhash_lsh_join_indexed,
     )
 
+    if path_exists(spark, backfill_marker_path(out_dir)):
+        raise RuntimeError(
+            f"corpus ingest refused: backfill fence "
+            f"{backfill_marker_path(out_dir)} exists — a "
+            "backfill_band_fps swap is unsettled (in progress or "
+            "crashed mid-swap). Finish or rerun the backfill (it "
+            "recovers and clears the fence) before ingesting; starting "
+            "now could recreate the sink inside the swap window."
+        )
     stream = spark.readStream.schema(DOCUMENTS).parquet(src_dir)
     ann = annotate_documents_stream(stream, min_quality=min_quality)
 
@@ -270,19 +323,68 @@ def run_corpus_ingest(
                             )
                         )
                     )
+                    # the refusal identity is the CONTENT (content_hash),
+                    # mirroring embedding_ingest: anti-joining near hits
+                    # on doc_id would let one near-hit row delete a
+                    # DISTINCT-content batch row sharing its doc_id
+                    # (at-least-once upstreams re-emitting corrected
+                    # text under a reused id). content_hash is unique
+                    # per surv row (the exact gate dropped duplicates),
+                    # so it is a valid probe id for the indexed join.
                     near_hits = (
                         minhash_lsh_join_indexed(
                             sink_idx,
                             surv.select(
-                                "doc_id", "text", "shingles", "band_fps"
+                                F.col("content_hash").alias("doc_id"),
+                                "text",
+                                "shingles",
+                                "band_fps",
                             ),
                             jaccard_threshold=near_dup_threshold,
                             max_bucket_size=near_dup_max_bucket,
                         )
-                        .select(F.col("probe_id").alias("doc_id"))
+                        .select(F.col("probe_id").alias("content_hash"))
                         .distinct()
                     )
-                    surv = surv.join(near_hits, "doc_id", "left_anti")
+                    surv = surv.join(
+                        near_hits, "content_hash", "left_anti"
+                    )
+            if near_dup_threshold is not None and intra_batch_near_dup:
+                # batch self-probe over the already-computed band index
+                # (zero extra signature work): refuse any survivor with
+                # a near-neighbor of strictly smaller content_hash in
+                # the same batch — see the docstring for the semantics
+                b = surv.select(
+                    F.col("content_hash").alias("h"),
+                    F.col("shingles").alias("sh"),
+                    F.explode("band_fps").alias("band_fp"),
+                )
+                cand = (
+                    b.alias("x")
+                    .join(b.alias("y"), "band_fp")
+                    .filter(F.col("x.h") < F.col("y.h"))
+                    .select(
+                        F.col("x.sh").alias("a_sh"),
+                        F.col("y.h").alias("b_h"),
+                        F.col("y.sh").alias("b_sh"),
+                    )
+                )
+                inter = F.size(F.array_intersect("a_sh", "b_sh"))
+                union = F.size(F.array_union("a_sh", "b_sh"))
+                self_hits = (
+                    cand.withColumn(
+                        "jaccard",
+                        F.round(
+                            inter.cast("double")
+                            / F.greatest(union, F.lit(1)),
+                            6,
+                        ),
+                    )
+                    .filter(F.col("jaccard") >= near_dup_threshold)
+                    .select(F.col("b_h").alias("content_hash"))
+                    .distinct()
+                )
+                surv = surv.join(self_hits, "content_hash", "left_anti")
             # index-on-write: the SAME band_fps the gate probed with
             # (4 bigints per doc)
             (

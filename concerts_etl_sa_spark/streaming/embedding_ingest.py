@@ -63,9 +63,21 @@ def run_embedding_ingest(
     checkpoint: str,
     near_dup_cosine: float | None = None,
     near_dup_max_bucket: int | None = None,
+    intra_batch_near_dup: bool = False,
 ) -> None:
     """Drain the embedding landing directory (availableNow) into the
-    curated vector sink at ``out_dir``."""
+    curated vector sink at ``out_dir``.
+
+    Intra-batch near-dups: by DEFAULT the near gate probes only the
+    SINK — two mutual near-dup vectors (distinct contents) arriving in
+    one micro-batch are BOTH admitted, so the admitted set depends on
+    batching relative to one-vector-per-batch delivery (the cheap,
+    replay-stable contract — identical to the document ingest's).
+    ``intra_batch_near_dup=True`` adds a batch self-probe over the
+    already-computed sign-LSH index: within each batch, any vector with
+    a near-neighbor of strictly smaller ``vec_hash`` is refused (the
+    min-hash-anchor rule; transitively conservative on chains — see
+    ``corpus_ingest.run_corpus_ingest``)."""
     stream = spark.readStream.schema(EMBEDDINGS).parquet(src_dir)
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
@@ -165,6 +177,44 @@ def run_embedding_ingest(
                     F.col("vec_hash") == F.col("h_hash"),
                     "left_anti",
                 )
+        if near_dup_cosine is not None and intra_batch_near_dup:
+            # batch self-probe over the already-computed sign-LSH index
+            # (no re-hashing): refuse any survivor with a near-neighbor
+            # of strictly smaller vec_hash in the same batch — the
+            # min-hash-anchor rule (docstring). Survivor frame is
+            # exact-deduped, so vec_hash is (collision aside) unique
+            # per content and a total rank key.
+            b = fresh.select(
+                F.col("vec_hash").alias("h"),
+                F.col("embedding").alias("v"),
+                F.col("norm2").alias("n2"),
+                F.explode("band_keys").alias("band_key"),
+            )
+            cand = (
+                b.alias("x")
+                .join(b.alias("y"), "band_key")
+                .filter(F.col("x.h") < F.col("y.h"))
+                .select(
+                    F.col("x.v").alias("a_v"),
+                    F.col("x.n2").alias("a_n2"),
+                    F.col("y.h").alias("b_h"),
+                    F.col("y.v").alias("b_v"),
+                    F.col("y.n2").alias("b_n2"),
+                )
+            )
+            self_hits = (
+                cand.withColumn(
+                    "cosine", _cosine_pre("a_v", "b_v", "a_n2", "b_n2")
+                )
+                .filter(F.col("cosine") >= near_dup_cosine)
+                .select(F.col("b_h").alias("sb_hash"))
+                .distinct()
+            )
+            fresh = fresh.join(
+                self_hits,
+                F.col("vec_hash") == F.col("sb_hash"),
+                "left_anti",
+            )
         (
             fresh.withColumn("ingest_batch_id", F.lit(batch_id))
             .write.mode("append")

@@ -336,3 +336,117 @@ def test_backfill_ambiguous_state_fails_loudly(spark, tmp_path):
     assert os.path.isdir(out + "__pre_backfill")
     assert os.path.isdir(out + "__backfill")
     assert os.path.isdir(out)
+
+
+def test_near_gate_refusal_is_content_keyed(spark, tmp_path):
+    """An at-least-once upstream re-emitting corrected text under a
+    REUSED doc_id in the same batch: the near-hit on the stale variant
+    must not drag out the DISTINCT-content row sharing its doc_id —
+    refusal anti-joins on content_hash, mirroring the embedding gate."""
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    base = " ".join(f"w{k} common body token" for k in range(12))
+    fresh_text = " ".join(f"fresh{k} unrelated words" for k in range(12))
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id BIGINT, text STRING"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    _land(spark, mk([(1, base + " original tail")]), src)
+    run_corpus_ingest(
+        spark, src, out, ckpt, min_quality=0.0, near_dup_threshold=0.5
+    )
+    # same batch, same reused doc_id: a near-dup of doc 1 AND a
+    # genuinely distinct correction
+    _land(
+        spark,
+        mk([(2, base + " variant tail"), (2, fresh_text)]),
+        src,
+    )
+    run_corpus_ingest(
+        spark, src, out, ckpt, min_quality=0.0, near_dup_threshold=0.5
+    )
+    texts = {r.text for r in spark.read.parquet(out).collect()}
+    assert texts == {base + " original tail", fresh_text}, texts
+
+
+def test_intra_batch_near_dup_stance(spark, tmp_path):
+    """Pin both documented behaviors: by default two mutual near-dups
+    in ONE micro-batch are both admitted (sink-only probe); with
+    intra_batch_near_dup=True the min-content_hash anchor is admitted
+    and its in-batch near-neighbor is refused."""
+    import hashlib
+
+    base = " ".join(f"w{k} common body token" for k in range(12))
+    t_a, t_b = base + " variant one", base + " variant two"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id BIGINT, text STRING"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+    # default: both admitted
+    src = str(tmp_path / "land_default")
+    out = str(tmp_path / "cur_default")
+    ckpt = str(tmp_path / "ck_default")
+    _land(spark, mk([(1, t_a), (2, t_b)]), src)
+    run_corpus_ingest(
+        spark, src, out, ckpt, min_quality=0.0, near_dup_threshold=0.5
+    )
+    assert spark.read.parquet(out).count() == 2
+
+    # flag armed: only the smaller content_hash survives
+    src2 = str(tmp_path / "land_flag")
+    out2 = str(tmp_path / "cur_flag")
+    ckpt2 = str(tmp_path / "ck_flag")
+    _land(spark, mk([(1, t_a), (2, t_b)]), src2)
+    run_corpus_ingest(
+        spark, src2, out2, ckpt2, min_quality=0.0,
+        near_dup_threshold=0.5, intra_batch_near_dup=True,
+    )
+    rows = spark.read.parquet(out2).collect()
+    want = min(t_a, t_b, key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    assert len(rows) == 1 and rows[0].text == want
+
+
+def test_ingest_refuses_during_backfill_fence(spark, tmp_path):
+    """While the backfill swap fence exists, run_corpus_ingest must
+    refuse to start (an ingest recreating the sink inside the swap
+    window is the one unrecoverable backfill state); a backfill rerun
+    over the settled sink clears the stale fence and ingest resumes."""
+    import pathlib
+
+    import pytest
+
+    from concerts_etl_sa_spark.streaming.corpus_ingest import (
+        backfill_band_fps,
+        backfill_marker_path,
+    )
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    _land(spark, docs, src)
+    run_corpus_ingest(spark, src, out, ckpt, min_quality=0.0)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    marker = pathlib.Path(backfill_marker_path(out))
+    marker.touch()
+    _land(spark, load_table(spark, SF_DIR, "documents").limit(20), src)
+    with pytest.raises(RuntimeError, match="backfill fence"):
+        run_corpus_ingest(spark, src, out, ckpt, min_quality=0.0)
+    assert spark.read.parquet(out).count() == n1  # nothing ran
+
+    # the sink is settled and fully indexed: a backfill rerun is the
+    # documented way to clear a stale fence
+    assert backfill_band_fps(spark, out) == 0
+    assert not marker.exists()
+    run_corpus_ingest(spark, src, out, ckpt, min_quality=0.0)
+    assert spark.read.parquet(out).count() > n1

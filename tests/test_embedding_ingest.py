@@ -136,3 +136,37 @@ def test_embedding_ingest_near_gate_refuses_by_content_not_id(spark, tmp_path):
     assert len(rows) == 2  # a + unrelated; near_a refused
     hashes = {r.vec_hash for r in rows}
     assert len(hashes) == 2
+
+
+def test_embedding_intra_batch_near_dup_flag(spark, tmp_path):
+    """Twin of the document gate's stance test: by default two mutual
+    near-dup vectors in one micro-batch are both admitted; with
+    intra_batch_near_dup=True only the min-vec_hash anchor survives."""
+    from pyspark.sql import functions as F
+
+    a = _vec(21)
+    near = [round(x * 1.001, 6) for x in a]
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("land_d", "cur_d", "ck_d"))
+    _land(spark, [(1, a, 0), (2, near, 0)], src)
+    run_embedding_ingest(spark, src, out, ckpt, near_dup_cosine=0.95)
+    assert spark.read.parquet(out).count() == 2  # default: both admitted
+
+    src2, out2, ckpt2 = (
+        str(tmp_path / d) for d in ("land_f", "cur_f", "ck_f")
+    )
+    _land(spark, [(1, a, 0), (2, near, 0)], src2)
+    run_embedding_ingest(
+        spark, src2, out2, ckpt2, near_dup_cosine=0.95,
+        intra_batch_near_dup=True,
+    )
+    rows = spark.read.parquet(out2).collect()
+    # the survivor is the min-vec_hash anchor (content-keyed rank)
+    hashes = {
+        r.vec_id: r.h
+        for r in spark.createDataFrame([(1, a), (2, near)],
+                                        "vec_id BIGINT, e ARRAY<FLOAT>")
+        .select("vec_id", F.xxhash64("e").alias("h")).collect()
+    }
+    want_id = min(hashes, key=hashes.get)
+    assert len(rows) == 1 and rows[0].vec_id == want_id

@@ -277,3 +277,55 @@ def test_incremental_topk_replay_is_idempotent(spark):
     )
     twice = {(r.q_id, r.rn): (r.c_id, r.cosine) for r in state2.collect()}
     assert twice == once
+
+
+def test_topk_state_survives_promote_crash_window(spark, tmp_path):
+    """A death between the snapshot promote's two renames leaves the
+    state staged aside in __old: the next fold must roll it back and
+    refold the replayed batch — never rebuild state from one batch
+    (the mode('overwrite') delete-before-commit hazard)."""
+    import os
+    import shutil
+
+    from concerts_etl_sa_spark.operators.similarity import (
+        N_QUERIES,
+        topk_cosine_bruteforce,
+    )
+    from concerts_etl_sa_spark.sources.readers import load_table
+    from concerts_etl_sa_spark.streaming.ann_maintenance import (
+        run_topk_maintenance,
+    )
+    from .conftest import SF_DIR
+
+    src = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).cache()
+
+    emb.filter((F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < 500)) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_topk_maintenance(spark, src, state, ckpt, queries)
+
+    # reconstruct the mid-promote crash: state renamed aside, a stale
+    # staging snapshot still on disk
+    shutil.copytree(state, state + "__staging")
+    os.rename(state, state + "__old")
+    assert not os.path.isdir(state)
+
+    emb.filter(F.col("vec_id") >= 500).coalesce(1).write.mode("append") \
+        .parquet(src)
+    run_topk_maintenance(spark, src, state, ckpt, queries)
+
+    got = {
+        (r.q_id, r.rn): (r.c_id, r.cosine)
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r.q_id, r.rn): (r.c_id, r.cosine)
+        for r in topk_cosine_bruteforce(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # promote fully settled: no staging or staged-aside dirs left
+    assert not os.path.isdir(state + "__old")
+    assert not os.path.isdir(state + "__staging")
