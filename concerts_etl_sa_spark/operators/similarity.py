@@ -36,7 +36,17 @@ DIM = 64
 N_QUERIES = 20       # vec_id < 20 are the query vectors
 TOP_K = 5
 NEAR_DUP_COSINE = 0.30  # synthetic embeddings: max pair cosine ~0.48, p99 ~0.29
-SIGN_BITS = 8
+# Default sign-LSH banding — DELIBERATELY tiny at test scale (32-key
+# space). Both are per-deployment parameters of _band_keys / the
+# near-dup + ingest entry points, not baked-in constants: at 100 TB
+# widen bits_per_band (sharper buckets) and/or add bands (recall), and
+# measure the trade with near_dup_quality's width sweep before
+# deploying. The stored-band width is a SINK-LIFETIME property for the
+# streaming ingest (probe and index must agree) — changing it means
+# reindexing, exactly like the minhash band_fps column.
+N_SIGN_BANDS = 2
+SIGN_BITS_PER_BAND = 4
+SIGN_BITS = N_SIGN_BANDS * SIGN_BITS_PER_BAND  # total consumed sign bits
 
 
 def _dot(a: str, b: str):
@@ -158,16 +168,26 @@ ORDER BY q_id, rn
 """
 
 
-def _band_keys(vec: str):
-    """Two banded sign-LSH keys: bits of dims 1-4 and dims 5-8.
+def _band_keys(
+    vec: str,
+    n_bands: int = N_SIGN_BANDS,
+    bits_per_band: int = SIGN_BITS_PER_BAND,
+):
+    """``n_bands`` banded sign-LSH keys, ``bits_per_band`` sign bits
+    each (band *b* reads dims ``b*bits_per_band+1 ..``); consumed dims
+    (``n_bands * bits_per_band``) must be <= the embedding dimension.
 
     OR-combination of bands (explode + equi-join + distinct) is the
-    standard LSH recall amplifier — same shape as the minhash bands."""
+    standard LSH recall amplifier — same shape as the minhash bands.
+    The per-band key offset keeps band keyspaces disjoint; it is
+    ``max(100, 2^bits_per_band)`` so the default (2x4-bit) keys are
+    bit-identical to every band key ever stored by the ingest."""
+    offset = max(100, 1 << bits_per_band)
     keys = []
-    for band in range(2):
-        k = F.lit(band * 100)
-        for i in range(4):
-            dim = band * 4 + i
+    for band in range(n_bands):
+        k = F.lit(band * offset)
+        for i in range(bits_per_band):
+            dim = band * bits_per_band + i
             k = k + F.when(
                 F.element_at(F.col(vec), dim + 1) >= 0, F.lit(1 << i)
             ).otherwise(F.lit(0))
@@ -213,12 +233,17 @@ def topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_keys_sql(vec: str) -> str:
+def _band_keys_sql(
+    vec: str,
+    n_bands: int = N_SIGN_BANDS,
+    bits_per_band: int = SIGN_BITS_PER_BAND,
+) -> str:
+    offset = max(100, 1 << bits_per_band)
     bands = []
-    for band in range(2):
-        parts = [str(band * 100)]
-        for i in range(4):
-            dim = band * 4 + i
+    for band in range(n_bands):
+        parts = [str(band * offset)]
+        for i in range(bits_per_band):
+            dim = band * bits_per_band + i
             parts.append(
                 f"(CASE WHEN {vec}[{dim+1}] >= 0 THEN {1 << i} ELSE 0 END)"
             )
@@ -475,12 +500,16 @@ def embedding_near_dup_pairs_df(
     threshold: float = NEAR_DUP_COSINE,
     max_bucket_size: int | None = None,
     heavy_bucket_mode: str = "star",
+    n_bands: int = N_SIGN_BANDS,
+    bits_per_band: int = SIGN_BITS_PER_BAND,
 ) -> DataFrame:
     """df-based core of :func:`embedding_near_dup_pairs` over any
     (vec_id, embedding[, norm2]) frame.
 
     Blocking is the same BANDED sign-LSH as :func:`topk_cosine_lsh`
-    (two 4-bit bands, OR-combined) — the round-7 recall fix: the
+    (default two 4-bit bands, OR-combined; ``n_bands``/``bits_per_band``
+    are the per-deployment width — see ``near_dup_quality``'s measured
+    sweep) — the round-7 recall fix: the
     previous single full 8-bit bucket found a near-pair only when ALL
     eight sign bits agreed, P ~ (1-θ/π)^8 ≈ 2% at θ ≈ 72° (measured by
     :func:`near_dup_quality`); two OR'd 4-bit bands lift that an order
@@ -509,7 +538,9 @@ def embedding_near_dup_pairs_df(
     if max_bucket_size is not None:
         bands = emb.select(
             F.col("vec_id").alias("doc_id"),
-            F.explode(_band_keys("embedding")).alias("band_fp"),
+            F.explode(
+                _band_keys("embedding", n_bands, bits_per_band)
+            ).alias("band_fp"),
         )
         cand = capped_candidates(
             bands, max_bucket_size, heavy_bucket_mode, multi_band=True
@@ -530,28 +561,42 @@ def embedding_near_dup_pairs_df(
             "b_id",
         )
     else:
+        import functools
+        import operator as _op
+
+        bk = _band_keys("embedding", n_bands, bits_per_band)
         a_cols = emb.select(
             F.col("vec_id").alias("a_id"),
             F.col("embedding").alias("a_vec"),
             F.col("norm2").alias("a_n2"),
-            F.element_at(_band_keys("embedding"), 1).alias("a_bk0"),
-            F.posexplode(_band_keys("embedding")).alias("band_id", "band_key"),
+            bk.alias("a_bks"),
+            F.posexplode(bk).alias("band_id", "band_key"),
         )
         b_cols = emb.select(
             F.col("vec_id").alias("b_id"),
             F.col("embedding").alias("b_vec"),
             F.col("norm2").alias("b_n2"),
-            F.element_at(_band_keys("embedding"), 1).alias("b_bk0"),
-            F.explode(_band_keys("embedding")).alias("band_key"),
+            bk.alias("b_bks"),
+            F.explode(bk).alias("band_key"),
         )
-        pairs = (
-            a_cols.join(b_cols, "band_key")
-            .filter(F.col("a_id") < F.col("b_id"))
-            # emit from band 1 only when band 0 did NOT also match
-            .filter(
-                (F.col("band_id") == 0) | (F.col("a_bk0") != F.col("b_bk0"))
-            )
+        pairs = a_cols.join(b_cols, "band_key").filter(
+            F.col("a_id") < F.col("b_id")
         )
+        if n_bands > 1:
+            # FIRST-shared-band emission generalized to any band count
+            # (the minhash construction, dedup.minhash_lsh_pairs_df):
+            # emit from band b only when NO earlier band also matched —
+            # checking band 0 alone (the old 2-band shortcut) would
+            # double-emit a pair matching bands 1 AND 2
+            first_band = [
+                (F.col("band_id") <= j)
+                | (
+                    F.element_at("a_bks", j + 1)
+                    != F.element_at("b_bks", j + 1)
+                )
+                for j in range(n_bands - 1)
+            ]
+            pairs = pairs.filter(functools.reduce(_op.and_, first_band))
     return (
         pairs.withColumn(
             "cosine", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2")
@@ -743,22 +788,38 @@ TOPK_COSINE_INCREMENTAL_SQL = TOPK_COSINE_BRUTEFORCE_SQL
 
 NEAR_DUP_EVAL_MAX_ID = 500  # bounded eval sample: exact truth is quadratic
 
+# The width sweep measured by near_dup_quality: the deployed default
+# first, then one step in each direction of the banding trade — more
+# bands at the same width (recall amplification: candidate superset of
+# the default's first two bands) and wider bands at the same count
+# (sharper buckets: fewer candidates per band, lower recall per band).
+# Measured, not asserted — pick a 100 TB width from these rows.
+NEAR_DUP_QUALITY_WIDTHS = [
+    (N_SIGN_BANDS, SIGN_BITS_PER_BAND),
+    (4, 4),
+    (2, 8),
+]
+
 
 def near_dup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall of the banded sign-LSH near-dup pairs vs the
     EXACT cosine >= threshold ground truth over vectors with
     vec_id < ``NEAR_DUP_EVAL_MAX_ID`` — the third member of the dedup
     quality-harness family (minhash banding recall, simhash P/R, and
-    the embedding bands). Precision is 1.0 BY CONSTRUCTION (every
-    emitted pair passes the exact cosine threshold; the bands only
-    block), so recall — P(a true near-pair shares at least one of the
-    two 4-bit sign bands, 1-(1-(1-θ/π)^4)^2, the banded amplification
-    of the old full-bucket (1-θ/π)^8 — is the informative number.
+    the embedding bands). One row PER BANDING WIDTH in
+    ``NEAR_DUP_QUALITY_WIDTHS``: precision is 1.0 BY CONSTRUCTION for
+    every width (candidates only block; every emitted pair passes the
+    exact cosine verify), so recall — P(a true near-pair shares at
+    least one band) = 1-(1-(1-θ/π)^bits)^bands — is the informative
+    number, and the sweep turns the width choice into a measured
+    recall/candidate-volume trade instead of an asserted one.
 
-    The truth side enumerates all pairs of the bounded sample
+    The truth side enumerates all pairs of the bounded sample once
     (evaluation, not production; broadcast so the enumeration never
-    shuffles); the predicted side reuses the production blocked plan
-    unchanged. One row: n_pred, n_truth, n_hit, precision, recall."""
+    shuffles) and is persisted across the width rows; each width's
+    predicted side reuses the production blocked plan unchanged."""
+    from ._cachescope import begin_scope, scoped_persist
+
     emb = _emb_normed(spark, sf_dir).filter(
         F.col("vec_id") < NEAR_DUP_EVAL_MAX_ID
     )
@@ -772,60 +833,97 @@ def near_dup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("b_vec"),
         F.col("norm2").alias("b_n2"),
     )
-    truth = (
+    begin_scope("near_dup_quality")
+    truth = scoped_persist(
+        "near_dup_quality",
         a.crossJoin(F.broadcast(b))
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("cosine", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2"))
         .filter(F.col("cosine") >= NEAR_DUP_COSINE)
-        .select("a_id", "b_id")
+        .select("a_id", "b_id"),
     )
-    pred = embedding_near_dup_pairs(spark, sf_dir).filter(
-        (F.col("a_id") < NEAR_DUP_EVAL_MAX_ID)
-        & (F.col("b_id") < NEAR_DUP_EVAL_MAX_ID)
-    ).select("a_id", "b_id")
-    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    n_hit = pred.join(truth, ["a_id", "b_id"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    return (
-        n_pred.crossJoin(n_truth)
-        .crossJoin(n_hit)
-        .select(
-            "n_pred",
-            "n_truth",
-            "n_hit",
-            F.round(
-                F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1)), 6
-            ).alias("precision"),
-            F.round(
-                F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6
-            ).alias("recall"),
+    rows = []
+    for nb, bp in NEAR_DUP_QUALITY_WIDTHS:
+        pred = embedding_near_dup_pairs_df(
+            emb, n_bands=nb, bits_per_band=bp
+        ).select("a_id", "b_id")
+        n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+        n_hit = pred.join(truth, ["a_id", "b_id"]).agg(
+            F.count(F.lit(1)).alias("n_hit")
         )
-    )
+        rows.append(
+            n_pred.crossJoin(n_truth)
+            .crossJoin(n_hit)
+            .select(
+                F.lit(nb).alias("n_bands"),
+                F.lit(bp).alias("bits_per_band"),
+                "n_pred",
+                "n_truth",
+                "n_hit",
+                F.round(
+                    F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1)), 6
+                ).alias("precision"),
+                F.round(
+                    F.col("n_hit") / F.greatest(F.col("n_truth"), F.lit(1)), 6
+                ).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return sorted_small(out, "n_bands", "bits_per_band")
 
 
-NEAR_DUP_QUALITY_SQL = f"""
-WITH s AS (
+def _near_dup_quality_sql() -> str:
+    ctes = [
+        f"""s AS (
   SELECT vec_id, embedding FROM embeddings
   WHERE vec_id < {NEAR_DUP_EVAL_MAX_ID}
-),
-truth AS (
+)""",
+        f"""truth AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM s a JOIN s b ON a.vec_id < b.vec_id
   WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_COSINE}
-),
-pred AS (
-  SELECT a_id, b_id FROM ({EMBEDDING_NEAR_DUP_SQL})
-  WHERE a_id < {NEAR_DUP_EVAL_MAX_ID} AND b_id < {NEAR_DUP_EVAL_MAX_ID}
-),
-m AS (
-  SELECT (SELECT count(*) FROM pred) AS n_pred,
-         (SELECT count(*) FROM truth) AS n_truth,
-         (SELECT count(*) FROM pred JOIN truth USING (a_id, b_id)) AS n_hit
-)
-SELECT n_pred, n_truth, n_hit,
+)""",
+    ]
+    selects = []
+    for nb, bp in NEAR_DUP_QUALITY_WIDTHS:
+        tag = f"{nb}_{bp}"
+        ctes.append(
+            f"""vb_{tag} AS (
+  SELECT vec_id, unnest({_band_keys_sql('embedding', nb, bp)}) AS band_key
+  FROM s
+)"""
+        )
+        ctes.append(
+            f"""pred_{tag} AS (
+  SELECT cand.a_id, cand.b_id
+  FROM (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM vb_{tag} a JOIN vb_{tag} b ON a.band_key = b.band_key
+        WHERE a.vec_id < b.vec_id) cand
+  JOIN s sa ON cand.a_id = sa.vec_id
+  JOIN s sb ON cand.b_id = sb.vec_id
+  WHERE {_cosine_sql('sa.embedding', 'sb.embedding')} >= {NEAR_DUP_COSINE}
+)"""
+        )
+        selects.append(
+            f"""SELECT {nb} AS n_bands, {bp} AS bits_per_band,
+       n_pred, n_truth, n_hit,
        round(CAST(n_hit AS DOUBLE) / greatest(n_pred, 1), 6) AS precision,
        round(CAST(n_hit AS DOUBLE) / greatest(n_truth, 1), 6) AS recall
-FROM m
-"""
+FROM (
+  SELECT (SELECT count(*) FROM pred_{tag}) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM pred_{tag} JOIN truth USING (a_id, b_id))
+           AS n_hit
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY n_bands, bits_per_band"
+    )
+
+
+NEAR_DUP_QUALITY_SQL = _near_dup_quality_sql()

@@ -24,11 +24,15 @@ ingest (A6, concerts_etl/adapters/shotgun.py:116-478) re-expressed for
 the embedding modality, with the near-dup gate as the L2 counterpart of
 the token-level admission check.
 
-Scale note — sign-LSH blocking width: the 2x4-bit band keyspace (32
-buckets) is deliberately tiny at test scale; on a large cluster widen
-``similarity.SIGN_BITS``/band count or the per-bucket candidate volume
-approaches |sink|/32 per probe. ``near_dup_max_bucket`` bounds a
-flooded bucket meanwhile (rank by xxhash64, keep the first N — the same
+Scale note — sign-LSH blocking width: the default 2x4-bit band keyspace
+(32 buckets) is deliberately tiny at test scale; on a large cluster
+pass wider ``n_sign_bands``/``sign_bits_per_band`` (per-deployment
+parameters of ``run_embedding_ingest``; pick from the measured sweep in
+``similarity.near_dup_quality``) or the per-bucket candidate volume
+approaches |sink|/32 per probe. The width is a SINK-LIFETIME property:
+the stored ``band_keys`` index and the probe must agree, so changing it
+means reindexing the sink. ``near_dup_max_bucket`` bounds a flooded
+bucket meanwhile (rank by xxhash64, keep the first N — the same
 deterministic cap as the minhash gate, with the same documented recall
 trade: a capped-out true neighbor is not seen).
 """
@@ -39,7 +43,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.similarity import _band_keys, _cosine_pre, _norm2
+from ..operators.similarity import (
+    N_SIGN_BANDS,
+    SIGN_BITS_PER_BAND,
+    _band_keys,
+    _cosine_pre,
+    _norm2,
+)
 from ..schemas import EMBEDDINGS
 from ._fs import path_exists
 
@@ -64,6 +74,8 @@ def run_embedding_ingest(
     near_dup_cosine: float | None = None,
     near_dup_max_bucket: int | None = None,
     intra_batch_near_dup: bool = False,
+    n_sign_bands: int = N_SIGN_BANDS,
+    sign_bits_per_band: int = SIGN_BITS_PER_BAND,
 ) -> None:
     """Drain the embedding landing directory (availableNow) into the
     curated vector sink at ``out_dir``.
@@ -98,7 +110,9 @@ def run_embedding_ingest(
             .withColumn("norm2", _norm2("embedding"))
             .withColumn(
                 "band_keys",
-                _band_keys("embedding").cast("array<int>"),
+                _band_keys(
+                    "embedding", n_sign_bands, sign_bits_per_band
+                ).cast("array<int>"),
             )
             .persist()
         )

@@ -102,17 +102,28 @@ def test_near_dup_quality_precision_one_recall_theory_consistent(spark):
 
     from concerts_etl_sa_spark.operators.similarity import (
         NEAR_DUP_COSINE,
+        NEAR_DUP_QUALITY_WIDTHS,
         near_dup_quality,
     )
 
     from .conftest import SF_DIR
 
-    row = near_dup_quality(spark, SF_DIR).collect()[0]
-    assert row.precision == 1.0
-    assert row.n_hit == row.n_pred
-    # banded blocking (two OR'd 4-bit sign bands): per-band collision
-    # p4 = (1-θ/π)^4, OR-combined 1-(1-p4)^2 — ~10x the old full-8-bit
-    # bucket's (1-θ/π)^8
-    p4 = (1 - math.acos(NEAR_DUP_COSINE) / math.pi) ** 4
-    theory = 1 - (1 - p4) ** 2
-    assert 0.25 * theory <= row.recall <= 4 * theory
+    rows = {
+        (r.n_bands, r.bits_per_band): r
+        for r in near_dup_quality(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(NEAR_DUP_QUALITY_WIDTHS)
+    p_bit = 1 - math.acos(NEAR_DUP_COSINE) / math.pi  # P(one sign agrees)
+    for (nb, bp), r in rows.items():
+        assert r.precision == 1.0, (nb, bp, r.precision)
+        assert r.n_hit == r.n_pred
+        # banded blocking: per-band collision p = p_bit^bits,
+        # OR-combined recall 1-(1-p)^bands
+        theory = 1 - (1 - p_bit**bp) ** nb
+        assert 0.25 * theory <= r.recall <= 4 * theory, (nb, bp, r.recall)
+    # the sweep must expose the banding trade measurably: more bands at
+    # the same width can only add candidates (recall superset of the
+    # default's first two bands); wider bands can only sharpen buckets
+    default = rows[NEAR_DUP_QUALITY_WIDTHS[0]]
+    assert rows[(4, 4)].recall >= default.recall
+    assert rows[(2, 8)].recall <= default.recall
