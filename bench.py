@@ -55,6 +55,11 @@ HEADLINE = R6_HEADLINE + [
     "unreg_l3_repetition_stats",
     "unreg_l3_unigram_xent",
     "l2_semdedup",
+    # round-8 addition: the kmeans-TRAINED SemDeDup path (the production
+    # index build — Lloyd's iterations + assignment + pair stage), at the
+    # same K as the fixed-centroid in-window row so the two rows isolate
+    # the training cost
+    "l2_semdedup_trained",
 ]
 
 
@@ -62,14 +67,23 @@ def _extra_queries():
     """Benched operators that hold no driver-window slot (pytest-parity
     only) — resolved straight from their modules."""
     from concerts_etl_sa_spark.operators import dedup as D
+    from concerts_etl_sa_spark.operators import semdedup as SEM
     from concerts_etl_sa_spark.operators import textstats as TS
+
+    def _semdedup_trained(spark, sf_dir):
+        return SEM.semdedup_trained(spark, sf_dir, k_centroids=32)
 
     return {
         "unreg_l3_repetition_stats": TS.repetition_stats,
+        # in-window since round 8 as l3_unigram_xent; benched under the
+        # historical name so the ratchet history stays one series
         "unreg_l3_unigram_xent": TS.unigram_xent,
-        # rotated out of the driver window in favor of l2_semdedup;
-        # stays benched under its historical name for the ratchet
+        # rotated out of the driver window (r7: exact_dedup -> semdedup,
+        # r8: pii_redact -> unigram_xent); both stay benched under their
+        # historical names for the ratchet
         "l1_exact_dedup": D.exact_dedup,
+        "l3_pii_redact": TS.pii_redact,
+        "l2_semdedup_trained": _semdedup_trained,
     }
 
 

@@ -128,7 +128,12 @@ _L_FAMILY = [
     # BPE-ish counts, quality, lang-id, fingerprints) — the standalone
     # per-op queries remain exported and pytest-covered
     ("l3_text_suite", TS.text_suite, TS.TEXT_SUITE_SQL),
-    ("l3_pii_redact", TS.pii_redact, TS.PII_REDACT_SQL),
+    # round-8 rotation #3: l3_pii_redact (single-scan regexp projection,
+    # the lowest-information in-window row) cedes its slot to the
+    # multi-stage unigram-LM cross-entropy scorer; pii_redact keeps
+    # pytest oracle parity as unreg_* and stays benched under its
+    # historical name (rationale in SURVEY §8)
+    ("l3_unigram_xent", TS.unigram_xent, TS.UNIGRAM_XENT_SQL),
     ("l3_tfidf_top_terms", TS.tfidf_top_terms, TS.TFIDF_TOP_TERMS_SQL),
     ("l5_mixture_sample", SMP.mixture_sample, SMP.MIXTURE_SAMPLE_SQL),
 ]

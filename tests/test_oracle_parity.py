@@ -88,7 +88,9 @@ def _all_queries():
         ("unreg_l3_repetition_stats", TS.repetition_stats,
          TS.REPETITION_STATS_SQL),
         ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
-        ("unreg_l3_unigram_xent", TS.unigram_xent, TS.UNIGRAM_XENT_SQL),
+        # rotated out of the driver window in round 8 (slot ceded to
+        # l3_unigram_xent) — parity kept
+        ("unreg_l3_pii_redact", TS.pii_redact, TS.PII_REDACT_SQL),
         ("unreg_l5_stratified_split", SP.stratified_split,
          SP.STRATIFIED_SPLIT_SQL),
         ("unreg_l5_per_source_sample", SP.per_source_sample,
