@@ -11,15 +11,27 @@ than DuckDB-oracled.
 
 Per iteration:
 
-1. **assign**: ``argmin_j ||x - c_j||²`` with the k centroids inlined as
-   SQL literals (broadcast-by-constant: k·dim doubles in the plan —
-   cheaper than a join for any practical k; the generated expression is
-   parsed once per iteration). Tie-break to the lowest ``j`` via struct
-   ordering, so assignment is deterministic.
+1. **assign**: ``argmin_j ||x - c_j||²`` as a CONSTANT-SIZE broadcast
+   projection: the k centroids collapse into ONE broadcast row holding
+   an array of (j, vec) structs, and each embedding row ranks all k
+   in-place with ``array_min(transform(...))`` over (sq_dist, j)
+   structs — the same device as ``similarity._assign_buckets``. Plan
+   size is O(1) in k (the centroid floats travel as broadcast DATA, not
+   as expression-tree literals), so k=50k-scale training is a data-size
+   question, not a plan-compile one. An earlier form inlined k·dim
+   literal ``element_at`` terms per row, which cost ~40 s of pure
+   codegen at k=32/dim=64 and could not be built at production k at
+   all. Tie-break to the lowest ``j`` via struct ordering, so
+   assignment is deterministic.
 2. **update**: ``posexplode(vec) -> groupBy(cluster, pos).avg`` — the
    shuffle carries k·dim partial sums per map task (map-side combine),
    and exactly k·dim rows reach the driver. That collect is the
    algorithm's synchronization point, not a data pull.
+
+Convergence: iterations stop early when centroids are exactly fixed OR
+when the relative inertia improvement drops below ``rel_tol`` (exact
+float-mean equality almost never fires; the relative test is what
+bounds the iteration count in practice).
 
 Empty clusters keep their previous centroid. At 100 TB each iteration is
 one scan + one tiny shuffle; convergence state (the centroids) is k·dim
@@ -32,20 +44,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist_sql(vec_col: str, centroid: list[float]) -> str:
-    return " + ".join(
-        f"(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) - ({c!r}))"
-        f" * (CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) - ({c!r}))"
-        for i, c in enumerate(centroid)
+def _sq_dist_lambda(vec, cent_vec):
+    """Squared euclidean distance usable INSIDE a higher-order-function
+    lambda. FP-identical to the sum a hand-inlined
+    ``(x1-c1)^2 + (x2-c2)^2 + ...`` expression produces: ``zip_with``
+    preserves element order and the left fold adds the per-dim squared
+    diffs in the same left-associative sequence (the 0.0 seed is exact:
+    0.0 + t == t)."""
+    diffs = F.zip_with(
+        vec,
+        cent_vec,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
     )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, p: acc + p)
 
 
-def _best_cluster_expr(vec_col: str, centroids: list[list[float]]):
-    structs = ", ".join(
-        f"named_struct('d', ({_sq_dist_sql(vec_col, c)}), 'j', {j})"
-        for j, c in enumerate(centroids)
-    )
-    return F.expr(f"array_min(array({structs}))")
+def centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """Materialize trained centroids in the shape
+    ``similarity._assign_buckets`` consumes (centroid_id, centroid_vec)."""
+    rows = [(j, [float(x) for x in c]) for j, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "centroid_id INT, centroid_vec ARRAY<DOUBLE>")
 
 
 def kmeans_init(
@@ -74,15 +93,53 @@ def kmeans_init(
 
 def kmeans_assign(
     emb: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | DataFrame,
     vec_col: str = "embedding",
     out_col: str = "cluster",
 ) -> DataFrame:
-    """Adds ``out_col`` (argmin cluster id) and ``_sq_dist`` columns."""
-    best = _best_cluster_expr(vec_col, centroids)
-    return emb.withColumn("_b", best).select(
-        "*", F.col("_b.j").alias(out_col), F.col("_b.d").alias("_sq_dist")
-    ).drop("_b")
+    """Adds ``out_col`` (argmin cluster id) and ``_sq_dist`` columns.
+
+    ``centroids`` is either the trainer's list-of-lists (cluster id =
+    list position) or a (centroid_id, centroid_vec) DataFrame. Either
+    way the k vectors are collapsed into one broadcast row and ranked
+    per embedding row with a constant-size HOF expression — assignment
+    never leaves the scan stage and the plan does not grow with k."""
+    cdf = (
+        centroids
+        if isinstance(centroids, DataFrame)
+        else centroids_df(emb.sparkSession, centroids)
+    )
+    cents = cdf.agg(
+        F.collect_list(
+            F.struct(
+                F.col("centroid_id").alias("j"),
+                F.col("centroid_vec").alias("v"),
+            )
+        ).alias("_cents")
+    )
+    # named_struct, not struct(...).alias(...): aliases are stripped
+    # inside HOF lambdas (same pitfall as similarity._assign_buckets).
+    # array_min over (d, j) structs = argmin distance, lowest-j tiebreak.
+    best = F.array_min(
+        F.transform(
+            "_cents",
+            lambda c: F.named_struct(
+                F.lit("d"),
+                _sq_dist_lambda(F.col(vec_col), c["v"]),
+                F.lit("j"),
+                c["j"],
+            ),
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("_b", best)
+        .select(
+            *emb.columns,
+            F.col("_b.j").alias(out_col),
+            F.col("_b.d").alias("_sq_dist"),
+        )
+    )
 
 
 def kmeans_fit(
@@ -91,9 +148,12 @@ def kmeans_fit(
     max_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rel_tol: float = 1e-6,
 ) -> tuple[list[list[float]], list[float]]:
     """Returns (centroids, per-iteration inertia). Inertia is
-    non-increasing across iterations (Lloyd's invariant — tested)."""
+    non-increasing across iterations (Lloyd's invariant — tested).
+    Stops early on exactly-fixed centroids or when the relative inertia
+    improvement falls below ``rel_tol``."""
     centroids = kmeans_init(emb, k, id_col=id_col, vec_col=vec_col)
     dim = len(centroids[0])
     inertia_hist: list[float] = []
@@ -125,11 +185,10 @@ def kmeans_fit(
         if new_centroids == centroids:
             break
         centroids = new_centroids
+        if (
+            len(inertia_hist) >= 2
+            and inertia_hist[-2] - inertia_hist[-1]
+            <= rel_tol * max(inertia_hist[-2], 1e-12)
+        ):
+            break
     return centroids, inertia_hist
-
-
-def centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
-    """Materialize trained centroids in the shape
-    ``similarity._assign_buckets`` consumes (centroid_id, centroid_vec)."""
-    rows = [(j, [float(x) for x in c]) for j, c in enumerate(centroids)]
-    return spark.createDataFrame(rows, "centroid_id INT, centroid_vec ARRAY<DOUBLE>")
