@@ -168,6 +168,19 @@ ORDER BY q_id, rn
 """
 
 
+def _check_band_width(n_bands: int, bits_per_band: int) -> None:
+    """Out-of-range band dims would NOT error at runtime: element_at
+    past the array end yields NULL (non-ANSI), NULL >= 0 falls to the
+    otherwise(0) arm, so every over-wide bit reads as a constant 0 —
+    silently collapsing buckets and inflating candidate volume instead
+    of sharpening them. Fail loud at plan-build time instead."""
+    if n_bands * bits_per_band > DIM:
+        raise ValueError(
+            f"sign-LSH banding consumes {n_bands}x{bits_per_band}="
+            f"{n_bands * bits_per_band} dims but embeddings have {DIM}"
+        )
+
+
 def _band_keys(
     vec: str,
     n_bands: int = N_SIGN_BANDS,
@@ -182,6 +195,7 @@ def _band_keys(
     The per-band key offset keeps band keyspaces disjoint; it is
     ``max(100, 2^bits_per_band)`` so the default (2x4-bit) keys are
     bit-identical to every band key ever stored by the ingest."""
+    _check_band_width(n_bands, bits_per_band)
     offset = max(100, 1 << bits_per_band)
     keys = []
     for band in range(n_bands):
@@ -238,6 +252,7 @@ def _band_keys_sql(
     n_bands: int = N_SIGN_BANDS,
     bits_per_band: int = SIGN_BITS_PER_BAND,
 ) -> str:
+    _check_band_width(n_bands, bits_per_band)
     offset = max(100, 1 << bits_per_band)
     bands = []
     for band in range(n_bands):
@@ -798,6 +813,13 @@ NEAR_DUP_QUALITY_WIDTHS = [
     (N_SIGN_BANDS, SIGN_BITS_PER_BAND),
     (4, 4),
     (2, 8),
+    # (1, 8) reads EXACTLY the default's dims 1-8, so its candidate set
+    # is structurally a subset of the default's (all 8 bits agreeing
+    # implies both 4-bit bands agree) — the one width whose recall
+    # ordering vs the default is a theorem, not an empirical fact of
+    # the fixture (the (2, 8) row consults dims 9-16 the default never
+    # reads, so its ordering could flip under a regenerated fixture)
+    (1, 8),
 ]
 
 

@@ -48,6 +48,26 @@ def run_topk_maintenance(
     staging_dir = state_dir.rstrip("/") + "__staging"
     old_dir = state_dir.rstrip("/") + "__old"
 
+    def _recover(spark_r: SparkSession) -> None:
+        """Crash-window recovery from a prior promote: a death between
+        the two renames leaves the state staged aside in __old — roll
+        it back (the checkpoint replays the interrupted batch, and the
+        monotone merge makes the refold equal the lost result); a
+        completed promote that died before the cleanup just leaves a
+        stale __old to delete."""
+        jvm = spark_r._jvm
+        p_state = jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = p_state.getFileSystem(spark_r._jsc.hadoopConfiguration())
+        p_old = jvm.org.apache.hadoop.fs.Path(old_dir)
+        if path_exists(spark_r, old_dir):
+            if not path_exists(spark_r, state_dir):
+                if not fs.rename(p_old, p_state):
+                    raise RuntimeError(
+                        f"topk state recovery: could not restore {old_dir}"
+                    )
+            else:
+                fs.delete(p_old, True)
+
     def _fold_batch(batch: DataFrame, batch_id: int) -> None:
         spark_b = batch.sparkSession
         jvm = spark_b._jvm
@@ -55,20 +75,7 @@ def run_topk_maintenance(
         fs = p_state.getFileSystem(spark_b._jsc.hadoopConfiguration())
         p_staging = jvm.org.apache.hadoop.fs.Path(staging_dir)
         p_old = jvm.org.apache.hadoop.fs.Path(old_dir)
-        # crash-window recovery from a prior promote (see below): a
-        # death between the two renames leaves the state staged aside
-        # in __old — roll it back (the checkpoint replays the
-        # interrupted batch, and the monotone merge makes the refold
-        # equal the lost result); a completed promote that died before
-        # the cleanup just leaves a stale __old to delete
-        if path_exists(spark_b, old_dir):
-            if not path_exists(spark_b, state_dir):
-                if not fs.rename(p_old, p_state):
-                    raise RuntimeError(
-                        f"topk state recovery: could not restore {old_dir}"
-                    )
-            else:
-                fs.delete(p_old, True)
+        _recover(spark_b)
         # explicit existence probe, NOT a swallowed read exception: this
         # sink is snapshot-replaced per batch, so treating a transient
         # read failure (corrupt footer, FS hiccup, permissions) as
@@ -113,6 +120,12 @@ def run_topk_maintenance(
             )
         fs.delete(p_old, True)
 
+    # recovery must ALSO run before the stream starts, not only inside
+    # _fold_batch: after a death between the two renames, an availableNow
+    # rerun with an EMPTY landing dir never invokes foreachBatch, so the
+    # live state_dir would stay missing (surviving only in __old) and
+    # external readers would see no snapshot despite it existing
+    _recover(spark)
     q = (
         stream.writeStream.foreachBatch(_fold_batch)
         .option("checkpointLocation", checkpoint)

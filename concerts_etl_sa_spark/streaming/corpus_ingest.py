@@ -32,6 +32,11 @@ from pyspark.sql import types as T
 from ..operators.textstats import quality_cols
 from ..schemas import DOCUMENTS
 from ._fs import path_exists
+from ._merge_gate import (
+    intra_batch_self_refusals,
+    read_sink,
+    refuse_by_content_key,
+)
 
 # The curated sink's full schema, pinned for the state read-back: reading
 # with an EXPLICIT schema (instead of parquet inference) makes the sink
@@ -185,8 +190,19 @@ def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
     if n != 0:  # defensive: the rewrite must leave nothing unindexed
         raise RuntimeError(f"backfill left {n} rows without band_fps")
     # fence FIRST: from here until the marker delete, run_corpus_ingest
-    # refuses to start, so no ingest can recreate the sink mid-swap
-    fs.createNewFile(p_marker)
+    # refuses to start, so no ingest can recreate the sink mid-swap.
+    # createNewFile returns False instead of throwing when it cannot
+    # create (e.g. the file already exists) — False with NO marker on
+    # disk means the swap would proceed UNFENCED, and the fence is the
+    # sole protection against the unrecoverable ingest-recreates-sink-
+    # mid-swap state; fail before the first rename instead. (False with
+    # the marker present is fine: a prior run crashed after fencing but
+    # before its first rename — the fence is already in place.)
+    if not fs.createNewFile(p_marker) and not path_exists(spark, marker_dir):
+        raise RuntimeError(
+            f"backfill: could not create fence marker {marker_dir}; "
+            "refusing to start the swap unfenced"
+        )
     if not fs.rename(p_sink, p_old):
         fs.delete(p_marker, False)  # swap never started
         raise RuntimeError(f"backfill: could not stage {sink_dir} aside")
@@ -238,7 +254,10 @@ def run_corpus_ingest(
     Deterministic and content-keyed, but transitively conservative: in a
     chain a~b~c (a<b<c, a!~c), c is refused because of b even though b
     itself was refused. Cross-batch arrival-order dependence is inherent
-    to any admission gate whose state is the sink."""
+    to any admission gate whose state is the sink.
+    ``near_dup_max_bucket`` bounds the self-probe's intra-batch buckets
+    too (same deterministic cap as the sink probe), so a micro-batch
+    flooded with same-bucket docs never does quadratic candidate work."""
     from ..operators.dedup import (
         _shingles,
         _tokens,
@@ -270,15 +289,7 @@ def run_corpus_ingest(
         )
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
-        spark_b = batch.sparkSession
-        # explicit existence probe, not a swallowed read exception: any
-        # real sink-read failure must surface, not masquerade as "first
-        # batch" (see streaming/_fs.py)
-        sink = (
-            spark_b.read.schema(CURATED_SCHEMA).parquet(out_dir)
-            if path_exists(spark_b, out_dir)
-            else None
-        )
+        sink = read_sink(batch.sparkSession, out_dir, CURATED_SCHEMA)
         # the exact content-hash gate runs FIRST, on the slim annotated
         # rows: a fully-replayed micro-batch (at-least-once redelivery)
         # anti-joins to zero rows before any signature work is spent
@@ -346,45 +357,33 @@ def run_corpus_ingest(
                         .select(F.col("probe_id").alias("content_hash"))
                         .distinct()
                     )
-                    surv = surv.join(
-                        near_hits, "content_hash", "left_anti"
+                    surv = refuse_by_content_key(
+                        surv, near_hits, "content_hash"
                     )
             if near_dup_threshold is not None and intra_batch_near_dup:
-                # batch self-probe over the already-computed band index
-                # (zero extra signature work): refuse any survivor with
-                # a near-neighbor of strictly smaller content_hash in
-                # the same batch — see the docstring for the semantics
-                b = surv.select(
-                    F.col("content_hash").alias("h"),
-                    F.col("shingles").alias("sh"),
-                    F.explode("band_fps").alias("band_fp"),
-                )
-                cand = (
-                    b.alias("x")
-                    .join(b.alias("y"), "band_fp")
-                    .filter(F.col("x.h") < F.col("y.h"))
-                    .select(
-                        F.col("x.sh").alias("a_sh"),
-                        F.col("y.h").alias("b_h"),
-                        F.col("y.sh").alias("b_sh"),
-                    )
-                )
+                # batch self-probe (shared skeleton): exact Jaccard over
+                # the carried shingles is the near test; the band index
+                # was already computed above (zero extra signature work)
                 inter = F.size(F.array_intersect("a_sh", "b_sh"))
                 union = F.size(F.array_union("a_sh", "b_sh"))
-                self_hits = (
-                    cand.withColumn(
-                        "jaccard",
-                        F.round(
-                            inter.cast("double")
-                            / F.greatest(union, F.lit(1)),
-                            6,
-                        ),
+                is_near = (
+                    F.round(
+                        inter.cast("double") / F.greatest(union, F.lit(1)),
+                        6,
                     )
-                    .filter(F.col("jaccard") >= near_dup_threshold)
-                    .select(F.col("b_h").alias("content_hash"))
-                    .distinct()
+                    >= near_dup_threshold
                 )
-                surv = surv.join(self_hits, "content_hash", "left_anti")
+                self_hits = intra_batch_self_refusals(
+                    surv,
+                    key_col="content_hash",
+                    band_col="band_fps",
+                    payload={"sh": "shingles"},
+                    is_near=is_near,
+                    max_bucket=near_dup_max_bucket,
+                )
+                surv = refuse_by_content_key(
+                    surv, self_hits, "content_hash"
+                )
             # index-on-write: the SAME band_fps the gate probed with
             # (4 bigints per doc)
             (

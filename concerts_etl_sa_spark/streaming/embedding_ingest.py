@@ -51,7 +51,11 @@ from ..operators.similarity import (
     _norm2,
 )
 from ..schemas import EMBEDDINGS
-from ._fs import path_exists
+from ._merge_gate import (
+    intra_batch_self_refusals,
+    read_sink,
+    refuse_by_content_key,
+)
 
 CURATED_EMB_SCHEMA = T.StructType(
     [
@@ -89,16 +93,13 @@ def run_embedding_ingest(
     already-computed sign-LSH index: within each batch, any vector with
     a near-neighbor of strictly smaller ``vec_hash`` is refused (the
     min-hash-anchor rule; transitively conservative on chains — see
-    ``corpus_ingest.run_corpus_ingest``)."""
+    ``corpus_ingest.run_corpus_ingest``). ``near_dup_max_bucket`` bounds
+    the self-probe's intra-batch buckets too (same deterministic cap as
+    the sink probe), so a flooded micro-batch never goes quadratic."""
     stream = spark.readStream.schema(EMBEDDINGS).parquet(src_dir)
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
-        spark_b = batch.sparkSession
-        sink = (
-            spark_b.read.schema(CURATED_EMB_SCHEMA).parquet(out_dir)
-            if path_exists(spark_b, out_dir)
-            else None
-        )
+        sink = read_sink(batch.sparkSession, out_dir, CURATED_EMB_SCHEMA)
         # index columns computed ONCE per batch; array equality makes
         # the within-batch dedup precise (not hash-trusting). persist()
         # pins the projection + anti-join chain so the exact gate, the
@@ -186,49 +187,26 @@ def run_embedding_ingest(
                     .select(F.col("p_hash").alias("h_hash"))
                     .distinct()
                 )
-                fresh = fresh.join(
-                    near_hits,
-                    F.col("vec_hash") == F.col("h_hash"),
-                    "left_anti",
+                fresh = refuse_by_content_key(
+                    fresh,
+                    near_hits.select(F.col("h_hash").alias("vec_hash")),
+                    "vec_hash",
                 )
         if near_dup_cosine is not None and intra_batch_near_dup:
-            # batch self-probe over the already-computed sign-LSH index
-            # (no re-hashing): refuse any survivor with a near-neighbor
-            # of strictly smaller vec_hash in the same batch — the
-            # min-hash-anchor rule (docstring). Survivor frame is
-            # exact-deduped, so vec_hash is (collision aside) unique
-            # per content and a total rank key.
-            b = fresh.select(
-                F.col("vec_hash").alias("h"),
-                F.col("embedding").alias("v"),
-                F.col("norm2").alias("n2"),
-                F.explode("band_keys").alias("band_key"),
+            # batch self-probe (shared skeleton) over the already-
+            # computed sign-LSH index — no re-hashing. Survivor frame is
+            # exact-deduped, so vec_hash is (collision aside) unique per
+            # content and a total rank key.
+            self_hits = intra_batch_self_refusals(
+                fresh,
+                key_col="vec_hash",
+                band_col="band_keys",
+                payload={"v": "embedding", "n2": "norm2"},
+                is_near=_cosine_pre("a_v", "b_v", "a_n2", "b_n2")
+                >= near_dup_cosine,
+                max_bucket=near_dup_max_bucket,
             )
-            cand = (
-                b.alias("x")
-                .join(b.alias("y"), "band_key")
-                .filter(F.col("x.h") < F.col("y.h"))
-                .select(
-                    F.col("x.v").alias("a_v"),
-                    F.col("x.n2").alias("a_n2"),
-                    F.col("y.h").alias("b_h"),
-                    F.col("y.v").alias("b_v"),
-                    F.col("y.n2").alias("b_n2"),
-                )
-            )
-            self_hits = (
-                cand.withColumn(
-                    "cosine", _cosine_pre("a_v", "b_v", "a_n2", "b_n2")
-                )
-                .filter(F.col("cosine") >= near_dup_cosine)
-                .select(F.col("b_h").alias("sb_hash"))
-                .distinct()
-            )
-            fresh = fresh.join(
-                self_hits,
-                F.col("vec_hash") == F.col("sb_hash"),
-                "left_anti",
-            )
+            fresh = refuse_by_content_key(fresh, self_hits, "vec_hash")
         (
             fresh.withColumn("ingest_batch_id", F.lit(batch_id))
             .write.mode("append")

@@ -450,3 +450,29 @@ def test_ingest_refuses_during_backfill_fence(spark, tmp_path):
     assert not marker.exists()
     run_corpus_ingest(spark, src, out, ckpt, min_quality=0.0)
     assert spark.read.parquet(out).count() > n1
+
+
+def test_intra_batch_self_probe_respects_bucket_cap(spark, tmp_path):
+    """Document twin of the embedding cap test: near_dup_max_bucket
+    bounds the intra-batch self-probe's buckets (round-9 advice). With
+    cap=1 each in-batch band bucket keeps one row, so the mutual
+    near-dup pair never forms a candidate and both docs are admitted."""
+    base = " ".join(f"w{k} common body token" for k in range(12))
+    t_a, t_b = base + " variant one", base + " variant two"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id BIGINT, text STRING"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    src = str(tmp_path / "land_cap")
+    out = str(tmp_path / "cur_cap")
+    ckpt = str(tmp_path / "ck_cap")
+    _land(spark, mk([(1, t_a), (2, t_b)]), src)
+    run_corpus_ingest(
+        spark, src, out, ckpt, min_quality=0.0,
+        near_dup_threshold=0.5, intra_batch_near_dup=True,
+        near_dup_max_bucket=1,
+    )
+    assert spark.read.parquet(out).count() == 2

@@ -170,3 +170,32 @@ def test_embedding_intra_batch_near_dup_flag(spark, tmp_path):
     }
     want_id = min(hashes, key=hashes.get)
     assert len(rows) == 1 and rows[0].vec_id == want_id
+
+
+def test_embedding_intra_batch_self_probe_respects_bucket_cap(spark, tmp_path):
+    """near_dup_max_bucket bounds the intra-batch self-probe too
+    (round-9 advice): with cap=1 each flooded bucket keeps one row, so
+    no candidate pair forms and BOTH mutual near-dups are admitted —
+    the documented capped-out-neighbor recall trade, now shared with
+    the sink probe instead of silently ignored."""
+    a = _vec(33)
+    near = [round(x * 1.001, 6) for x in a]
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("land_c", "cur_c", "ck_c"))
+    _land(spark, [(1, a, 0), (2, near, 0)], src)
+    run_embedding_ingest(
+        spark, src, out, ckpt, near_dup_cosine=0.95,
+        intra_batch_near_dup=True, near_dup_max_bucket=1,
+    )
+    assert spark.read.parquet(out).count() == 2
+
+    # cap wide enough to see the pair: the anchor rule refuses one
+    src2, out2, ckpt2 = (
+        str(tmp_path / d) for d in ("land_w", "cur_w", "ck_w")
+    )
+    _land(spark, [(1, a, 0), (2, near, 0)], src2)
+    run_embedding_ingest(
+        spark, src2, out2, ckpt2, near_dup_cosine=0.95,
+        intra_batch_near_dup=True, near_dup_max_bucket=10,
+    )
+    assert spark.read.parquet(out2).count() == 1

@@ -329,3 +329,47 @@ def test_topk_state_survives_promote_crash_window(spark, tmp_path):
     # promote fully settled: no staging or staged-aside dirs left
     assert not os.path.isdir(state + "__old")
     assert not os.path.isdir(state + "__staging")
+
+
+def test_topk_crash_recovery_runs_before_stream_starts(spark, tmp_path):
+    """Start-time recovery (round-9 advice): after a death between the
+    promote's two renames, a rerun with an EMPTY landing dir never
+    invokes foreachBatch — the per-batch recovery alone would leave the
+    live state_dir missing (surviving only in __old) and external
+    readers would see no snapshot. run_topk_maintenance must recover at
+    start, before the stream."""
+    import os
+
+    from concerts_etl_sa_spark.operators.similarity import N_QUERIES
+    from concerts_etl_sa_spark.sources.readers import load_table
+    from concerts_etl_sa_spark.streaming.ann_maintenance import (
+        run_topk_maintenance,
+    )
+    from .conftest import SF_DIR
+
+    src = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).cache()
+
+    emb.filter(F.col("vec_id") >= N_QUERIES).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_topk_maintenance(spark, src, state, ckpt, queries)
+    before = {
+        (r.q_id, r.rn): (r.c_id, r.cosine)
+        for r in spark.read.parquet(state).collect()
+    }
+
+    # mid-promote crash, then a rerun that delivers NO new batch
+    os.rename(state, state + "__old")
+    assert not os.path.isdir(state)
+    run_topk_maintenance(spark, src, state, ckpt, queries)
+
+    after = {
+        (r.q_id, r.rn): (r.c_id, r.cosine)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert after == before
+    assert not os.path.isdir(state + "__old")
