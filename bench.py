@@ -60,6 +60,9 @@ HEADLINE = R6_HEADLINE + [
     # same K as the fixed-centroid in-window row so the two rows isolate
     # the training cost
     "l2_semdedup_trained",
+    # round-9 addition: rotated into the driver window (rotation #4) —
+    # exact-percentile thresholds + broadcast binning join
+    "l3_quality_deciles",
 ]
 
 

@@ -51,8 +51,11 @@ from .similarity import (
     _assign_buckets,
     _cosine_pre,
     _cosine_sql,
+    _dot,
+    _dot_sql,
     _emb_normed,
     _norm2,
+    _norm2_sql,
 )
 
 # Deterministic "trained" centroids: fixed vectors FROM the table (the
@@ -99,8 +102,18 @@ def _dup_pairs(
     heavy_bucket_mode: str,
 ) -> DataFrame:
     """(a_id, a_cc, b_id, b_cc) tau-duplicate pairs within clusters,
-    from the persisted ``assigned`` frame (vec_id, embedding, norm2,
-    centroid_id, cent_cos)."""
+    from the persisted ``assigned`` frame (vec_id, nemb, centroid_id,
+    cent_cos).
+
+    NORMALIZE-ONCE pair scoring: the assigned frame carries the unit
+    vector ``nemb`` (embedding / sqrt(norm2), computed once per ROW),
+    so per candidate PAIR the cosine is a plain 64-term dot — no sqrt,
+    product or division in the quadratic stage. The 6-dp rounding
+    contract holds because the oracle twin performs the IDENTICAL
+    computation (per-element divide by the same correctly-rounded sqrt,
+    then the same left-associated term order — see _semdedup_sql);
+    note the VALUES can differ from the old dot/sqrt(n2a*n2b) form in
+    the last ulp, which is why both sides switched in lockstep."""
     if max_cluster_size is not None:
         from .util import capped_candidates
 
@@ -117,16 +130,14 @@ def _dup_pairs(
         pairs = cand.join(
             assigned.select(
                 F.col("vec_id").alias("a_id"),
-                F.col("embedding").alias("a_vec"),
-                F.col("norm2").alias("a_n2"),
+                F.col("nemb").alias("a_nv"),
                 F.col("cent_cos").alias("a_cc"),
             ),
             "a_id",
         ).join(
             assigned.select(
                 F.col("vec_id").alias("b_id"),
-                F.col("embedding").alias("b_vec"),
-                F.col("norm2").alias("b_n2"),
+                F.col("nemb").alias("b_nv"),
                 F.col("cent_cos").alias("b_cc"),
             ),
             "b_id",
@@ -135,23 +146,19 @@ def _dup_pairs(
         pairs = assigned.select(
             "centroid_id",
             F.col("vec_id").alias("a_id"),
-            F.col("embedding").alias("a_vec"),
-            F.col("norm2").alias("a_n2"),
+            F.col("nemb").alias("a_nv"),
             F.col("cent_cos").alias("a_cc"),
         ).join(
             assigned.select(
                 "centroid_id",
                 F.col("vec_id").alias("b_id"),
-                F.col("embedding").alias("b_vec"),
-                F.col("norm2").alias("b_n2"),
+                F.col("nemb").alias("b_nv"),
                 F.col("cent_cos").alias("b_cc"),
             ),
             "centroid_id",
         ).filter(F.col("a_id") < F.col("b_id"))
     return (
-        pairs.withColumn(
-            "pair_cos", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2")
-        )
+        pairs.withColumn("pair_cos", F.round(_dot("a_nv", "b_nv"), 6))
         .filter(F.col("pair_cos") >= tau)
         .select("a_id", "a_cc", "b_id", "b_cc")
     )
@@ -160,10 +167,12 @@ def _dup_pairs(
 def _assigned_frame(
     emb: DataFrame, centroids: DataFrame, scope: str
 ) -> DataFrame:
-    """Scope-persisted (vec_id, embedding, norm2, centroid_id, cent_cos)
-    assignment frame — the ONE definition both keep-rule variants build
-    on (a drift between them would silently break the tested subset
-    invariant)."""
+    """Scope-persisted (vec_id, nemb, centroid_id, cent_cos) assignment
+    frame — the ONE definition both keep-rule variants build on (a
+    drift between them would silently break the tested subset
+    invariant). ``nemb`` is the unit vector (embedding / sqrt(norm2),
+    doubles), normalized ONCE here so the quadratic pair stage scores
+    with a bare dot — see :func:`_dup_pairs`."""
     return scoped_persist(
         scope,
         _assign_buckets(emb, centroids, n_keep=1)
@@ -172,7 +181,14 @@ def _assigned_frame(
             "cent_cos",
             _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2"),
         )
-        .select("vec_id", "embedding", "norm2", "centroid_id", "cent_cos"),
+        .withColumn(
+            "nemb",
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") / F.sqrt(F.col("norm2")),
+            ),
+        )
+        .select("vec_id", "nemb", "centroid_id", "cent_cos"),
     )
 
 
@@ -342,14 +358,22 @@ def semdedup_trained(
 def _semdedup_sql() -> str:
     ids = ", ".join(str(i) for i in SEMDEDUP_CENTROID_IDS)
     cos_c = _cosine_sql("e.embedding", "c.centroid_vec")
+    # normalize-once lockstep (see _dup_pairs): nemb is the unit vector
+    # computed with the SAME per-element divide (correctly-rounded sqrt
+    # of the same 64-term norm) as the Spark frame, and the pair cosine
+    # is the same left-associated 64-term dot — bit-identical engines
+    nemb = (
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE) / "
+        f"sqrt({_norm2_sql('e.embedding')}))"
+    )
     return f"""
 WITH centroids AS (
   SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings
   WHERE vec_id IN ({ids})
 ),
 assigned AS MATERIALIZED (
-  SELECT vec_id, embedding, centroid_id, cent_cos FROM (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
+  SELECT vec_id, nemb, centroid_id, cent_cos FROM (
+    SELECT e.vec_id, {nemb} AS nemb, c.centroid_id,
            {cos_c} AS cent_cos,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {cos_c} DESC, c.centroid_id) AS crn
@@ -361,7 +385,7 @@ dup AS MATERIALIZED (
          b.vec_id AS b_id, b.cent_cos AS b_cc
   FROM assigned a JOIN assigned b USING (centroid_id)
   WHERE a.vec_id < b.vec_id
-    AND {_cosine_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+    AND round(({_dot_sql('a.nemb', 'b.nemb')}), 6) >= {SEMDEDUP_TAU}
 ),
 nb AS (
   SELECT a_id AS vec_id, b_cc AS n_cc, b_id AS n_id FROM dup

@@ -135,6 +135,11 @@ _L_FAMILY = [
     # historical name (rationale in SURVEY §8)
     ("l3_unigram_xent", TS.unigram_xent, TS.UNIGRAM_XENT_SQL),
     ("l3_tfidf_top_terms", TS.tfidf_top_terms, TS.TFIDF_TOP_TERMS_SQL),
+    # round-9 rotation #4: b18_nested_first (single-scan struct
+    # extraction, already pinned by the scalar suites) cedes its slot to
+    # the two-stage exact-percentile quality binning; nested_first keeps
+    # pytest oracle parity as unreg_* (rationale in SURVEY §8)
+    ("l3_quality_deciles", TS.quality_deciles, TS.QUALITY_DECILES_SQL),
     ("l5_mixture_sample", SMP.mixture_sample, SMP.MIXTURE_SAMPLE_SQL),
 ]
 
@@ -327,7 +332,8 @@ def q_money_suite(spark, sf_dir):
 
 
 _TAIL_SCALARS = [
-    ("b18_nested_first", SS.nested_first, SS.NESTED_FIRST_SQL),
+    # b18_nested_first rotated out in round 9 (slot ceded to
+    # l3_quality_deciles) — parity kept as unreg_b18_nested_first
     ("b20_defaults_bundle", SS.defaults_bundle, SS.DEFAULTS_BUNDLE_SQL),
     ("c4_stat_cell_pick", SS.stat_cell_pick, SS.STAT_CELL_PICK_SQL),
 ]

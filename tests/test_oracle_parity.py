@@ -62,6 +62,7 @@ def _all_queries():
     from concerts_etl_sa_spark.operators import similarity as S
 
     from concerts_etl_sa_spark.operators import sampling as SP
+    from concerts_etl_sa_spark.operators import scalar_suite as SS
     from concerts_etl_sa_spark.operators import textstats as TS
 
     entries += [
@@ -95,8 +96,9 @@ def _all_queries():
          SP.STRATIFIED_SPLIT_SQL),
         ("unreg_l5_per_source_sample", SP.per_source_sample,
          SP.PER_SOURCE_SAMPLE_SQL),
-        ("unreg_l3_quality_deciles", TS.quality_deciles,
-         TS.QUALITY_DECILES_SQL),
+        # rotated INTO the driver window in round 9 (l3_quality_deciles)
+        # — the unreg parity row for b18_nested_first took its place
+        ("unreg_b18_nested_first", SS.nested_first, SS.NESTED_FIRST_SQL),
         ("unreg_l5_mixture_plan", SP.mixture_plan, SP.MIXTURE_PLAN_SQL),
         ("unreg_l5_mixture_sample_planned", SP.mixture_sample_planned,
          SP.MIXTURE_SAMPLE_PLANNED_SQL),

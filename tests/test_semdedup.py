@@ -68,22 +68,17 @@ def test_groups_rule_keeps_exactly_one_per_group(spark):
     from concerts_etl_sa_spark.operators.components import (
         connected_components,
     )
-    from concerts_etl_sa_spark.operators.semdedup import _dup_pairs
-    # recompute pairs exactly as the operator does
-    from concerts_etl_sa_spark.operators.similarity import (
-        _assign_buckets,
-        _cosine_pre,
+    # recompute pairs exactly as the operator does — through the SAME
+    # _assigned_frame definition (a hand-rebuilt frame drifted once when
+    # normalize-once landed; reuse is the fix)
+    from concerts_etl_sa_spark.operators._cachescope import begin_scope
+    from concerts_etl_sa_spark.operators.semdedup import (
+        _assigned_frame,
+        _dup_pairs,
     )
 
-    a = (
-        _assign_buckets(emb, cents, n_keep=1)
-        .join(F.broadcast(cents), "centroid_id")
-        .withColumn(
-            "cent_cos",
-            _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2"),
-        )
-        .select("vec_id", "embedding", "norm2", "centroid_id", "cent_cos")
-    )
+    begin_scope("test_semdedup_recompute")
+    a = _assigned_frame(emb, cents, "test_semdedup_recompute")
     dup = _dup_pairs(a, SEMDEDUP_TAU, None, "star")
     comp = {
         r.vertex: r.component
@@ -117,22 +112,17 @@ def test_semdedup_flood_capped_cluster(spark):
     lone = [(100, w)]                                # unrelated singleton
     emb = spark.createDataFrame(flood + lone, EMB_SCHEMA)
     cents = _centroid_frame(spark, [(0, v), (1, w)])
-    from concerts_etl_sa_spark.operators.semdedup import _dup_pairs
-    from concerts_etl_sa_spark.operators.similarity import (
-        _assign_buckets,
-        _cosine_pre,
+    from concerts_etl_sa_spark.operators._cachescope import begin_scope
+    from concerts_etl_sa_spark.operators.semdedup import (
+        _assigned_frame,
+        _dup_pairs,
     )
 
-    assigned = (
-        _assign_buckets(
-            emb.withColumn("norm2", _norm2("embedding")), cents, n_keep=1
-        )
-        .join(F.broadcast(cents), "centroid_id")
-        .withColumn(
-            "cent_cos",
-            _cosine_pre("embedding", "centroid_vec", "norm2", "c_n2"),
-        )
-        .select("vec_id", "embedding", "norm2", "centroid_id", "cent_cos")
+    begin_scope("test_semdedup_flood")
+    assigned = _assigned_frame(
+        emb.withColumn("norm2", _norm2("embedding")),
+        cents,
+        "test_semdedup_flood",
     )
     n_pairs = _dup_pairs(assigned, 0.9, 5, "star").count()
     assert n_pairs <= 39 + 5 * 4  # star edges + capped-core pairs, not 780
