@@ -3,9 +3,14 @@
 Treats image/audio/video payloads as opaque ``binary`` columns with typed
 metadata structs, the way a 100 TB training-data lake stores them. The
 Spark-side plumbing — schema, Arrow batch shape, mapInPandas signature,
-partition sizing — is real and tested; the actual media decode is STUBBED
-(this container ships no image/audio libs) behind ``_decode_stub`` with a
-deterministic fake, clearly marked.
+partition sizing — is real and tested. Decode is layered: a pure-Python
+netpbm PGM (P5) codec ships in-repo (REAL parse/resample/re-encode, no
+dependencies — see the PGM section), PIL/soundfile decoders are
+import-gated for deployments that have them, and payloads no available
+decoder parses fall back to ``_decode_stub``'s deterministic fake
+(clearly marked via the ``decoder`` provenance column). The default
+raw-utf-8 fixture exercises the stub path; ``media_table_pgm``
+exercises the real one.
 
 Derivation: payloads are synthesized from ``documents.text`` (utf-8 bytes)
 so the oracle can verify the plumbing end-to-end: byte length and md5 of
@@ -89,6 +94,78 @@ def _decode_stub(payload: bytes, kind: str) -> dict:
     }
 
 
+# ---------------------------------------- real minimal codec: netpbm PGM
+#
+# The default synthetic payloads are raw utf-8 text (codec='raw') — there
+# is genuinely nothing to decode in them, which kept the decode slot a
+# stub. The PGM (P5) fixture closes that honestly WITHOUT new
+# dependencies: netpbm's binary graymap is a real published image format
+# with a pure-Python parse, so the decode -> resample -> re-encode path
+# below computes from actual parsed bytes. Pixels are a closed-form
+# function of (doc_id, index) so the DuckDB oracle can recompute the
+# resized payload independently — parity then proves the decoder decodes.
+
+
+def _pgm_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-row source dimensions (8-15 x 8-12)."""
+    return 8 + doc_id % 8, 8 + doc_id % 5
+
+
+def _pgm_pixel(doc_id: int, idx: int) -> int:
+    return (doc_id * 31 + idx) % 256
+
+
+def pgm_encode(w: int, h: int, pixels: bytes) -> bytes:
+    """Binary PGM (P5), canonical single-space header, maxval 255."""
+    if len(pixels) != w * h:
+        raise ValueError(f"PGM pixel buffer {len(pixels)} != {w}x{h}")
+    return b"P5\n%d %d\n255\n" % (w, h) + pixels
+
+
+def pgm_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL parse of a binary PGM: magic, whitespace-separated header
+    ints (with '#' comment lines per the spec), exactly one whitespace
+    byte after maxval, then w*h raster bytes. Raises on anything else —
+    decode_media's per-row guard turns that into stub fields (K3)."""
+    b = bytes(payload)
+    if b[:2] != b"P5":
+        raise ValueError("not a binary PGM (P5) payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and b[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PGM header")
+        vals.append(int(b[start:pos]))
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PGM unsupported")
+    pos += 1  # the single whitespace byte separating header from raster
+    pixels = b[pos : pos + w * h]
+    if len(pixels) != w * h:
+        raise ValueError("truncated PGM raster")
+    return w, h, pixels
+
+
+def pgm_resize_nn(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Decode -> nearest-neighbor resample -> re-encode. All three steps
+    operate on the parsed raster, not on any side-channel metadata."""
+    w, h, px = pgm_decode(payload)
+    out = bytes(
+        px[(ty * h // target_h) * w + (tx * w // target_w)]
+        for ty in range(target_h)
+        for tx in range(target_w)
+    )
+    return pgm_encode(target_w, target_h, out)
+
+
 def _load_real_decoders() -> dict:
     """Import-gated real decoders (mirrors functions/dates.py's dateparser
     gate): a deployment that ships PIL / soundfile gets real media decode
@@ -130,6 +207,16 @@ def _load_real_decoders() -> dict:
         decoders["audio"] = _decode_audio
     except Exception:
         pass
+    if "image" not in decoders:
+        # pure-Python PGM decode — always available, so image payloads
+        # that actually parse as P5 get REAL width/height/channels even
+        # in containers without Pillow; non-PGM bytes raise and keep the
+        # stub fields (the raw-text fixture stays stub-decoded)
+        def _decode_image_pgm(payload: bytes) -> dict:
+            w, h, _ = pgm_decode(payload)
+            return {"width": w, "height": h, "channels": 1, "decoder": "pgm"}
+
+        decoders["image"] = _decode_image_pgm
     return decoders
 
 
@@ -375,6 +462,140 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+def media_table_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table whose payloads are REAL binary PGM
+    images (one per document id; dims and raster from the closed forms
+    above). Built in a mapInPandas stage — the fixture generator is the
+    only place the closed form runs Spark-side; every consumer decodes
+    the actual bytes."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = []
+            for i in ids:
+                w, h = _pgm_dims(i)
+                payloads.append(
+                    pgm_encode(
+                        w, h, bytes(_pgm_pixel(i, j) for j in range(w * h))
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    flat = d.mapInPandas(batches, "doc_id BIGINT, payload BINARY")
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("pgm").alias("codec"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+RESIZE_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("resized_n_bytes", T.LongType()),
+        T.StructField("resized_hex_md5", T.StringType()),
+    ]
+)
+
+RESIZE_DECODED_W = 6
+RESIZE_DECODED_H = 6
+
+
+def resize_media_decoded(
+    media: DataFrame,
+    target_w: int = RESIZE_DECODED_W,
+    target_h: int = RESIZE_DECODED_H,
+) -> DataFrame:
+    """DECODED resize (SURVEY §2.L4 'resize', real-codec form): each
+    payload is parsed with :func:`pgm_decode`, nearest-neighbor
+    resampled, re-encoded, and fingerprinted. Nothing here consults the
+    closed-form pixel function — src dims come out of the parsed header
+    and resampled bytes out of the parsed raster, which is exactly what
+    the oracle parity proves (it recomputes the resized payload
+    independently from the closed form). The fingerprint is the md5 of
+    the lowercase HEX of the payload (DuckDB's md5 is VARCHAR-only;
+    hex is a bijection, so this is a faithful content hash)."""
+    import binascii
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ = pgm_decode(bytes(p))
+                out = pgm_resize_nn(bytes(p), target_w, target_h)
+                rows.append(
+                    (
+                        int(i), w, h, target_w, target_h, len(out),
+                        hashlib.md5(binascii.hexlify(out)).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "target_w", "target_h",
+                    "resized_n_bytes", "resized_hex_md5",
+                ],
+            ).astype(
+                {
+                    "src_w": "int32", "src_h": "int32",
+                    "target_w": "int32", "target_h": "int32",
+                }
+            )
+
+    flat = media.select("doc_id", "payload")
+    return flat.mapInPandas(batches, RESIZE_DECODED_SCHEMA)
+
+
+def media_resize_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real-codec resize: PGM table -> decode -> resample."""
+    return resize_media_decoded(media_table_pgm(spark, sf_dir))
+
+
+def _media_resize_decoded_sql() -> str:
+    tw, th = RESIZE_DECODED_W, RESIZE_DECODED_H
+    header = b"P5\n%d %d\n255\n" % (tw, th)
+    n_bytes = len(header) + tw * th
+    # src pixel index for flattened target index j:
+    #   src_y*w + src_x with src_y = (j // tw) * h // th,
+    #   src_x = (j % tw) * w // tw; pixel value = (doc_id*31 + idx) % 256
+    w = "(8 + doc_id % 8)"
+    h = "(8 + doc_id % 5)"
+    idx = f"(((j // {tw}) * {h} // {th}) * {w} + ((j % {tw}) * {w} // {tw}))"
+    return f"""
+SELECT doc_id,
+  CAST({w} AS INT) AS src_w,
+  CAST({h} AS INT) AS src_h,
+  CAST({tw} AS INT) AS target_w,
+  CAST({th} AS INT) AS target_h,
+  CAST({n_bytes} AS BIGINT) AS resized_n_bytes,
+  md5(
+    lower(to_hex(encode('P5' || chr(10) || '{tw} {th}' || chr(10)
+                        || '255' || chr(10))))
+    || list_aggregate(
+         list_transform(
+           generate_series(0, {tw * th - 1}),
+           j -> lpad(lower(to_hex((doc_id * 31 + {idx}) % 256)), 2, '0')
+         ), 'string_agg', '')
+  ) AS resized_hex_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+MEDIA_RESIZE_DECODED_SQL = _media_resize_decoded_sql()
 
 
 # ------------------------------------------------- media embedding + dedup

@@ -546,3 +546,46 @@ def test_exact_dedup_keeps_null_text_docs_grouped(spark, tmp_path):
     assert set(out) == {1, 2, 3, 4}
     assert out[2].representative_id == 2 and out[3].representative_id == 2
     assert out[3].group_size == 2 and out[3].is_duplicate
+
+
+def test_pgm_codec_roundtrip_and_errors():
+    """Pure-Python netpbm P5 codec: encode/decode roundtrip, comment
+    lines per the spec, loud errors on junk/truncation (K3 feeds on
+    these raises)."""
+    import pytest
+
+    from concerts_etl_sa_spark.operators import multimodal as MM
+
+    px = bytes(range(12))
+    payload = MM.pgm_encode(4, 3, px)
+    assert MM.pgm_decode(payload) == (4, 3, px)
+    # comment line between header tokens is legal P5
+    commented = b"P5\n# a comment\n4 3\n255\n" + px
+    assert MM.pgm_decode(commented) == (4, 3, px)
+    with pytest.raises(ValueError):
+        MM.pgm_decode(b"not a pgm")
+    with pytest.raises(ValueError):
+        MM.pgm_decode(b"P5\n4 3\n255\n" + px[:-1])  # truncated raster
+    with pytest.raises(ValueError):
+        MM.pgm_encode(4, 4, px)  # wrong buffer size
+    # nearest-neighbor resize of a constant image is constant
+    const = MM.pgm_encode(4, 3, bytes([7] * 12))
+    assert MM.pgm_decode(MM.pgm_resize_nn(const, 2, 2)) == (
+        2, 2, bytes([7] * 4),
+    )
+
+
+def test_extract_decoded_real_pgm_path(spark):
+    """The PGM fixture exercises the REAL decode slot in this container:
+    every row comes back decoder='pgm' with width/height parsed from the
+    actual payload header (not the stub's nulls)."""
+    from concerts_etl_sa_spark.operators import multimodal as MM
+
+    media = MM.media_table_pgm(spark, SF_DIR)
+    rows = MM.extract_decoded(media).collect()
+    assert rows
+    for r in rows:
+        assert r.decoder == "pgm", r
+        assert (r.width, r.height) == MM._pgm_dims(r.doc_id)
+        assert r.channels == 1
+        assert r.payload_md5  # stub fields still retained

@@ -106,6 +106,11 @@ def _all_queries():
         # this container) — still oracle-parity-checked here
         ("unreg_l4_media_resize", MM.media_resize, MM.MEDIA_RESIZE_SQL),
         ("unreg_l4_frame_sample", MM.frame_sample, MM.FRAME_SAMPLE_SQL),
+        # round-9: REAL-codec resize — Spark decodes actual PGM bytes,
+        # the oracle recomputes the resized payload from the closed-form
+        # pixel function; parity proves the decoder decodes
+        ("unreg_l4_media_resize_decoded", MM.media_resize_decoded,
+         MM.MEDIA_RESIZE_DECODED_SQL),
     ]
     return entries
 
