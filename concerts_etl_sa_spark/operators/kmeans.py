@@ -160,6 +160,9 @@ def kmeans_fit(
     slim = emb.select(id_col, vec_col)
     for _ in range(max_iters):
         assigned = kmeans_assign(slim, centroids, vec_col=vec_col)
+        # `assigned` is consumed by exactly ONE action per iteration
+        # (the stats collect below), so persisting it would add cache
+        # write traffic without saving any recomputation.
         # one pass: per-(cluster, pos) sums/counts AND global inertia.
         # posexplode keeps the shuffle narrow: (cluster, pos) keyed
         # partial sums, k*dim rows out.
