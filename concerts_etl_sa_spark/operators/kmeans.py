@@ -153,11 +153,32 @@ def kmeans_fit(
     """Returns (centroids, per-iteration inertia). Inertia is
     non-increasing across iterations (Lloyd's invariant — tested).
     Stops early on exactly-fixed centroids or when the relative inertia
-    improvement falls below ``rel_tol``."""
-    centroids = kmeans_init(emb, k, id_col=id_col, vec_col=vec_col)
+    improvement falls below ``rel_tol``.
+
+    The slim (id, vec) projection is persisted for the whole fit: every
+    Lloyd iteration (and the init pick) re-consumes it with a different
+    broadcast centroid row, so without the cache each iteration re-reads
+    the source — max_iters+1 scans of a 100 TB input instead of one.
+    Released before returning; MEMORY_AND_DISK (the persist default)
+    spills rather than evicts when the projection exceeds storage."""
+    slim = emb.select(id_col, vec_col).persist()
+    try:
+        return _fit_loop(slim, k, max_iters, id_col, vec_col, rel_tol)
+    finally:
+        slim.unpersist(blocking=False)
+
+
+def _fit_loop(
+    slim: DataFrame,
+    k: int,
+    max_iters: int,
+    id_col: str,
+    vec_col: str,
+    rel_tol: float,
+) -> tuple[list[list[float]], list[float]]:
+    centroids = kmeans_init(slim, k, id_col=id_col, vec_col=vec_col)
     dim = len(centroids[0])
     inertia_hist: list[float] = []
-    slim = emb.select(id_col, vec_col)
     for _ in range(max_iters):
         assigned = kmeans_assign(slim, centroids, vec_col=vec_col)
         # `assigned` is consumed by exactly ONE action per iteration
