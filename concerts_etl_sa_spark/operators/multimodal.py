@@ -147,7 +147,12 @@ def pgm_decode(payload: bytes) -> tuple[int, int, bytes]:
     w, h, maxval = vals
     if maxval > 255:
         raise ValueError("16-bit PGM unsupported")
-    pos += 1  # the single whitespace byte separating header from raster
+    # exactly ONE whitespace byte separates maxval from the raster; a
+    # non-whitespace byte here (e.g. a trailing comment) would silently
+    # shift every raster offset if we just skipped it — raise instead
+    if not b[pos : pos + 1].isspace():
+        raise ValueError("malformed PGM header: no raster separator")
+    pos += 1
     pixels = b[pos : pos + w * h]
     if len(pixels) != w * h:
         raise ValueError("truncated PGM raster")

@@ -173,9 +173,15 @@ def _assigned_frame(
     invariant). ``nemb`` is the unit vector (embedding / sqrt(norm2),
     doubles), normalized ONCE here so the quadratic pair stage scores
     with a bare dot — see :func:`_dup_pairs`."""
+    # _nrm is computed BELOW the centroid-join barrier so the divide
+    # lambda sees a per-row ATTRIBUTE: hoisting it as a sibling
+    # withColumn would be undone by CollapseProject (the alias gets
+    # re-inlined into the lambda and sqrt runs once per ELEMENT — 64x).
+    # FP-identical: same correctly-rounded sqrt, same per-element divide.
     return scoped_persist(
         scope,
         _assign_buckets(emb, centroids, n_keep=1)
+        .withColumn("_nrm", F.sqrt(F.col("norm2")))
         .join(F.broadcast(centroids), "centroid_id")
         .withColumn(
             "cent_cos",
@@ -185,7 +191,7 @@ def _assigned_frame(
             "nemb",
             F.transform(
                 "embedding",
-                lambda x: x.cast("double") / F.sqrt(F.col("norm2")),
+                lambda x: x.cast("double") / F.col("_nrm"),
             ),
         )
         .select("vec_id", "nemb", "centroid_id", "cent_cos"),
@@ -361,23 +367,30 @@ def _semdedup_sql() -> str:
     # normalize-once lockstep (see _dup_pairs): nemb is the unit vector
     # computed with the SAME per-element divide (correctly-rounded sqrt
     # of the same 64-term norm) as the Spark frame, and the pair cosine
-    # is the same left-associated 64-term dot — bit-identical engines
-    nemb = (
-        "list_transform(e.embedding, x -> CAST(x AS DOUBLE) / "
-        f"sqrt({_norm2_sql('e.embedding')}))"
-    )
+    # is the same left-associated 64-term dot — bit-identical engines.
+    # nemb is built in its own per-VECTOR stage (norm + sqrt once per
+    # row, divide once per element) — inlined in the crn subquery it was
+    # recomputed per (vector x centroid) cross-join row with the whole
+    # 64-term norm re-summed per ELEMENT. Values are unchanged: same
+    # sqrt, same divides, just evaluated once.
     return f"""
 WITH centroids AS (
   SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings
   WHERE vec_id IN ({ids})
 ),
+enorm AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS nemb
+  FROM (SELECT vec_id, embedding,
+               sqrt({_norm2_sql('embedding')}) AS nrm FROM embeddings)
+),
 assigned AS MATERIALIZED (
   SELECT vec_id, nemb, centroid_id, cent_cos FROM (
-    SELECT e.vec_id, {nemb} AS nemb, c.centroid_id,
+    SELECT e.vec_id, e.nemb, c.centroid_id,
            {cos_c} AS cent_cos,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {cos_c} DESC, c.centroid_id) AS crn
-    FROM embeddings e CROSS JOIN centroids c
+    FROM enorm e CROSS JOIN centroids c
   ) WHERE crn = 1
 ),
 dup AS MATERIALIZED (

@@ -567,6 +567,10 @@ def test_pgm_codec_roundtrip_and_errors():
     with pytest.raises(ValueError):
         MM.pgm_decode(b"P5\n4 3\n255\n" + px[:-1])  # truncated raster
     with pytest.raises(ValueError):
+        # non-whitespace right after maxval (trailing comment): skipping
+        # it would silently shift every raster offset — must raise
+        MM.pgm_decode(b"P5\n4 3\n255# c\n" + px)
+    with pytest.raises(ValueError):
         MM.pgm_encode(4, 4, px)  # wrong buffer size
     # nearest-neighbor resize of a constant image is constant
     const = MM.pgm_encode(4, 3, bytes([7] * 12))
