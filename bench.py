@@ -63,6 +63,10 @@ HEADLINE = R6_HEADLINE + [
     # round-9 addition: rotated into the driver window (rotation #4) —
     # exact-percentile thresholds + broadcast binning join
     "l3_quality_deciles",
+    # round-9 addition: product-quantized ANN (rotation #5) — encode +
+    # broadcast ADC lookup scoring; same query/candidate split as the
+    # brute-force row so the pair isolates the quantization win
+    "l2_topk_cosine_pq",
 ]
 
 

@@ -1,0 +1,425 @@
+"""Product-quantized approximate nearest neighbor (SURVEY §2.L2).
+
+Beyond-reference scale component (the reference has no vector ops; its
+nearest analog is the similarity matching in
+``concerts_etl/matching.py:21-38``): at corpus scale the ANN index
+memory is the bottleneck — a 64-dim float32 vector is 256 B, while an
+8-subspace / 16-code product quantization (Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", IEEE TPAMI 2011)
+stores 8 bytes of codes per vector, a 32x compression that turns a
+100 TB full-vector index into ~3 TB of codes that fit executor memory.
+
+Pipeline (cosine variant — vectors are unit-normalized first, so the
+asymmetric dot approximates cosine):
+
+1. **codebook**: per subspace ``s`` (8 dims each), ``k`` reference
+   subvectors. The oracle path derives them from FIXED data rows
+   (``PQ_CODE_IDS`` — same deterministic-and-DuckDB-reproducible device
+   as ``semdedup.SEMDEDUP_CENTROID_IDS``); the production path trains
+   them with per-subspace Lloyd's (:func:`pq_train`, reusing
+   ``kmeans.kmeans_fit``).
+2. **encode**: each vector's subspace slice is assigned its argmin-
+   squared-distance code — a PURE PROJECTION against ONE broadcast row
+   of (s, j, subvec) structs (the ``similarity._assign_buckets``
+   device: plan size O(1) in m·k, the codebook floats travel as
+   broadcast data). No shuffle; at scale the encoded (vec_id, codes)
+   frame is the index and is what gets persisted/joined — the full
+   vectors never move again.
+3. **ADC score**: each query precomputes a lookup table of its dot
+   with every (s, j) codebook entry (m·k doubles — one row per query,
+   broadcast), and a candidate scores as the sum of m table lookups
+   (``lp[s·k + code_s]``) — 8 lookups+adds per pair instead of a
+   64-term dot, on 8-byte codes instead of 256-byte vectors.
+
+FP-lockstep with the DuckDB oracle: unit-normalization divides by the
+same correctly-rounded sqrt; every per-subspace dot / squared distance
+is an 8-term left-associated chain on both engines; the final score
+adds the m=8 lookups in subspace order left-associatively; ties in the
+encode argmin break to the lowest code id via (d, j) struct ordering
+vs ``ORDER BY d, j``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import DIM, N_QUERIES, TOP_K, _norm2, _norm2_sql
+from .util import sorted_small
+
+PQ_M = 8                     # subspaces
+PQ_SUB = DIM // PQ_M         # dims per subspace
+PQ_K = 16                    # codes per subspace (fixed-codebook path)
+# 16 fixed code-source rows: deterministic, data-derived, >= N_QUERIES
+# so no query vector doubles as a codebook entry, < 500 so the same ids
+# exist at every sf (sf0.001 ships 500 embeddings)
+PQ_CODE_IDS = list(range(23, 503, 30))
+
+
+def _unit_sql(col: str = "embedding") -> str:
+    """Once-per-row unit normalization (same staging as the semdedup
+    oracle: norm + sqrt per row in an inner projection, divide per
+    element in the outer one)."""
+    return (
+        f"SELECT vec_id, list_transform({col}, x -> CAST(x AS DOUBLE) / nrm)"
+        f" AS nemb FROM (SELECT vec_id, {col},"
+        f" sqrt({_norm2_sql(col)}) AS nrm FROM embeddings)"
+    )
+
+
+def _sub_dot_lambda(q_vec, nrm, s, sub_vec):
+    """dot of the query's unit-normalized subspace-``s`` slice with an
+    8-dim codebook entry — 8-term left fold, FP-identical to the
+    oracle's explicit chain over a precomputed ``nemb`` (``x/nrm`` is
+    the same double divide either way). The divide lives INSIDE the
+    per-element lambda on purpose: a materialized ``nemb`` column in
+    the same projection would be re-inlined by CollapseProject into
+    every (s, j) lambda — m·k copies of the full 64-element transform
+    per row — while ``nrm`` is a per-row ATTRIBUTE (computed below the
+    broadcast-join barrier) so the sqrt still runs once per row."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(q_vec, s * PQ_SUB + F.lit(1), PQ_SUB),
+            sub_vec,
+            lambda x, y: (x.cast("double") / nrm) * y,
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _sub_sqdist_lambda(vec, nrm, s, sub_vec):
+    diffs = F.zip_with(
+        F.slice(vec, s * PQ_SUB + F.lit(1), PQ_SUB),
+        sub_vec,
+        lambda x, y: (x.cast("double") / nrm - y)
+        * (x.cast("double") / nrm - y),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def pq_codebook_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, j, v) codebook rows from the fixed code-source vectors'
+    unit-normalized subspace slices. m·k = 128 rows — broadcast-sized
+    by construction at any corpus scale."""
+    from ..sources.readers import load_table
+
+    ids_arr = F.array(*[F.lit(i) for i in PQ_CODE_IDS])
+    # spread=False: 16 rows — repartitioning them is pure overhead
+    base = (
+        load_table(spark, sf_dir, "embeddings", spread=False)
+        .filter(F.col("vec_id").isin(PQ_CODE_IDS))
+        .withColumn("_nrm", F.sqrt(_norm2("embedding")))
+        .select(
+            (F.array_position(ids_arr, F.col("vec_id")) - 1)
+            .cast("int")
+            .alias("j"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("_nrm")
+            ).alias("nemb"),
+        )
+    )
+    return base.select(
+        "j",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("s"),
+                    F.slice("nemb", s * PQ_SUB + F.lit(1), PQ_SUB).alias(
+                        "v"
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select(F.col("e.s").alias("s"), "j", F.col("e.v").alias("v"))
+
+
+def _cb_row(codebook: DataFrame):
+    """Collapse the (s, j, v) codebook into ONE broadcast row — entry
+    order is irrelevant: the encode argmin ranks (d, j) structs and the
+    LUT is array_sort-ed by (s, j) before positional lookup."""
+    return codebook.agg(
+        F.collect_list(F.struct("s", "j", "v")).alias("_cb")
+    )
+
+
+def pq_encode(
+    emb: DataFrame, codebook: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, codes): per subspace the argmin-sq-dist code over the
+    vector's UNIT-normalized slice. Pure projection — one broadcast
+    codebook row, no shuffle, plan size O(1) in m·k."""
+    base = emb.select(
+        "vec_id", vec_col, F.sqrt(_norm2(vec_col)).alias("_nrm")
+    )
+    joined = base.crossJoin(F.broadcast(_cb_row(codebook)))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.filter("_cb", lambda e: e["s"] == s.cast("int")),
+                lambda e: F.named_struct(
+                    F.lit("d"),
+                    _sub_sqdist_lambda(
+                        F.col(vec_col), F.col("_nrm"), s, e["v"]
+                    ),
+                    F.lit("j"),
+                    e["j"],
+                ),
+            )
+        )["j"],
+    )
+    return joined.withColumn("codes", codes).select("vec_id", "codes")
+
+
+def _query_luts(q: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(q_id, lp): per query the flat (s·k + j)-indexed array of dots
+    with every codebook entry — m·k doubles per query."""
+    joined = q.crossJoin(F.broadcast(_cb_row(codebook)))
+    lp = F.transform(
+        F.array_sort(
+            F.transform(
+                "_cb",
+                lambda e: F.named_struct(
+                    F.lit("s"),
+                    e["s"],
+                    F.lit("j"),
+                    e["j"],
+                    F.lit("p"),
+                    _sub_dot_lambda(
+                        F.col("q_vec"), F.col("_nrm"), e["s"], e["v"]
+                    ),
+                ),
+            )
+        ),
+        lambda x: x["p"],
+    )
+    return joined.withColumn("lp", lp).select("q_id", "lp")
+
+
+def topk_cosine_pq_df(
+    emb: DataFrame,
+    codebook: DataFrame,
+    k_codes: int,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """(q_id, c_id, adc, rn): per query the top-k candidates by
+    asymmetric-distance score (approximate cosine on unit vectors).
+    Per pair: m table lookups + adds over the broadcast LUT row — the
+    full vectors are never shuffled and never touched again after
+    encode."""
+    from ._cachescope import begin_scope, scoped_persist
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.sqrt(_norm2("embedding")).alias("_nrm"),
+    )
+    luts = _query_luts(q, codebook)
+    # the encoded (vec_id, codes) frame IS the index — 8 bytes of codes
+    # per vector, the thing a production build persists once and every
+    # query batch reuses (index-on-write). Scope-persisted like the
+    # semdedup assigned frame: repeat runs against an unchanged corpus
+    # resurrect it instead of re-encoding.
+    begin_scope("pq")
+    enc = scoped_persist(
+        "pq",
+        pq_encode(emb.filter(F.col("vec_id") >= N_QUERIES), codebook),
+    )
+    scored = enc.crossJoin(F.broadcast(luts)).withColumn(
+        "adc",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "codes",
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda c, s: F.element_at(
+                        "lp", (s * k_codes + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("adc"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(
+            "q_id", F.col("vec_id").alias("c_id"), "adc", "rn"
+        )
+        .transform(lambda d: sorted_small(d, "q_id", "rn"))
+    )
+
+
+def topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-codebook PQ top-k — the DuckDB-oracled variant."""
+    from ..sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_cosine_pq_df(
+        emb, pq_codebook_fixed(spark, sf_dir), PQ_K
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    max_iters: int = 3,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's codebooks over the unit-normalized slices —
+    m independent k-means fits (each a :func:`kmeans.kmeans_fit` on an
+    SUB-dim projection; the fit persists its slim frame, so each
+    subspace is one cached scan + iterations of broadcast-HOF
+    assignment). Returns codebooks[s][j] = SUB-dim list."""
+    from .kmeans import kmeans_fit
+
+    base = emb.select(
+        "vec_id", vec_col, F.sqrt(_norm2(vec_col)).alias("_nrm")
+    )
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = base.select(
+            "vec_id",
+            F.transform(
+                F.slice(vec_col, s * PQ_SUB + 1, PQ_SUB),
+                lambda x: x.cast("double") / F.col("_nrm"),
+            ).alias("subv"),
+        )
+        fitted, _ = kmeans_fit(
+            sub, k=k, max_iters=max_iters, vec_col="subv"
+        )
+        books.append(fitted)
+    return books
+
+
+def pq_codebook_from_trained(
+    spark: SparkSession, books: list[list[list[float]]]
+) -> DataFrame:
+    """Materialize trained codebooks as the (s, j, v) frame the encode
+    and score paths consume."""
+    rows = [
+        (s, j, [float(x) for x in v])
+        for s, book in enumerate(books)
+        for j, v in enumerate(book)
+    ]
+    return spark.createDataFrame(
+        rows, "s INT, j INT, v ARRAY<DOUBLE>"
+    )
+
+
+def topk_cosine_pq_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    k_codes: int = PQ_K,
+    max_iters: int = 3,
+) -> DataFrame:
+    """PQ top-k over per-subspace kmeans-TRAINED codebooks — the
+    production index build. Deterministic for a given input but not a
+    DuckDB one-shot (iterative trainer), hence pytest-pinned."""
+    from ..sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=PQ_M, k=k_codes, max_iters=max_iters)
+    return topk_cosine_pq_df(
+        emb, pq_codebook_from_trained(spark, books), k_codes
+    )
+
+
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@TOP_K of the fixed-codebook PQ ranking vs the exact
+    brute-force truth — same harness shape as ``ann_recall``."""
+    from .similarity import topk_cosine_bruteforce
+
+    truth = topk_cosine_bruteforce(spark, sf_dir).select(
+        "q_id", "c_id"
+    )
+    approx = topk_cosine_pq(spark, sf_dir).select("q_id", "c_id")
+    hits = truth.join(approx, ["q_id", "c_id"]).groupBy("q_id").count()
+    return (
+        truth.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(
+                F.coalesce(F.col("count"), F.lit(0))
+                / F.col("n_true"),
+                6,
+            ).alias("recall"),
+        )
+        .transform(lambda d: sorted_small(d, "q_id"))
+    )
+
+
+def _sub_dot_sql(q: str, v: str, s: str) -> str:
+    """Explicit 8-term left-associated chain: dot of the query's
+    subspace-``s`` slice with an 8-dim codebook entry."""
+    return " + ".join(
+        f"{q}[{s}*{PQ_SUB}+{i}] * {v}[{i}]"
+        for i in range(1, PQ_SUB + 1)
+    )
+
+
+def _sub_sqdist_sql(e: str, v: str, s: str) -> str:
+    return " + ".join(
+        f"({e}[{s}*{PQ_SUB}+{i}] - {v}[{i}])"
+        f" * ({e}[{s}*{PQ_SUB}+{i}] - {v}[{i}])"
+        for i in range(1, PQ_SUB + 1)
+    )
+
+
+def _topk_cosine_pq_sql() -> str:
+    ids = ", ".join(str(i) for i in PQ_CODE_IDS)
+    ids_list = "[" + ids + "]"
+    # score: m=8 lookups added in subspace order, left-associated —
+    # lockstep with the Spark aggregate fold (0.0 + t1 == t1 exactly)
+    score = " + ".join(
+        f"l.lp[{s}*{PQ_K} + e.codes[{s + 1}] + 1]" for s in range(PQ_M)
+    )
+    return f"""
+WITH enorm AS MATERIALIZED ({_unit_sql()}),
+sub AS (SELECT CAST(s AS INT) AS s FROM generate_series(0, {PQ_M - 1}) AS t(s)),
+cb AS MATERIALIZED (
+  SELECT t.s, CAST(list_position({ids_list}, e.vec_id) - 1 AS INT) AS j,
+         e.nemb[t.s*{PQ_SUB}+1 : t.s*{PQ_SUB}+{PQ_SUB}] AS v
+  FROM enorm e CROSS JOIN sub t WHERE e.vec_id IN ({ids})
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, list(j ORDER BY s) AS codes FROM (
+    SELECT e.vec_id, t.s, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id, t.s
+             ORDER BY {_sub_sqdist_sql('e.nemb', 'c.v', 't.s')}, c.j
+           ) AS rn
+    FROM enorm e CROSS JOIN sub t JOIN cb c ON c.s = t.s
+    WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rn = 1 GROUP BY vec_id
+),
+lut AS MATERIALIZED (
+  SELECT q_id, list(p ORDER BY s, j) AS lp FROM (
+    SELECT q.vec_id AS q_id, t.s, c.j,
+           {_sub_dot_sql('q.nemb', 'c.v', 't.s')} AS p
+    FROM enorm q CROSS JOIN sub t JOIN cb c ON c.s = t.s
+    WHERE q.vec_id < {N_QUERIES}
+  ) GROUP BY q_id
+)
+SELECT q_id, c_id, adc, rn FROM (
+  SELECT l.q_id, e.vec_id AS c_id, round({score}, 6) AS adc,
+         row_number() OVER (
+           PARTITION BY l.q_id ORDER BY round({score}, 6) DESC, e.vec_id
+         ) AS rn
+  FROM enc e CROSS JOIN lut l
+) WHERE rn <= {TOP_K}
+ORDER BY q_id, rn
+"""
+
+
+TOPK_COSINE_PQ_SQL = _topk_cosine_pq_sql()

@@ -93,6 +93,7 @@ def q_consolidate(spark, sf_dir):
 from .operators import decontam as DC  # noqa: E402
 from .operators import dedup as D  # noqa: E402
 from .operators import multimodal as MM  # noqa: E402
+from .operators import pq as PQ  # noqa: E402
 from .operators import sampling as SMP  # noqa: E402
 from .operators import semdedup as SEM  # noqa: E402
 from .operators import similarity as S  # noqa: E402
@@ -122,6 +123,14 @@ _L_FAMILY = [
     ("l2_embedding_near_dup", S.embedding_near_dup_pairs,
      S.EMBEDDING_NEAR_DUP_SQL),
     ("l2_ann_recall", S.ann_recall, S.ANN_RECALL_SQL),
+    # round-9 rotation #5: c4_stat_cell_pick (single-scan suffix-
+    # exclusion projection, the same low-information class as rotations
+    # 1-4) cedes its slot to product-quantized ANN — a multi-stage
+    # operator (unit-normalize, per-subspace argmin encode, broadcast
+    # ADC lookup scoring, per-query rank) whose driver-scale
+    # correctness carries information; stat_cell_pick keeps pytest
+    # oracle parity as unreg_* (rationale in SURVEY §8)
+    ("l2_topk_cosine_pq", PQ.topk_cosine_pq, PQ.TOPK_COSINE_PQ_SQL),
     ("l2_semdedup", SEM.semdedup, SEM.SEMDEDUP_SQL),
     ("l4_media_features", MM.media_features, MM.MEDIA_FEATURES_SQL),
     # one-scan suite of every per-doc text projection (token stats,
@@ -333,9 +342,9 @@ def q_money_suite(spark, sf_dir):
 
 _TAIL_SCALARS = [
     # b18_nested_first rotated out in round 9 (slot ceded to
-    # l3_quality_deciles) — parity kept as unreg_b18_nested_first
+    # l3_quality_deciles), c4_stat_cell_pick rotated out in round 9
+    # (slot ceded to l2_topk_cosine_pq) — parity kept as unreg_*
     ("b20_defaults_bundle", SS.defaults_bundle, SS.DEFAULTS_BUNDLE_SQL),
-    ("c4_stat_cell_pick", SS.stat_cell_pick, SS.STAT_CELL_PICK_SQL),
 ]
 
 for _name, _fn, _sql in _TAIL_SCALARS:

@@ -99,6 +99,10 @@ def _all_queries():
         # rotated INTO the driver window in round 9 (l3_quality_deciles)
         # — the unreg parity row for b18_nested_first took its place
         ("unreg_b18_nested_first", SS.nested_first, SS.NESTED_FIRST_SQL),
+        # rotated out of the driver window in round 9 (slot ceded to
+        # l2_topk_cosine_pq) — parity kept
+        ("unreg_c4_stat_cell_pick", SS.stat_cell_pick,
+         SS.STAT_CELL_PICK_SQL),
         ("unreg_l5_mixture_plan", SP.mixture_plan, SP.MIXTURE_PLAN_SQL),
         ("unreg_l5_mixture_sample_planned", SP.mixture_sample_planned,
          SP.MIXTURE_SAMPLE_PLANNED_SQL),

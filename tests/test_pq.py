@@ -1,0 +1,120 @@
+"""Product-quantized ANN (operators/pq.py): encode validity, recall vs
+the exact truth, trained-path determinism, plan-size flatness, and the
+encode stage's shuffle-free shape. Oracle parity for the fixed-codebook
+query runs in test_oracle_parity.py (in-window: l2_topk_cosine_pq)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from concerts_etl_sa_spark.operators import pq
+from concerts_etl_sa_spark.operators.similarity import (
+    N_QUERIES,
+    topk_cosine_bruteforce,
+)
+
+from .conftest import SF_DIR
+
+
+def test_pq_encode_codes_valid(spark):
+    """Every vector gets exactly PQ_M codes, each a valid codebook id."""
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    enc = pq.pq_encode(emb, pq.pq_codebook_fixed(spark, SF_DIR))
+    bad = enc.filter(
+        (F.size("codes") != pq.PQ_M)
+        | F.exists(
+            "codes", lambda c: (c < 0) | (c >= pq.PQ_K) | c.isNull()
+        )
+    )
+    assert bad.count() == 0
+    assert enc.count() == emb.count()
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    """Encode is a pure projection against one broadcast codebook row:
+    no Exchange in the executed plan — at corpus scale the index build
+    never moves the vectors."""
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    enc = pq.pq_encode(emb, pq.pq_codebook_fixed(spark, SF_DIR))
+    enc.count()
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    # the one allowed exchange: the m*k-row codebook collapsing to its
+    # single broadcast row (SinglePartition) — the DATA side must never
+    # hash- or range-partition
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_pq_codebook_entry_exact_self_assignment(spark):
+    """A codebook-source vector's subspace slice is at distance 0 from
+    its own codebook entry, so it must encode to its own j in every
+    subspace — pins slice offsets and the argmin tiebreak at once."""
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id").isin(pq.PQ_CODE_IDS)
+    )
+    enc = {
+        r["vec_id"]: r["codes"]
+        for r in pq.pq_encode(
+            emb, pq.pq_codebook_fixed(spark, SF_DIR)
+        ).collect()
+    }
+    for j, vid in enumerate(pq.PQ_CODE_IDS):
+        assert enc[vid] == [j] * pq.PQ_M, (vid, j, enc[vid])
+
+
+def test_pq_recall_beats_random(spark):
+    """Fixed-codebook recall@5 must clear a 10x-random floor (random:
+    TOP_K/N ~= 0.01 at sf0.001; measured fixed ~0.18, trained ~0.29 —
+    modest absolute recall is the expected price of 32x compression on
+    near-tie synthetic neighbors, mirroring the sign-LSH band)."""
+    rows = pq.pq_recall(spark, SF_DIR).collect()
+    assert len(rows) == N_QUERIES
+    mean = sum(r["recall"] for r in rows) / len(rows)
+    assert mean >= 0.10, mean
+
+
+def test_pq_trained_deterministic_and_competitive(spark):
+    """The per-subspace-Lloyd's path is deterministic for a given input
+    and its recall is at least in the fixed codebook's band (trained
+    codebooks fit the data; fixed ones are arbitrary sample rows)."""
+    a = pq.topk_cosine_pq_trained(spark, SF_DIR).collect()
+    b = pq.topk_cosine_pq_trained(spark, SF_DIR).collect()
+    assert a == b
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in topk_cosine_bruteforce(spark, SF_DIR).collect()
+    }
+    hits = sum((r["q_id"], r["c_id"]) in truth for r in a)
+    assert hits / len(truth) >= 0.10, hits / len(truth)
+
+
+def test_pq_plan_size_flat_in_codebook(spark):
+    """Codebook floats travel as broadcast data, not plan literals: a
+    16x larger trained codebook (k=16 -> 256 entries per subspace) must
+    not grow the executed plan (same device as kmeans_assign)."""
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    sizes = {}
+    for k in (16, 256):
+        books = [
+            [
+                [float((s * 31 + j * 13 + d * 7) % 97) / 97.0
+                 for d in range(pq.PQ_SUB)]
+                for j in range(k)
+            ]
+            for s in range(pq.PQ_M)
+        ]
+        cb = pq.pq_codebook_from_trained(spark, books)
+        enc = pq.pq_encode(emb, cb)
+        sizes[k] = len(
+            enc._jdf.queryExecution().executedPlan().toString()
+        )
+        assert enc.count() == emb.count()
+    assert sizes[256] < sizes[16] + 2000, sizes
