@@ -67,6 +67,9 @@ HEADLINE = R6_HEADLINE + [
     # broadcast ADC lookup scoring; same query/candidate split as the
     # brute-force row so the pair isolates the quantization win
     "l2_topk_cosine_pq",
+    # round-9 addition: the IVF+PQ composition (equi-join inverted-list
+    # prune over PQ codes) — pytest-parity only, benched for the ratchet
+    "unreg_l2_topk_cosine_ivfpq",
 ]
 
 
@@ -80,7 +83,10 @@ def _extra_queries():
     def _semdedup_trained(spark, sf_dir):
         return SEM.semdedup_trained(spark, sf_dir, k_centroids=32)
 
+    from concerts_etl_sa_spark.operators import pq as PQ
+
     return {
+        "unreg_l2_topk_cosine_ivfpq": PQ.topk_cosine_ivfpq,
         "unreg_l3_repetition_stats": TS.repetition_stats,
         # in-window since round 8 as l3_unigram_xent; benched under the
         # historical name so the ratchet history stays one series

@@ -145,13 +145,18 @@ def _cb_row(codebook: DataFrame):
 
 
 def pq_encode(
-    emb: DataFrame, codebook: DataFrame, vec_col: str = "embedding"
+    emb: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vec_id, codes): per subspace the argmin-sq-dist code over the
-    vector's UNIT-normalized slice. Pure projection — one broadcast
-    codebook row, no shuffle, plan size O(1) in m·k."""
+    """(vec_id, *keep, codes): per subspace the argmin-sq-dist code over
+    the vector's UNIT-normalized slice. Pure projection — one broadcast
+    codebook row, no shuffle, plan size O(1) in m·k. ``keep`` carries
+    extra columns (e.g. the coarse inverted-list id) through to the
+    encoded index."""
     base = emb.select(
-        "vec_id", vec_col, F.sqrt(_norm2(vec_col)).alias("_nrm")
+        "vec_id", *keep, vec_col, F.sqrt(_norm2(vec_col)).alias("_nrm")
     )
     joined = base.crossJoin(F.broadcast(_cb_row(codebook)))
     codes = F.transform(
@@ -170,7 +175,9 @@ def pq_encode(
             )
         )["j"],
     )
-    return joined.withColumn("codes", codes).select("vec_id", "codes")
+    return joined.withColumn("codes", codes).select(
+        "vec_id", *keep, "codes"
+    )
 
 
 def _query_luts(q: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -201,14 +208,21 @@ def _query_luts(q: DataFrame, codebook: DataFrame) -> DataFrame:
 def topk_cosine_pq_df(
     emb: DataFrame,
     codebook: DataFrame,
-    k_codes: int,
     top_k: int = TOP_K,
 ) -> DataFrame:
     """(q_id, c_id, adc, rn): per query the top-k candidates by
     asymmetric-distance score (approximate cosine on unit vectors).
     Per pair: m table lookups + adds over the broadcast LUT row — the
     full vectors are never shuffled and never touched again after
-    encode."""
+    encode.
+
+    The lookup stride is derived from the LUT itself (``size(lp)/m``),
+    not from a caller-supplied k: a wrong k would not error — an
+    out-of-range ``element_at`` yields NULL (non-ANSI), NULL sums to
+    NULL, and ``desc`` orders NULL last — so every score would go
+    quietly NULL-or-misaligned instead of failing loud (the same
+    silent-degrade class as the sign-LSH band-width guard,
+    ``similarity._check_band_width``)."""
     from ._cachescope import begin_scope, scoped_persist
 
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -228,22 +242,34 @@ def topk_cosine_pq_df(
         pq_encode(emb.filter(F.col("vec_id") >= N_QUERIES), codebook),
     )
     scored = enc.crossJoin(F.broadcast(luts)).withColumn(
-        "adc",
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    "codes",
-                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                    lambda c, s: F.element_at(
-                        "lp", (s * k_codes + c + 1).cast("int")
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ),
-            6,
-        ),
+        "adc", _adc_col()
     )
+    return _rank_topk(scored, top_k)
+
+
+def _adc_col():
+    """The per-pair asymmetric-distance score: m lookups into the flat
+    LUT, added in subspace order (left-associative — oracle lockstep).
+    The stride is size(lp)/m, never a caller-supplied k (see
+    :func:`topk_cosine_pq_df`)."""
+    stride = (F.size("lp") / F.lit(PQ_M)).cast("int")
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                "codes",
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda c, s: F.element_at(
+                    "lp", (s * stride + c + 1).cast("int")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+
+
+def _rank_topk(scored: DataFrame, top_k: int) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(
         F.desc("adc"), F.asc("vec_id")
     )
@@ -262,9 +288,7 @@ def topk_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return topk_cosine_pq_df(
-        emb, pq_codebook_fixed(spark, sf_dir), PQ_K
-    )
+    return topk_cosine_pq_df(emb, pq_codebook_fixed(spark, sf_dir))
 
 
 def pq_train(
@@ -329,7 +353,7 @@ def topk_cosine_pq_trained(
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_train(emb, m=PQ_M, k=k_codes, max_iters=max_iters)
     return topk_cosine_pq_df(
-        emb, pq_codebook_from_trained(spark, books), k_codes
+        emb, pq_codebook_from_trained(spark, books)
     )
 
 
@@ -356,6 +380,114 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
         .transform(lambda d: sorted_small(d, "q_id"))
+    )
+
+
+def topk_cosine_ivfpq_df(
+    emb: DataFrame,
+    coarse: DataFrame,
+    codebook: DataFrame,
+    nprobe: int,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """IVF coarse pruning + PQ scoring — the FAISS-style composition:
+    candidates live in inverted lists keyed by their nearest coarse
+    centroid AND are stored as PQ codes; a query probes only its
+    ``nprobe`` nearest lists, so the scoring join is an EQUI-join on
+    ``centroid_id`` touching ~N·nprobe/K code rows per query instead of
+    the flat crossJoin over all N. Divergence from full FAISS IVFADC:
+    codes quantize the vector itself, not the residual (x − centroid) —
+    residual encoding would couple the codebook to the coarse index and
+    break the DuckDB one-shot; the recall cost at these K is measured,
+    not assumed (tests/test_pq.py).
+
+    ``emb`` needs (vec_id, embedding, norm2); ``coarse`` is the
+    (centroid_id, centroid_vec, c_n2) frame ``similarity``'s IVF uses;
+    the index frame (vec_id, centroid_id, codes) is scope-persisted —
+    12 B per vector, the production index-on-write artifact."""
+    from ._cachescope import begin_scope, scoped_persist
+    from .similarity import _assign_buckets
+
+    begin_scope("ivfpq")
+    index = scoped_persist(
+        "ivfpq",
+        pq_encode(
+            _assign_buckets(
+                emb.filter(F.col("vec_id") >= N_QUERIES),
+                coarse,
+                n_keep=1,
+            ),
+            codebook,
+            keep=("centroid_id",),
+        ),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.sqrt(_norm2("embedding")).alias("_nrm"),
+    )
+    probes = _assign_buckets(
+        emb.filter(F.col("vec_id") < N_QUERIES), coarse, n_keep=nprobe
+    ).select(F.col("vec_id").alias("q_id"), "centroid_id")
+    probe_luts = probes.join(_query_luts(q, codebook), "q_id")
+    # each candidate has ONE list and a query's nprobe lists are
+    # distinct, so a (q, c) pair joins at most once — no dedup needed
+    # (same argument as similarity._ivf_topk, round-5 finding)
+    scored = index.join(
+        F.broadcast(probe_luts), "centroid_id"
+    ).withColumn("adc", _adc_col())
+    return _rank_topk(scored, top_k)
+
+
+def topk_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed coarse centroids (``similarity.IVF_CENTROID_IDS``) + fixed
+    PQ codebook — the DuckDB-oracled variant."""
+    from ..sources.readers import load_table
+    from .similarity import IVF_CENTROID_IDS, NPROBE, _emb_normed
+
+    coarse = (
+        load_table(spark, sf_dir, "embeddings", spread=False)
+        .filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+            _norm2("embedding").alias("c_n2"),
+        )
+    )
+    return topk_cosine_ivfpq_df(
+        _emb_normed(spark, sf_dir),
+        coarse,
+        pq_codebook_fixed(spark, sf_dir),
+        nprobe=NPROBE,
+    )
+
+
+def topk_cosine_ivfpq_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    k_coarse: int = 8,
+    k_codes: int = PQ_K,
+    nprobe: int = 2,
+    max_iters: int = 3,
+) -> DataFrame:
+    """Fully-trained IVF-PQ: Lloyd's coarse centroids + per-subspace
+    Lloyd's codebooks — the production index build (pytest-pinned;
+    iterative, not a DuckDB one-shot)."""
+    from ..sources.readers import load_table
+    from .kmeans import centroids_df, kmeans_fit
+    from .similarity import _emb_normed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fitted, _ = kmeans_fit(emb, k=k_coarse, max_iters=max_iters)
+    coarse = centroids_df(spark, fitted).withColumn(
+        "c_n2", _norm2("centroid_vec")
+    )
+    books = pq_train(emb, m=PQ_M, k=k_codes, max_iters=max_iters)
+    return topk_cosine_ivfpq_df(
+        _emb_normed(spark, sf_dir),
+        coarse,
+        pq_codebook_from_trained(spark, books),
+        nprobe=nprobe,
     )
 
 
@@ -423,3 +555,74 @@ ORDER BY q_id, rn
 
 
 TOPK_COSINE_PQ_SQL = _topk_cosine_pq_sql()
+
+
+def _topk_cosine_ivfpq_sql() -> str:
+    from .similarity import IVF_CENTROID_IDS, NPROBE, _cosine_sql
+
+    ivf_ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    ids = ", ".join(str(i) for i in PQ_CODE_IDS)
+    ids_list = "[" + ids + "]"
+    cos_c = _cosine_sql("e.embedding", "c.embedding")
+    score = " + ".join(
+        f"l.lp[{s}*{PQ_K} + e.codes[{s + 1}] + 1]" for s in range(PQ_M)
+    )
+    return f"""
+WITH enorm AS MATERIALIZED ({_unit_sql()}),
+coarse AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id IN ({ivf_ids})
+),
+sub AS (SELECT CAST(s AS INT) AS s FROM generate_series(0, {PQ_M - 1}) AS t(s)),
+cb AS MATERIALIZED (
+  SELECT t.s, CAST(list_position({ids_list}, e.vec_id) - 1 AS INT) AS j,
+         e.nemb[t.s*{PQ_SUB}+1 : t.s*{PQ_SUB}+{PQ_SUB}] AS v
+  FROM enorm e CROSS JOIN sub t WHERE e.vec_id IN ({ids})
+),
+cand AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_c} DESC, c.centroid_id) AS crn
+    FROM embeddings e CROSS JOIN coarse c WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE crn = 1
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, centroid_id, list(j ORDER BY s) AS codes FROM (
+    SELECT e.vec_id, a.centroid_id, t.s, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id, t.s
+             ORDER BY {_sub_sqdist_sql('e.nemb', 'c.v', 't.s')}, c.j
+           ) AS rn
+    FROM enorm e JOIN cand a ON a.vec_id = e.vec_id
+    CROSS JOIN sub t JOIN cb c ON c.s = t.s
+  ) WHERE rn = 1 GROUP BY vec_id, centroid_id
+),
+qprobe AS (
+  SELECT vec_id AS q_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_c} DESC, c.centroid_id) AS crn
+    FROM embeddings e CROSS JOIN coarse c WHERE e.vec_id < {N_QUERIES}
+  ) WHERE crn <= {NPROBE}
+),
+lut AS MATERIALIZED (
+  SELECT q_id, list(p ORDER BY s, j) AS lp FROM (
+    SELECT q.vec_id AS q_id, t.s, c.j,
+           {_sub_dot_sql('q.nemb', 'c.v', 't.s')} AS p
+    FROM enorm q CROSS JOIN sub t JOIN cb c ON c.s = t.s
+    WHERE q.vec_id < {N_QUERIES}
+  ) GROUP BY q_id
+)
+SELECT q_id, c_id, adc, rn FROM (
+  SELECT l.q_id, e.vec_id AS c_id, round({score}, 6) AS adc,
+         row_number() OVER (
+           PARTITION BY l.q_id ORDER BY round({score}, 6) DESC, e.vec_id
+         ) AS rn
+  FROM enc e JOIN qprobe p USING (centroid_id) JOIN lut l ON l.q_id = p.q_id
+) WHERE rn <= {TOP_K}
+ORDER BY q_id, rn
+"""
+
+
+TOPK_COSINE_IVFPQ_SQL = _topk_cosine_ivfpq_sql()

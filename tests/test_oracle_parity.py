@@ -59,6 +59,7 @@ def _all_queries():
     # *_pairs registry entries) still get pytest-level oracle parity.
     from concerts_etl_sa_spark.operators import dedup as D
     from concerts_etl_sa_spark.operators import multimodal as MM
+    from concerts_etl_sa_spark.operators import pq as PQ
     from concerts_etl_sa_spark.operators import similarity as S
 
     from concerts_etl_sa_spark.operators import sampling as SP
@@ -103,6 +104,11 @@ def _all_queries():
         # l2_topk_cosine_pq) — parity kept
         ("unreg_c4_stat_cell_pick", SS.stat_cell_pick,
          SS.STAT_CELL_PICK_SQL),
+        # round-9 IVF+PQ composition (fixed coarse + fixed codebook):
+        # the window is full, so the FAISS-style production shape is
+        # parity-pinned here
+        ("unreg_l2_topk_cosine_ivfpq", PQ.topk_cosine_ivfpq,
+         PQ.TOPK_COSINE_IVFPQ_SQL),
         ("unreg_l5_mixture_plan", SP.mixture_plan, SP.MIXTURE_PLAN_SQL),
         ("unreg_l5_mixture_sample_planned", SP.mixture_sample_planned,
          SP.MIXTURE_SAMPLE_PLANNED_SQL),

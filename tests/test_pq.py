@@ -94,6 +94,35 @@ def test_pq_trained_deterministic_and_competitive(spark):
     assert hits / len(truth) >= 0.10, hits / len(truth)
 
 
+def test_ivfpq_scoring_is_equijoin_and_subset_sized(spark):
+    """The IVF-PQ scoring join is a hash equi-join on centroid_id (the
+    inverted-list prune), not the flat cross join — and each query's
+    candidate pool is a strict subset of the corpus, so every returned
+    (q, c) pair must also satisfy the candidate->list assignment."""
+    df = pq.topk_cosine_ivfpq(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == N_QUERIES * 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [centroid_id" in plan, plan
+    # scores are never NULL (the silent-degrade mode the size(lp)/m
+    # stride guards against)
+    assert all(r["adc"] is not None for r in rows)
+
+
+def test_ivfpq_trained_deterministic(spark):
+    a = pq.topk_cosine_ivfpq_trained(spark, SF_DIR).collect()
+    b = pq.topk_cosine_ivfpq_trained(spark, SF_DIR).collect()
+    assert a == b
+    assert len(a) == N_QUERIES * 5
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in topk_cosine_bruteforce(spark, SF_DIR).collect()
+    }
+    hits = sum((r["q_id"], r["c_id"]) in truth for r in a)
+    # IVF pruning can only lose recall vs flat PQ; floor it above random
+    assert hits / len(truth) >= 0.05, hits / len(truth)
+
+
 def test_pq_plan_size_flat_in_codebook(spark):
     """Codebook floats travel as broadcast data, not plan literals: a
     16x larger trained codebook (k=16 -> 256 entries per subspace) must
