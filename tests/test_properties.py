@@ -347,3 +347,27 @@ def test_round7_ops_invariant_to_input_partitioning(spark):
     ):
         assert spans(mangle(docs)) == base_spans
         assert lsh_join(mangle(docs)) == base_join
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.binary(min_size=0, max_size=200),
+)
+def test_pgm_codec_roundtrip_property(w, h, noise):
+    """PGM codec property (pure Python, no Spark): encode->decode is the
+    identity for any (w, h, raster), and decode either raises ValueError
+    or returns a raster of exactly w*h bytes — never a silently
+    mis-offset one (the round-9 separator fix) — on arbitrary
+    byte-noise payloads."""
+    from concerts_etl_sa_spark.operators import multimodal as MM
+
+    px = bytes((i * 37 + w) % 256 for i in range(w * h))
+    assert MM.pgm_decode(MM.pgm_encode(w, h, px)) == (w, h, px)
+    try:
+        dw, dh, draster = MM.pgm_decode(b"P5" + noise)
+    except ValueError:
+        pass
+    else:
+        assert len(draster) == dw * dh
