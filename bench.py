@@ -70,6 +70,10 @@ HEADLINE = R6_HEADLINE + [
     # round-9 addition: the IVF+PQ composition (equi-join inverted-list
     # prune over PQ codes) — pytest-parity only, benched for the ratchet
     "unreg_l2_topk_cosine_ivfpq",
+    # round-9 addition: auto-K SemDeDup (K = max(N//60, 8) from count(*))
+    # — the scale-correct form; alongside l2_semdedup (fixed K=32) the
+    # pair isolates what the K lever costs at bench scale
+    "l2_semdedup_auto",
 ]
 
 

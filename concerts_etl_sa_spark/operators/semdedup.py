@@ -70,6 +70,28 @@ from .similarity import (
 SEMDEDUP_CENTROID_IDS = list(range(5, 471, 15))  # 32 ids, all < sf0.001's 500
 SEMDEDUP_TAU = 0.30  # same scale as NEAR_DUP_COSINE (p99 pair cosine ~0.29)
 
+# Auto-K sizing (the paper's recipe made executable): K tracks N so the
+# mean cluster size — and with it the within-cluster pair stage's
+# sum(|c|^2) ~ N^2/K cost — stays CONSTANT as the corpus grows. The
+# round-9 scale probe measured the fixed-K failure mode directly:
+# K=32 held fixed while N grew 25x turned the 2.5 s sf0.1 run into
+# 284 s (alpha=1.46, the one super-linear op in the sweep) — exactly
+# the N^2/K curve. K = max(N // PER_CLUSTER, 8) keeps pair work linear
+# in N; the broadcast assignment ranking grows as N*K*dim, which at
+# PER_CLUSTER=60 is dim/60 multiplies per (row, corpus-row) — the
+# paper's LAION-scale K~50k sits on the same rule (N/K ~ few hundred).
+SEMDEDUP_PER_CLUSTER = 60
+SEMDEDUP_CENTROID_RESIDUE = 5  # matches the fixed list's first id
+
+
+def _auto_stride(n: int, per_cluster: int = SEMDEDUP_PER_CLUSTER) -> int:
+    """Centroid-pick stride for a corpus of ``n`` vectors: every
+    ``stride``-th vec_id (mod-residue rule) yields ~K = max(n//per_cluster, 8)
+    centroids. Pure integer arithmetic so the DuckDB twin reproduces it
+    from ``count(*)`` exactly."""
+    k = max(n // per_cluster, 8)
+    return max(n // k, 1)
+
 
 def _fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread=False: K rows — repartitioning them across 32 cores is pure
@@ -92,6 +114,48 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on ``is_kept`` (or joins back to documents by id)."""
     return semdedup_df(
         _emb_normed(spark, sf_dir), _fixed_centroids(spark, sf_dir)
+    )
+
+
+def semdedup_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    per_cluster: int = SEMDEDUP_PER_CLUSTER,
+    tau: float = SEMDEDUP_TAU,
+    max_cluster_size: int | None = None,
+    heavy_bucket_mode: str = "star",
+) -> DataFrame:
+    """SemDeDup with the K lever ENGAGED: K = max(N // per_cluster, 8),
+    centroids picked by the deterministic modular rule
+    ``vec_id % stride == RESIDUE % stride`` (stride = N // K) — evenly
+    spread over a dense id space, reproducible from ``count(*)`` alone,
+    so the DuckDB twin rebuilds the identical index. This is the form
+    whose pair stage stays LINEAR in N (constant mean cluster size);
+    the fixed-K :func:`semdedup` is the probe's quadratic control.
+
+    The ``count()`` here is a deliberate one-scalar sync point (parquet
+    metadata count — same class as the kmeans stats collect), paid once
+    to size the index before the plan is built."""
+    n = load_table(spark, sf_dir, "embeddings", spread=False).count()
+    stride = _auto_stride(n, per_cluster)
+    cents = (
+        load_table(spark, sf_dir, "embeddings", spread=False)
+        .filter(
+            (F.col("vec_id") % stride)
+            == F.lit(SEMDEDUP_CENTROID_RESIDUE % stride)
+        )
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+            _norm2("embedding").alias("c_n2"),
+        )
+    )
+    return semdedup_df(
+        _emb_normed(spark, sf_dir),
+        cents,
+        tau=tau,
+        max_cluster_size=max_cluster_size,
+        heavy_bucket_mode=heavy_bucket_mode,
     )
 
 
@@ -361,8 +425,17 @@ def semdedup_trained(
     )
 
 
-def _semdedup_sql() -> str:
-    ids = ", ".join(str(i) for i in SEMDEDUP_CENTROID_IDS)
+def _semdedup_sql(centroid_ctes: str | None = None) -> str:
+    """Shared oracle body; ``centroid_ctes`` overrides the leading CTE
+    chain that must end by defining ``centroids(centroid_id,
+    centroid_vec)`` — the fixed-id default and the auto-K twin differ
+    ONLY in how that table is derived."""
+    if centroid_ctes is None:
+        ids = ", ".join(str(i) for i in SEMDEDUP_CENTROID_IDS)
+        centroid_ctes = f"""centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings
+  WHERE vec_id IN ({ids})
+)"""
     cos_c = _cosine_sql("e.embedding", "c.centroid_vec")
     # normalize-once lockstep (see _dup_pairs): nemb is the unit vector
     # computed with the SAME per-element divide (correctly-rounded sqrt
@@ -374,10 +447,7 @@ def _semdedup_sql() -> str:
     # 64-term norm re-summed per ELEMENT. Values are unchanged: same
     # sqrt, same divides, just evaluated once.
     return f"""
-WITH centroids AS (
-  SELECT vec_id AS centroid_id, embedding AS centroid_vec FROM embeddings
-  WHERE vec_id IN ({ids})
-),
+WITH {centroid_ctes},
 enorm AS MATERIALIZED (
   SELECT vec_id, embedding,
          list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS nemb
@@ -422,3 +492,20 @@ ORDER BY a.vec_id
 
 
 SEMDEDUP_SQL = _semdedup_sql()
+
+# Auto-K twin: K and the pick stride derive from count(*) with the SAME
+# integer arithmetic as _auto_stride (// is integer division in DuckDB),
+# so both engines select the identical centroid id set for any N.
+SEMDEDUP_AUTO_SQL = _semdedup_sql(
+    f"""par AS (
+  SELECT greatest(count(*) // {SEMDEDUP_PER_CLUSTER}, 8) AS k,
+         count(*) AS n
+  FROM embeddings
+),
+par2 AS (SELECT greatest(n // k, 1) AS stride FROM par),
+centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid_vec
+  FROM embeddings, par2
+  WHERE vec_id % stride = {SEMDEDUP_CENTROID_RESIDUE} % stride
+)"""
+)

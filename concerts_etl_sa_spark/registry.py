@@ -131,7 +131,17 @@ _L_FAMILY = [
     # correctness carries information; stat_cell_pick keeps pytest
     # oracle parity as unreg_* (rationale in SURVEY §8)
     ("l2_topk_cosine_pq", PQ.topk_cosine_pq, PQ.TOPK_COSINE_PQ_SQL),
-    ("l2_semdedup", SEM.semdedup, SEM.SEMDEDUP_SQL),
+    # round-9 rotation #6: fixed-K l2_semdedup cedes its slot to the
+    # auto-K form — K = max(N//60, 8) derived from count(*), centroids
+    # by a modular pick both engines reproduce. The round-9 scale probe
+    # measured fixed-K as the ONE super-linear op in the sweep (alpha
+    # 1.46 — the documented N^2/K pair growth); auto-K is the paper's
+    # answer and the form a 100 TB run would use. Every code path the
+    # fixed row exercised (assignment, normalize-once pair stage, keep
+    # rule) runs identically here — only the centroid derivation (plus
+    # the count() sizing step) differs; fixed keeps unreg_* pytest
+    # parity and stays benched (rationale in SURVEY §8).
+    ("l2_semdedup_auto", SEM.semdedup_auto, SEM.SEMDEDUP_AUTO_SQL),
     ("l4_media_features", MM.media_features, MM.MEDIA_FEATURES_SQL),
     # one-scan suite of every per-doc text projection (token stats,
     # BPE-ish counts, quality, lang-id, fingerprints) — the standalone

@@ -60,7 +60,10 @@ def _all_queries():
     from concerts_etl_sa_spark.operators import dedup as D
     from concerts_etl_sa_spark.operators import multimodal as MM
     from concerts_etl_sa_spark.operators import pq as PQ
+    from concerts_etl_sa_spark.operators import semdedup as SEM
     from concerts_etl_sa_spark.operators import similarity as S
+
+    _sem_fixed, _SEM_FIXED_SQL = SEM.semdedup, SEM.SEMDEDUP_SQL
 
     from concerts_etl_sa_spark.operators import sampling as SP
     from concerts_etl_sa_spark.operators import scalar_suite as SS
@@ -70,6 +73,10 @@ def _all_queries():
         # rotated out of the driver window (raw docs hold no exact
         # dupes; the selfunion row covers the collapse) — parity kept
         ("unreg_l1_exact_dedup", D.exact_dedup, D.EXACT_DEDUP_SQL),
+        # round-9 rotation #6: fixed-K semdedup ceded its slot to the
+        # auto-K form (same semdedup_df body, different centroid
+        # derivation) — parity kept
+        ("unreg_l2_semdedup_fixed", _sem_fixed, _SEM_FIXED_SQL),
         ("unreg_minhash_signatures", D.minhash_signatures,
          D.MINHASH_SIGNATURES_SQL),
         ("unreg_simhash_signatures", D.simhash_signatures,

@@ -172,3 +172,43 @@ def test_semdedup_registry_shape(spark):
     ]
     n = out.count()
     assert n == _emb_normed(spark, SF_DIR).count()
+
+
+def test_auto_stride_formula():
+    """K tracks N (constant mean cluster size) with the floor of 8 —
+    the integer arithmetic the DuckDB twin reproduces from count(*)."""
+    from concerts_etl_sa_spark.operators.semdedup import _auto_stride
+
+    assert _auto_stride(0) == 1  # degenerate: empty corpus
+    assert _auto_stride(500) == 62  # k = max(500//60, 8) = 8
+    assert _auto_stride(2000) == 60  # k = 33
+    assert _auto_stride(50_000) == 60  # k = 833 — stride saturates at
+    assert _auto_stride(10_000_000) == 60  # per_cluster: K grows, not |c|
+
+
+def test_semdedup_auto_scales_k_with_n(spark):
+    """The auto pick yields ~K centroids spread over the id space, and
+    the decision frame covers every vector (same contract as the fixed
+    form)."""
+    from concerts_etl_sa_spark.operators.semdedup import (
+        SEMDEDUP_CENTROID_RESIDUE,
+        _auto_stride,
+        semdedup_auto,
+    )
+
+    n = _emb_normed(spark, SF_DIR).count()
+    stride = _auto_stride(n)
+    out = semdedup_auto(spark, SF_DIR)
+    assert out.columns == [
+        "vec_id", "centroid_id", "cent_cos", "n_dup_neighbors", "is_kept"
+    ]
+    rows = out.collect()
+    assert len(rows) == n
+    # every assigned centroid is one the modular rule selected
+    assert all(
+        r.centroid_id % stride == SEMDEDUP_CENTROID_RESIDUE % stride
+        for r in rows
+    )
+    # ~K distinct ids available; at least half actually win a vector
+    k = max(n // 60, 8)
+    assert len({r.centroid_id for r in rows}) >= k // 2
