@@ -91,6 +91,10 @@ def _extra_queries():
 
     return {
         "unreg_l2_topk_cosine_ivfpq": PQ.topk_cosine_ivfpq,
+        # rotated out of the driver window in round 9 (rotation #6:
+        # fixed-K -> auto-K); benched under the historical name so the
+        # ratchet history stays one series
+        "l2_semdedup": SEM.semdedup,
         "unreg_l3_repetition_stats": TS.repetition_stats,
         # in-window since round 8 as l3_unigram_xent; benched under the
         # historical name so the ratchet history stays one series

@@ -75,6 +75,39 @@ DEFAULT_OPS = [
 ]
 
 
+CAP = 256  # per-bucket/cluster skew cap for the *_capped variants
+
+
+def _capped_ops() -> dict:
+    """Production-config (skew-capped) variants of the pair-generating
+    ops — the forms a flooded corpus requires. Flood mode gives every
+    doc R-1 byte-identical twins, so every bucket the uncapped forms
+    self-join holds R copies of its natural membership and the
+    candidate volume grows as R^2: the caps are the designed answer,
+    and this is the probe that proves they bound it (alpha should fall
+    back to ~linear)."""
+    from concerts_etl_sa_spark.operators import dedup as D
+    from concerts_etl_sa_spark.operators import semdedup as SEM
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    return {
+        "l1_minhash_lsh_pairs_capped": lambda spark, sf: (
+            D.minhash_lsh_pairs_df(
+                D._docs_with_shingles(spark, sf), max_bucket_size=CAP
+            )
+        ),
+        "l1_simhash_near_pairs_capped": lambda spark, sf: (
+            D.simhash_near_pairs_df(
+                load_table(spark, sf, "documents").repartition("doc_id"),
+                max_bucket_size=CAP,
+            )
+        ),
+        "l2_semdedup_auto_capped": lambda spark, sf: (
+            SEM.semdedup_auto(spark, sf, max_cluster_size=CAP)
+        ),
+    }
+
+
 def _rotate_words(text: str, r: int) -> str:
     words = text.split()
     if len(words) < 2:
@@ -162,7 +195,7 @@ def main() -> None:
     spark = get_spark("scale_probe")
     from bench import _extra_queries  # same resolution as the bench
 
-    qs = {**entrymod.queries(), **_extra_queries()}
+    qs = {**entrymod.queries(), **_extra_queries(), **_capped_ops()}
 
     # warmup every op once at the smallest scale (JIT/codegen)
     for name in ops:
