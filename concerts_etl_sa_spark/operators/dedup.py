@@ -744,31 +744,74 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers the multi-band/high-recall variant; this is the cheap
     single-key member of the dedup family.)
     """
+    return ngram_jaccard_pairs_df(_docs_with_shingles(spark, sf_dir))
+
+
+def ngram_jaccard_pairs_df(
+    docs: DataFrame,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_bucket_size: int | None = None,
+    heavy_bucket_mode: str = "star",
+) -> DataFrame:
+    """df-based core of :func:`ngram_jaccard_pairs` — ``docs`` needs
+    (doc_id, text) or a precomputed (doc_id, shingles).
+
+    ``max_bucket_size`` is the same per-bucket skew guard as the other
+    LSH-family pair ops (shared ``util.capped_candidates``): a flooded
+    corpus puts every copy of a document into ONE ``min_sh`` bucket, so
+    the unguarded self-join is |bucket|^2/2 candidates AND shuffles the
+    fat shingle arrays on both legs. Capped mode self-joins the slim
+    (doc_id, min_sh) frame and re-attaches shingles to the bounded pair
+    set by doc_id equi-joins; ``multi_band=False`` because each doc has
+    exactly one min shingle, so a pair can only form once."""
+    ds = docs if "shingles" in docs.columns else _with_shingles(docs)
     # cache the shingle index: BOTH self-join legs consume it, and
     # exchange reuse doesn't fire across differently-aliased legs —
     # uncached, the (expensive) shingle pass runs twice per query.
     # Scoped: released on the next call (no per-session accumulation).
     begin_scope("ngram_jaccard_pairs")
-    ds = scoped_persist("ngram_jaccard_pairs", _docs_with_shingles(spark, sf_dir))
+    ds = scoped_persist("ngram_jaccard_pairs", ds)
     keyed = ds.select(
         "doc_id", "shingles", F.array_min("shingles").alias("min_sh")
     )
-    a = keyed.select(
-        F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"), "min_sh"
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"), "min_sh"
-    )
+    if max_bucket_size is not None:
+        cand = capped_candidates(
+            keyed.select("doc_id", F.col("min_sh").alias("band_fp")),
+            max_bucket_size,
+            heavy_bucket_mode,
+            multi_band=False,
+        )
+        pairs = cand.join(
+            ds.select(
+                F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")
+            ),
+            "a_id",
+        ).join(
+            ds.select(
+                F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")
+            ),
+            "b_id",
+        )
+    else:
+        a = keyed.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("shingles").alias("a_sh"),
+            "min_sh",
+        )
+        b = keyed.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("shingles").alias("b_sh"),
+            "min_sh",
+        )
+        pairs = a.join(b, "min_sh").filter(F.col("a_id") < F.col("b_id"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
     return (
-        a.join(b, "min_sh")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
         .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )

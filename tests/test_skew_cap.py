@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from concerts_etl_sa_spark.operators.components import connected_components
 from concerts_etl_sa_spark.operators.dedup import (
     minhash_lsh_pairs_df,
+    ngram_jaccard_pairs_df,
     simhash_near_pairs_df,
 )
 from concerts_etl_sa_spark.operators.similarity import (
@@ -113,6 +114,16 @@ FAMILIES = {
         _giant_vector_corpus,
         _small_vector_corpus,
         2,  # two OR'd sign-LSH bands since the round-7 recall fix
+    ),
+    # round-9 addition: min-shingle blocking has exactly ONE bucket per
+    # doc, so the identical-doc flood is its worst case too
+    "ngram": (
+        lambda df, cap=None, mode="star": ngram_jaccard_pairs_df(
+            df, max_bucket_size=cap, heavy_bucket_mode=mode
+        ),
+        _giant_cluster_corpus,
+        _small_groups_corpus,
+        1,
     ),
 }
 

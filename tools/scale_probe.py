@@ -102,6 +102,11 @@ def _capped_ops() -> dict:
                 max_bucket_size=CAP,
             )
         ),
+        "l1_ngram_jaccard_pairs_capped": lambda spark, sf: (
+            D.ngram_jaccard_pairs_df(
+                D._docs_with_shingles(spark, sf), max_bucket_size=CAP
+            )
+        ),
         "l2_semdedup_auto_capped": lambda spark, sf: (
             SEM.semdedup_auto(spark, sf, max_cluster_size=CAP)
         ),
