@@ -425,6 +425,29 @@ def semdedup_trained(
     )
 
 
+def semdedup_trained_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    per_cluster: int = SEMDEDUP_PER_CLUSTER,
+    tau: float = SEMDEDUP_TAU,
+    max_iters: int = 3,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """The full production composition: K sized from N (auto rule) AND
+    centroids kmeans-trained — what a 100 TB run would actually execute.
+    Deterministic for a given input (hash-bucket init + Lloyd's), not a
+    DuckDB one-shot; pytest-pinned like :func:`semdedup_trained`."""
+    n = load_table(spark, sf_dir, "embeddings", spread=False).count()
+    return semdedup_trained(
+        spark,
+        sf_dir,
+        k_centroids=max(n // per_cluster, 8),
+        tau=tau,
+        max_iters=max_iters,
+        max_cluster_size=max_cluster_size,
+    )
+
+
 def _semdedup_sql(centroid_ctes: str | None = None) -> str:
     """Shared oracle body; ``centroid_ctes`` overrides the leading CTE
     chain that must end by defining ``centroids(centroid_id,

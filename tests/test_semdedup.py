@@ -212,3 +212,19 @@ def test_semdedup_auto_scales_k_with_n(spark):
     # ~K distinct ids available; at least half actually win a vector
     k = max(n // 60, 8)
     assert len({r.centroid_id for r in rows}) >= k // 2
+
+
+def test_semdedup_trained_auto_sizes_k_from_n(spark):
+    """Production composition: k = max(N//60, 8) trained centroids
+    (ids 0..k-1 from centroids_df); decision frame covers every
+    vector."""
+    from concerts_etl_sa_spark.operators.semdedup import (
+        semdedup_trained_auto,
+    )
+
+    n = _emb_normed(spark, SF_DIR).count()
+    out = semdedup_trained_auto(spark, SF_DIR, max_iters=1)
+    rows = out.collect()
+    assert len(rows) == n
+    k = max(n // 60, 8)
+    assert {r.centroid_id for r in rows} <= set(range(k))

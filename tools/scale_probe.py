@@ -110,6 +110,9 @@ def _capped_ops() -> dict:
         "l2_semdedup_auto_capped": lambda spark, sf: (
             SEM.semdedup_auto(spark, sf, max_cluster_size=CAP)
         ),
+        # not capped, but probe-only like the capped forms: the full
+        # production composition (auto-K sizing + Lloyd's training)
+        "l2_semdedup_auto_trained": SEM.semdedup_trained_auto,
     }
 
 
