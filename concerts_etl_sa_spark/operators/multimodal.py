@@ -145,6 +145,11 @@ def pgm_decode(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("malformed PGM header")
         vals.append(int(b[start:pos]))
     w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        # Netpbm requires positive dimensions; a 0-dim payload would
+        # "decode" to an empty raster and crash the resize path with an
+        # IndexError instead of the per-row-catchable ValueError
+        raise ValueError("non-positive PGM dimensions")
     if maxval > 255:
         raise ValueError("16-bit PGM unsupported")
     # exactly ONE whitespace byte separates maxval from the raster; a

@@ -47,6 +47,16 @@ from pyspark.sql import functions as F
 from .similarity import DIM, N_QUERIES, TOP_K, _norm2, _norm2_sql
 from .util import sorted_small
 
+
+def _nrm(df: DataFrame, vec_col: str) -> "F.Column":
+    """Full-vector norm, reusing a precomputed ``norm2`` column when the
+    frame carries one (FP-identical: ``_emb_normed`` builds norm2 with
+    the same left-associated 64-term sum this would recompute) — the
+    recompute costs 64 multiplies + 63 adds per row on a corpus scan."""
+    return F.sqrt(
+        F.col("norm2") if "norm2" in df.columns else _norm2(vec_col)
+    )
+
 PQ_M = 8                     # subspaces
 PQ_SUB = DIM // PQ_M         # dims per subspace
 PQ_K = 16                    # codes per subspace (fixed-codebook path)
@@ -156,7 +166,7 @@ def pq_encode(
     extra columns (e.g. the coarse inverted-list id) through to the
     encoded index."""
     base = emb.select(
-        "vec_id", *keep, vec_col, F.sqrt(_norm2(vec_col)).alias("_nrm")
+        "vec_id", *keep, vec_col, _nrm(emb, vec_col).alias("_nrm")
     )
     joined = base.crossJoin(F.broadcast(_cb_row(codebook)))
     codes = F.transform(
@@ -228,7 +238,7 @@ def topk_cosine_pq_df(
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
-        F.sqrt(_norm2("embedding")).alias("_nrm"),
+        _nrm(emb, "embedding").alias("_nrm"),
     )
     luts = _query_luts(q, codebook)
     # the encoded (vec_id, codes) frame IS the index — 8 bytes of codes
@@ -305,23 +315,30 @@ def pq_train(
     assignment). Returns codebooks[s][j] = SUB-dim list."""
     from .kmeans import kmeans_fit
 
+    # persisted across the m fits: each kmeans_fit caches only its own
+    # (vec_id, subv) slice, so without this the source scan + the
+    # 64-term norm re-run once PER SUBSPACE (m scans of a 100 TB input
+    # instead of one). Released before returning.
     base = emb.select(
-        "vec_id", vec_col, F.sqrt(_norm2(vec_col)).alias("_nrm")
-    )
-    books: list[list[list[float]]] = []
-    for s in range(m):
-        sub = base.select(
-            "vec_id",
-            F.transform(
-                F.slice(vec_col, s * PQ_SUB + 1, PQ_SUB),
-                lambda x: x.cast("double") / F.col("_nrm"),
-            ).alias("subv"),
-        )
-        fitted, _ = kmeans_fit(
-            sub, k=k, max_iters=max_iters, vec_col="subv"
-        )
-        books.append(fitted)
-    return books
+        "vec_id", vec_col, _nrm(emb, vec_col).alias("_nrm")
+    ).persist()
+    try:
+        books: list[list[list[float]]] = []
+        for s in range(m):
+            sub = base.select(
+                "vec_id",
+                F.transform(
+                    F.slice(vec_col, s * PQ_SUB + 1, PQ_SUB),
+                    lambda x: x.cast("double") / F.col("_nrm"),
+                ).alias("subv"),
+            )
+            fitted, _ = kmeans_fit(
+                sub, k=k, max_iters=max_iters, vec_col="subv"
+            )
+            books.append(fitted)
+        return books
+    finally:
+        base.unpersist(blocking=False)
 
 
 def pq_codebook_from_trained(
@@ -424,7 +441,7 @@ def topk_cosine_ivfpq_df(
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
-        F.sqrt(_norm2("embedding")).alias("_nrm"),
+        _nrm(emb, "embedding").alias("_nrm"),
     )
     probes = _assign_buckets(
         emb.filter(F.col("vec_id") < N_QUERIES), coarse, n_keep=nprobe

@@ -199,7 +199,6 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
     spark = get_spark("scale_probe")
     from bench import _extra_queries  # same resolution as the bench
 
@@ -226,9 +225,17 @@ def main() -> None:
                 spark.catalog.clearCache()
         t = {str(s): round(statistics.median(per_scale[s]), 3) for s in scales}
         lo, hi = scales[0], scales[-1]
-        alpha = math.log(t[str(hi)] / t[str(lo)]) / math.log(hi / lo)
-        results[name] = {"t": t, "alpha": round(alpha, 2)}
-        print(f"{name}: {t} alpha={alpha:.2f}", file=sys.stderr)
+        # alpha needs two distinct scales and a non-zero base median
+        # (sub-ms ops round to 0.000) — report t without a fit otherwise
+        # instead of crashing after all the measurement is done
+        if hi > lo and t[str(lo)] > 0 and t[str(hi)] > 0:
+            alpha = round(
+                math.log(t[str(hi)] / t[str(lo)]) / math.log(hi / lo), 2
+            )
+        else:
+            alpha = None
+        results[name] = {"t": t, "alpha": alpha}
+        print(f"{name}: {t} alpha={alpha}", file=sys.stderr)
 
     print(
         json.dumps(
