@@ -867,9 +867,16 @@ def near_dup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     rows = []
     for nb, bp in NEAR_DUP_QUALITY_WIDTHS:
-        pred = embedding_near_dup_pairs_df(
-            emb, n_bands=nb, bits_per_band=bp
-        ).select("a_id", "b_id")
+        # persisted per width: n_pred and n_hit are two independent
+        # actions on the same pred frame — unpersisted, the full banded
+        # explode/self-join/cosine-verify plan executes twice per width
+        # (the harness's dominant cost; same device as _pair_quality)
+        pred = scoped_persist(
+            "near_dup_quality",
+            embedding_near_dup_pairs_df(
+                emb, n_bands=nb, bits_per_band=bp
+            ).select("a_id", "b_id"),
+        )
         n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
         n_hit = pred.join(truth, ["a_id", "b_id"]).agg(
             F.count(F.lit(1)).alias("n_hit")

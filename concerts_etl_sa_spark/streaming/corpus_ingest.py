@@ -207,10 +207,21 @@ def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
         fs.delete(p_marker, False)  # swap never started
         raise RuntimeError(f"backfill: could not stage {sink_dir} aside")
     if not fs.rename(p_tmp, p_sink):
-        # roll back so the sink is never left missing
-        fs.rename(p_old, p_sink)
-        fs.delete(p_marker, False)
-        raise RuntimeError(f"backfill: could not promote {tmp_dir}")
+        # roll back so the sink is never left missing. The fence marker
+        # is removed ONLY when the rollback lands: with the sink still
+        # missing, the marker is the sole thing stopping an ingest from
+        # recreating the sink mid-swap (the documented unrecoverable
+        # old+sink+tmp state) — an unconditional delete here would
+        # unfence exactly that window.
+        if fs.rename(p_old, p_sink):
+            fs.delete(p_marker, False)
+            raise RuntimeError(f"backfill: could not promote {tmp_dir}")
+        raise RuntimeError(
+            f"backfill: could not promote {tmp_dir} AND could not roll "
+            f"back {old_dir} — fence marker left in place; reconcile "
+            "manually (restore the sink from __pre_backfill), then "
+            "delete the marker"
+        )
     fs.delete(p_old, True)
     fs.delete(p_marker, False)
     return n_legacy
@@ -277,17 +288,6 @@ def run_corpus_ingest(
     stream = spark.readStream.schema(DOCUMENTS).parquet(src_dir)
     ann = annotate_documents_stream(stream, min_quality=min_quality)
 
-    def _reindex(df: DataFrame) -> DataFrame:
-        """(doc_id, text) -> (doc_id, text, band_fps): on-the-fly
-        signature computation for sink rows written before
-        index-on-write existed."""
-        return (
-            df.withColumn("_toks", _tokens(F.col("text")))
-            .withColumn("_sh", _shingles(F.col("_toks")))
-            .withColumn("band_fps", band_fps_from_shingles(F.col("_sh")))
-            .select("doc_id", "text", "band_fps")
-        )
-
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
         sink = read_sink(batch.sparkSession, out_dir, CURATED_SCHEMA)
         # the exact content-hash gate runs FIRST, on the slim annotated
@@ -324,15 +324,32 @@ def run_corpus_ingest(
                     # pre-upgrade rows (band_fps NULL under the pinned
                     # schema) are re-indexed on the fly so the gate
                     # covers the WHOLE sink — explode would silently
-                    # drop NULL arrays, exempting every pre-upgrade doc
-                    sink_idx = sink.filter(
-                        F.col("band_fps").isNotNull()
-                    ).select("doc_id", "text", "band_fps").unionByName(
-                        _reindex(
-                            sink.filter(F.col("band_fps").isNull()).select(
-                                "doc_id", "text"
-                            )
+                    # drop NULL arrays, exempting every pre-upgrade doc.
+                    # ONE sink scan (the backfill's staged one-pass
+                    # form), not an isNotNull/isNull filter pair
+                    # unioned: that shape reads the corpus-sized sink
+                    # twice per micro-batch even when the isNull leg is
+                    # empty. _toks is NULL for already-indexed rows, so
+                    # the signature pipeline runs only on legacy rows
+                    # and coalesce keeps stored fingerprints verbatim.
+                    sink_idx = (
+                        sink.select("doc_id", "text", "band_fps")
+                        .withColumn(
+                            "_toks",
+                            F.when(
+                                F.col("band_fps").isNull(),
+                                _tokens(F.col("text")),
+                            ),
                         )
+                        .withColumn("_sh", _shingles(F.col("_toks")))
+                        .withColumn(
+                            "band_fps",
+                            F.coalesce(
+                                "band_fps",
+                                band_fps_from_shingles(F.col("_sh")),
+                            ),
+                        )
+                        .select("doc_id", "text", "band_fps")
                     )
                     # the refusal identity is the CONTENT (content_hash),
                     # mirroring embedding_ingest: anti-joining near hits

@@ -87,20 +87,35 @@ def incremental_append(
     """
 
     def _write_batch(batch: DataFrame, batch_id: int) -> None:
-        (
-            batch.withColumn("ingestion_run_id", F.lit(f"batch-{batch_id}"))
-            .withColumn("scrape_ts_utc", F.current_timestamp())
-            .withColumn("event_date", F.to_date("ts"))
-            .write.mode("append")
-            .partitionBy("event_date")
-            .parquet(out_path)
-        )
+        append_batch(batch, batch_id, out_path)
 
     return (
         events.writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint)
         .foreachBatch(_write_batch)
         .start()
+    )
+
+
+def append_batch(batch: DataFrame, batch_id: int, out_path: str) -> None:
+    """The per-micro-batch write of :func:`incremental_append`: DYNAMIC
+    partition overwrite on (event_date, run id), never a blind append.
+    foreachBatch is at-least-once — a crash after the files land but
+    before the checkpoint commits replays the batch, and an append would
+    duplicate every row. The dynamic overwrite rewrites exactly the
+    replayed batch's own partitions (the file-source checkpoint pins the
+    batch's file set, so the replay produces the same partitions) and
+    leaves every other batch untouched — this is what makes the module's
+    exactly-once-per-input-file claim true. Module-level so the replay
+    idempotence is directly testable."""
+    (
+        batch.withColumn("ingestion_run_id", F.lit(f"batch-{batch_id}"))
+        .withColumn("scrape_ts_utc", F.current_timestamp())
+        .withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date", "ingestion_run_id")
+        .parquet(out_path)
     )
 
 
@@ -148,14 +163,42 @@ def snapshot_consolidation(
 ) -> StreamingQuery:
     """I5: every micro-batch rewrites the consolidated snapshot (the
     reference's clear+rewrite, gsheet.py:114-117) — run via foreachBatch
-    because the consolidation join is a batch transform per trigger."""
+    because the consolidation join is a batch transform per trigger.
+
+    The snapshot is DATASET-WIDE, not batch-wide: each batch is first
+    folded (idempotently, dynamic partition overwrite keyed on batch
+    id) into a cumulative event store at ``out_path + "__events"``, and
+    the snapshot is rebuilt from the FULL store — consolidation's 1:1
+    matching is a global decision, so consolidating one micro-batch
+    alone would both drop all previously ingested events from the
+    snapshot and mis-match pairs that straddle batches. The rewrite is
+    a staged write + rename promote (shared ``_fs`` machinery): the
+    prior snapshot survives any crash window and external readers never
+    observe a missing path."""
     from ..operators.consolidate import consolidate
     from ..operators.fixtures import dice_events, shotgun_events
+    from ._fs import promote_staged, recover_promote, staging_dir
+
+    store = out_path.rstrip("/") + "__events"
 
     def _write_batch(batch: DataFrame, batch_id: int) -> None:
-        out = consolidate(shotgun_events(batch), dice_events(batch))
-        out.write.mode("overwrite").parquet(out_path)
+        spark_b = batch.sparkSession
+        recover_promote(spark_b, out_path)
+        (
+            batch.withColumn("ingest_batch", F.lit(f"batch-{batch_id}"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(store)
+        )
+        full = spark_b.read.parquet(store).drop("ingest_batch")
+        out = consolidate(shotgun_events(full), dice_events(full))
+        out.write.mode("overwrite").parquet(staging_dir(out_path))
+        promote_staged(spark_b, out_path)
 
+    # recover before the stream too: an availableNow rerun with no new
+    # files never enters foreachBatch (same rationale as ann_maintenance)
+    recover_promote(events.sparkSession, out_path)
     return (
         events.writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint)
@@ -238,19 +281,31 @@ def drain_until_fixpoint(
 
     Returns {"rounds": n, "rows": total_ingested}.
     """
-    total = 0
+    from ._fs import path_exists
+
+    def _sink_rows() -> int:
+        # count the SINK, not q.recentProgress: recentProgress retains
+        # only the last ~100 progress updates, so a >100-micro-batch
+        # round would silently undercount. The sink count is exact —
+        # the per-batch dynamic-overwrite write is replay-idempotent,
+        # so sink delta == rows genuinely ingested this round.
+        if not path_exists(spark, out_path):
+            return 0
+        return spark.read.parquet(out_path).count()
+
+    start = _sink_rows()  # pre-existing rows (a resumed drain) excluded
+    base = start
     for rnd in range(1, max_rounds + 1):
         q = incremental_append(
             read_events_stream(spark, src_dir), out_path, checkpoint
         )
         q.awaitTermination()
-        ingested = sum(
-            int(p["numInputRows"]) for p in (q.recentProgress or [])
-        )
-        total += ingested
+        now = _sink_rows()
+        ingested = now - base
+        base = now
         if ingested == 0:
-            return {"rounds": rnd, "rows": total}
+            return {"rounds": rnd, "rows": base - start}
     raise RuntimeError(
-        f"no fixpoint after {max_rounds} rounds ({total} rows ingested) — "
-        "source is producing faster than it drains"
+        f"no fixpoint after {max_rounds} rounds ({base - start} rows "
+        "ingested) — source is producing faster than it drains"
     )

@@ -373,3 +373,63 @@ def test_topk_crash_recovery_runs_before_stream_starts(spark, tmp_path):
     }
     assert after == before
     assert not os.path.isdir(state + "__old")
+
+
+def test_append_batch_replay_is_idempotent(spark, staged):
+    """foreachBatch is at-least-once: re-delivering the SAME (batch,
+    batch_id) — the crash-after-write-before-commit window — must not
+    duplicate rows (dynamic partition overwrite, not blind append)."""
+    out = str(staged / "replay_out")
+    ev = load_table(spark, SF_DIR, "events")
+    S.append_batch(ev, 0, out)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == ev.count()
+    S.append_batch(ev, 0, out)  # crash-replay of the same batch
+    assert spark.read.parquet(out).count() == n1
+    S.append_batch(ev, 1, out)  # a genuinely new batch still lands
+    assert spark.read.parquet(out).count() == 2 * n1
+
+
+def test_snapshot_is_dataset_wide_across_batches_and_runs(spark, staged):
+    """The consolidated snapshot must reflect EVERY ingested file, not
+    just the last micro-batch: 5 staged files > maxFilesPerTrigger=4
+    forces multiple batches in one drain, and a later drain's new file
+    must ADD to the dataset (the pre-fix code consolidated each batch
+    alone and overwrote the snapshot with it)."""
+    from concerts_etl_sa_spark.operators.consolidate import consolidate
+    from concerts_etl_sa_spark.operators.fixtures import (
+        dice_events,
+        shotgun_events,
+    )
+
+    src = staged / "src"
+    for i in range(2, 6):  # day1 already staged; 5 files total
+        shutil.copy(SRC, src / f"day{i}.parquet")
+    out = str(staged / "snap_wide")
+    ckpt = str(staged / "ckpt_snap_wide")
+    _await(
+        S.snapshot_consolidation(
+            S.read_events_stream(spark, str(src)), out, ckpt
+        )
+    )
+    ev1 = load_table(spark, SF_DIR, "events")
+    full5 = ev1
+    for _ in range(4):
+        full5 = full5.unionByName(ev1)
+    expected5 = consolidate(
+        shotgun_events(full5), dice_events(full5)
+    ).count()
+    assert spark.read.parquet(out).count() == expected5
+
+    # a sixth file lands; a fresh drain folds it into the SAME dataset
+    shutil.copy(SRC, src / "day6.parquet")
+    _await(
+        S.snapshot_consolidation(
+            S.read_events_stream(spark, str(src)), out, ckpt
+        )
+    )
+    full6 = full5.unionByName(ev1)
+    expected6 = consolidate(
+        shotgun_events(full6), dice_events(full6)
+    ).count()
+    assert spark.read.parquet(out).count() == expected6
