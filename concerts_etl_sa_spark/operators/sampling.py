@@ -170,10 +170,23 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = d.select(
         "source", F.size(_tokens(F.col("text"))).alias("n_toks")
     )
-    per_src = toked.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_toks").alias("n_tokens"),
-    ).withColumn("weight", _plan_weight(F.col("source")))
+    from ._cachescope import begin_scope, scoped_persist
+
+    begin_scope("mixture_plan")
+    # persisted: wtot and the final select are two independent
+    # consumers of per_src, and exchange reuse does not fire across the
+    # differently-shaped subtrees (the tfidf_top_terms finding) —
+    # unpersisted, the full-corpus tokenize scan behind this
+    # source-dimension-sized frame executes twice per action
+    per_src = scoped_persist(
+        "mixture_plan",
+        toked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .withColumn("weight", _plan_weight(F.col("source"))),
+    )
     wtot = per_src.agg(F.sum("weight").alias("w_total"))
     return (
         per_src.crossJoin(F.broadcast(wtot))

@@ -332,9 +332,15 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
+            # try_element_at, NOT element_at: Spark 4 runs ANSI mode by
+            # default, so a doc with < 3 tokens would throw
+            # INVALID_ARRAY_INDEX_IN_ELEMENT_AT and fail the whole job.
+            # NULL-on-out-of-range matches the DuckDB twin (toks[i]
+            # yields NULL past the end; concat_ws skips NULLs), so
+            # short docs get the same partial shingles on both engines.
+            F.try_element_at(toks, i),
+            F.try_element_at(toks, i + 1),
+            F.try_element_at(toks, i + 2),
         ),
     )
     return d.select(
@@ -392,9 +398,15 @@ def text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
+            # try_element_at, NOT element_at: Spark 4 runs ANSI mode by
+            # default, so a doc with < 3 tokens would throw
+            # INVALID_ARRAY_INDEX_IN_ELEMENT_AT and fail the whole job.
+            # NULL-on-out-of-range matches the DuckDB twin (toks[i]
+            # yields NULL past the end; concat_ws skips NULLs), so
+            # short docs get the same partial shingles on both engines.
+            F.try_element_at(toks, i),
+            F.try_element_at(toks, i + 1),
+            F.try_element_at(toks, i + 2),
         ),
     )
     qc = quality_cols(toks=toks)

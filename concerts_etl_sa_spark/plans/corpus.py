@@ -90,7 +90,13 @@ def curate_corpus(
     sem_k: int = 8,
     sem_max_cluster: int | None = None,
 ) -> CurationReport:
-    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    # NO repartition here: the first stage is pure scalar projections,
+    # the exact-dedup window partitions by content_hash and the budget
+    # window by hash bucket — none benefit from doc_id partitioning, so
+    # a corpus-wide exchange of raw text would buy nothing. Input-split
+    # parallelism carries the annotate scan; every later stage gets its
+    # parallelism from its own (needed) exchange.
+    docs = load_table(spark, sf_dir, "documents")
     return curate_corpus_df(
         docs,
         min_quality=min_quality,
@@ -147,6 +153,9 @@ def curate_corpus_df(
     bounded by ``sem_max_cluster`` through the shared skew guard.
     Survivor docs with NO embedding row are kept — an un-judgeable doc
     is not silently dropped."""
+    from ..operators._cachescope import begin_scope, scoped_persist
+
+    begin_scope("curate_corpus")
     # staged tokenize (see textstats.text_suite): materialize the token
     # array once; quality/lang/count expressions read the column instead
     # of re-inlining the regex-split HOF per consuming expression
@@ -166,7 +175,18 @@ def curate_corpus_df(
     rule_pass = F.col("quality") >= min_quality
     if keep_langs is not None:
         rule_pass = rule_pass & F.col("lang_detected").isin(*keep_langs)
-    ann = ann.withColumn("rule_pass", rule_pass)
+    # persisted for the WHOLE run: the annotate scan (regex tokenize +
+    # quality + lang + md5 over every document — the pipeline's
+    # CPU-dominant per-row stage) has MANY independent consumers (the
+    # report's pre/exact counts, the optional decontam/sem pre-counts,
+    # the near-dup stage, the final flagged frame). Unpersisted, each
+    # eager action re-executed it from the source — 3-5 full corpus
+    # scans per curation run for report integers. MEMORY_AND_DISK
+    # spills rather than evicts at corpus scale (the standard
+    # materialize-the-index trade).
+    ann = scoped_persist(
+        "curate_corpus", ann.withColumn("rule_pass", rule_pass)
+    )
 
     rules = ann.filter("rule_pass")
     w_hash = Window.partitionBy("content_hash")
@@ -289,10 +309,8 @@ def curate_corpus_df(
 
     # slim cache: one lineage execution serves the report aggregation AND
     # the curated output (text column is re-read only for final rows).
-    # Scoped: released when the next curation run begins.
-    from ..operators._cachescope import begin_scope, scoped_persist
-
-    begin_scope("curate_corpus")
+    # Same scope as the ann cache above — both release when the next
+    # curation run begins.
     flagged = scoped_persist("curate_corpus", flagged)
     curated = flagged.filter("in_budget").select(
         "doc_id", "text", "quality", "lang_detected", "n_tokens"

@@ -124,3 +124,37 @@ def test_corpus_df_ops_tolerate_empty_inputs(spark):
     emb = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<FLOAT>")
     assert embedding_near_dup_pairs_df(emb).count() == 0
     assert embedding_near_dup_pairs_df(emb, max_bucket_size=4).count() == 0
+
+
+def test_fingerprint_short_docs_match_oracle(spark, tmp_path):
+    """Docs with < 3 tokens must neither crash (Spark 4 ANSI element_at
+    throws past the array end — round-9 regression, fixed with
+    try_element_at) nor diverge from the DuckDB twin's NULL-skipping
+    partial shingles."""
+    import duckdb
+
+    from concerts_etl_sa_spark.operators.textstats import (
+        FINGERPRINT_SQL,
+        fingerprint,
+        text_suite,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "one"), (3, ""), (4, "three tokens here")],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(tuple(r) for r in fingerprint(spark, str(tmp_path)).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(FINGERPRINT_SQL).fetchall())
+    assert got == want
+    # the suite shares the shingle expression — must cover every doc
+    assert text_suite(spark, str(tmp_path)).count() == 4
