@@ -43,6 +43,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Two-level (coarse -> fine) assignment engages only above this K: below
+# it the flat broadcast ranking is already cheap and the index build
+# (a nested fit over K rows + one K-row collect) would dominate. At the
+# auto-K sizing rule (K = N/60) this threshold corresponds to ~N = 4k.
+TWO_LEVEL_MIN_K = 64
+
+_TL_SCHEMA = (
+    "_coarse ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>, "
+    "_groups MAP<INT, ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>>"
+)
+
 
 def _sq_dist_lambda(vec, cent_vec):
     """Squared euclidean distance usable INSIDE a higher-order-function
@@ -142,6 +153,203 @@ def kmeans_assign(
     )
 
 
+def _norm2_hof(vec_col: str):
+    """Squared norm via HOFs, dim-generic (the ``similarity._norm2``
+    F.expr form is DIM-hardcoded). Same left-associative term order, so
+    values match; only used for two-level ROUTING, where the score never
+    reaches an output column."""
+    c = F.col(vec_col)
+    return F.aggregate(
+        F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+
+
+def _tl_score(metric: str, vec, cand, n2_col):
+    """Ranking score for one (row vector, candidate struct) pair inside a
+    HOF lambda — lower is better in BOTH metrics so array_min/array_sort
+    share one shape. ``sq_dist`` is the trainer's metric; ``cosine`` is
+    the NEGATIVE rounded cosine, mirroring ``similarity._assign_buckets``
+    exactly (same rounding, same nanvl pin of an undefined 0/0 cosine to
+    -inf so it ranks last, same lowest-id tiebreak via struct order)."""
+    if metric == "sq_dist":
+        return _sq_dist_lambda(vec, cand["v"])
+    from .similarity import _dot_lambda
+
+    return -F.nanvl(
+        F.round(
+            _dot_lambda(vec, cand["v"]) / F.sqrt(n2_col * cand["n2"]), 6
+        ),
+        F.lit(float("-inf")),
+    )
+
+
+def _rank_top1(
+    emb: DataFrame,
+    entries: list[tuple[int, list[float], float]],
+    metric: str,
+    vec_col: str,
+    out_col: str,
+    norm2_col: str | None = None,
+) -> DataFrame:
+    """Flat broadcast argmin of ``entries`` (j, vec, n2) per row — the
+    routing primitive the two-level builder uses to group fine centroids
+    under coarse ones with the SAME metric the assignment will use."""
+    cents = emb.sparkSession.createDataFrame(
+        [(entries,)],
+        "_cands ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>",
+    )
+    n2 = F.col(norm2_col) if norm2_col else None
+    best = F.array_min(
+        F.transform(
+            "_cands",
+            lambda c: F.named_struct(
+                F.lit("d"),
+                _tl_score(metric, F.col(vec_col), c, n2),
+                F.lit("j"),
+                c["j"],
+            ),
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("_b", best)
+        .select(*emb.columns, F.col("_b.j").alias(out_col))
+    )
+
+
+def build_two_level_index(
+    spark,
+    id_vecs: list[tuple[int, list[float]]],
+    coarse_k: int | None = None,
+    metric: str = "sq_dist",
+    max_iters: int = 3,
+):
+    """Group K fine centroids under ~sqrt(K) coarse centroids so
+    assignment ranks sqrt(K) + nprobe*(K/sqrt(K)) candidates per row
+    instead of K — the N*K*dim flop term that dominates auto-K paths
+    (K proportional to N makes flat assignment N^2*dim/60; two-level cuts
+    it to ~N*sqrt(K)*dim). The coarse level is TRAINED with the same
+    distributed Lloyd's (``kmeans_fit`` over the K centroid rows — a
+    K-row job, negligible next to the corpus scan), then every fine
+    centroid is routed to its nearest coarse centroid under ``metric``
+    (the metric the assignment itself will rank with, so probe order and
+    grouping agree). Coarse centroids that attract no fine members are
+    dropped, which guarantees every probed group key exists in the
+    broadcast map (ANSI ``element_at`` stays crash-free by construction).
+
+    Returns ``(coarse, groups)``: ``coarse`` = [(g, vec, n2)] live coarse
+    entries, ``groups`` = {g: [(j, vec, n2)]} fine members. Both are
+    plain Python (driver-side, K*dim floats — same order of driver state
+    as the trainer's own centroid list).
+
+    Assignment under nested pruning is APPROXIMATE: the true nearest fine
+    centroid may live in an unprobed coarse group. Callers either probe
+    nprobe > 1 groups (IVF's own device) or pin the agreement/keep-rate
+    delta in pytest — the flat form stays the oracle path."""
+    k = len(id_vecs)
+    if coarse_k is None:
+        coarse_k = max(int(round(k**0.5)), 2)
+
+    def _unit(v: list[float]) -> list[float]:
+        n = sum(float(x) * float(x) for x in v) ** 0.5
+        return [float(x) / n for x in v] if n > 0 else [float(x) for x in v]
+
+    # cosine metric: train the coarse level on UNIT fine centroids —
+    # ||a-b||^2 = 2 - 2*cos(a,b) on the unit sphere, so the sq-dist
+    # trainer clusters by cosine and grouping agrees with the cosine
+    # probe ranking (raw-space coarse groups routed by cosine measured
+    # 0.57 assignment agreement; unit-space grouping is the fix).
+    fit_vecs = (
+        [(int(j), _unit(v)) for j, v in id_vecs]
+        if metric == "cosine"
+        else [(int(j), [float(x) for x in v]) for j, v in id_vecs]
+    )
+    cdf = spark.createDataFrame(
+        fit_vecs, "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    coarse_vecs, _ = kmeans_fit(cdf, k=coarse_k, max_iters=max_iters)
+    coarse_entries = [
+        (g, [float(x) for x in v], float(sum(x * x for x in v)))
+        for g, v in enumerate(coarse_vecs)
+    ]
+    routed_df = cdf
+    norm2_col = None
+    if metric == "cosine":
+        routed_df = cdf.withColumn("norm2", _norm2_hof("embedding"))
+        norm2_col = "norm2"
+    # K rows back to the driver — the index build's bounded sync point,
+    # same class as the trainer's k*dim stats collect.
+    routed = (
+        _rank_top1(
+            routed_df, coarse_entries, metric, "embedding", "g", norm2_col
+        )
+        .select("vec_id", "g")
+        .collect()
+    )
+    group_of = {r["vec_id"]: r["g"] for r in routed}
+    groups: dict[int, list[tuple[int, list[float], float]]] = {}
+    for j, v in id_vecs:
+        vv = [float(x) for x in v]
+        groups.setdefault(group_of[int(j)], []).append(
+            (int(j), vv, float(sum(x * x for x in vv)))
+        )
+    coarse = [e for e in coarse_entries if e[0] in groups]
+    return coarse, groups
+
+
+def kmeans_assign_two_level(
+    emb: DataFrame,
+    index,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    nprobe: int = 2,
+    metric: str = "sq_dist",
+    norm2_col: str | None = None,
+    score_col: str = "_sq_dist",
+) -> DataFrame:
+    """Coarse->fine assignment against a :func:`build_two_level_index`
+    result: rank the live coarse centroids, take the best ``nprobe``
+    groups, rank only THEIR fine members. Shuffle-free like the flat
+    form — the whole index travels as ONE broadcast row (array + map of
+    K*dim doubles, the same bytes the flat broadcast carries), and both
+    ranking levels are constant-size HOF expressions, so the plan stays
+    O(1) in K. ``score_col`` gets the winner's score (sq dist for the
+    trainer metric, negative rounded cosine for ``cosine``)."""
+    coarse, groups = index
+    idx = emb.sparkSession.createDataFrame([(coarse, groups)], _TL_SCHEMA)
+    n2 = F.col(norm2_col) if norm2_col else None
+
+    def _ranked(c):
+        return F.named_struct(
+            F.lit("d"),
+            _tl_score(metric, F.col(vec_col), c, n2),
+            F.lit("j"),
+            c["j"],
+        )
+
+    probed = F.slice(
+        F.array_sort(F.transform("_coarse", _ranked)), 1, nprobe
+    )
+    # element_at (not try_element_at): every probed group id is a map key
+    # by construction (dead coarse entries are dropped at build time) —
+    # a miss here is an index-construction bug and should fail loud.
+    cand = F.flatten(
+        F.transform(probed, lambda p: F.element_at(F.col("_groups"), p["j"]))
+    )
+    best = F.array_min(F.transform(cand, _ranked))
+    return (
+        emb.crossJoin(F.broadcast(idx))
+        .withColumn("_b", best)
+        .select(
+            *emb.columns,
+            F.col("_b.j").alias(out_col),
+            F.col("_b.d").alias(score_col),
+        )
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
@@ -149,11 +357,22 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rel_tol: float = 1e-6,
+    assign_nprobe: int | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Returns (centroids, per-iteration inertia). Inertia is
     non-increasing across iterations (Lloyd's invariant — tested).
     Stops early on exactly-fixed centroids or when the relative inertia
     improvement falls below ``rel_tol``.
+
+    ``assign_nprobe`` switches the per-iteration assignment to the
+    two-level coarse->fine ranking (cuts the N*k*dim assign flops to
+    ~N*(1+nprobe)*sqrt(k)*dim — the term that dominates when k tracks N)
+    once ``k >= TWO_LEVEL_MIN_K``; the index is rebuilt each iteration
+    from the current centroids (a k-row nested fit + one k-row collect,
+    negligible next to the corpus scan). With approximate assignment the
+    exact-Lloyd's monotone-inertia guarantee weakens to the ANN-kmeans
+    contract (still deterministic; convergence pinned by test, not
+    proof) — the default ``None`` keeps the exact path.
 
     The slim (id, vec) projection is persisted for the whole fit: every
     Lloyd iteration (and the init pick) re-consumes it with a different
@@ -163,7 +382,9 @@ def kmeans_fit(
     spills rather than evicts when the projection exceeds storage."""
     slim = emb.select(id_col, vec_col).persist()
     try:
-        return _fit_loop(slim, k, max_iters, id_col, vec_col, rel_tol)
+        return _fit_loop(
+            slim, k, max_iters, id_col, vec_col, rel_tol, assign_nprobe
+        )
     finally:
         slim.unpersist(blocking=False)
 
@@ -175,12 +396,22 @@ def _fit_loop(
     id_col: str,
     vec_col: str,
     rel_tol: float,
+    assign_nprobe: int | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     centroids = kmeans_init(slim, k, id_col=id_col, vec_col=vec_col)
     dim = len(centroids[0])
+    two_level = assign_nprobe is not None and k >= TWO_LEVEL_MIN_K
     inertia_hist: list[float] = []
     for _ in range(max_iters):
-        assigned = kmeans_assign(slim, centroids, vec_col=vec_col)
+        if two_level:
+            idx = build_two_level_index(
+                slim.sparkSession, list(enumerate(centroids))
+            )
+            assigned = kmeans_assign_two_level(
+                slim, idx, vec_col=vec_col, nprobe=assign_nprobe
+            )
+        else:
+            assigned = kmeans_assign(slim, centroids, vec_col=vec_col)
         # `assigned` is consumed by exactly ONE action per iteration
         # (the stats collect below), so persisting it would add cache
         # write traffic without saving any recomputation.

@@ -124,6 +124,7 @@ def semdedup_auto(
     tau: float = SEMDEDUP_TAU,
     max_cluster_size: int | None = None,
     heavy_bucket_mode: str = "star",
+    assign_nprobe: int | None = None,
 ) -> DataFrame:
     """SemDeDup with the K lever ENGAGED: K = max(N // per_cluster, 8),
     centroids picked by the deterministic modular rule
@@ -135,9 +136,21 @@ def semdedup_auto(
 
     The ``count()`` here is a deliberate one-scalar sync point (parquet
     metadata count — same class as the kmeans stats collect), paid once
-    to size the index before the plan is built."""
+    to size the index before the plan is built.
+
+    DENSE-ID GUARD (round-9 verdict #3 -> round-10 #5): the modular pick
+    assumes vec_ids roughly cover [0, n) — on a sparse or skewed id
+    space (ids mostly sharing a residue, or spread over a range >> n)
+    the rule silently under-selects centroids, inflating every cluster
+    and with it the quadratic pair stage. The pick is therefore COUNTED
+    (a second one-scalar sync on the same slim scan) and the operator
+    fails loud below half the intended K instead of degrading silently;
+    callers on a sparse id space should use the production path
+    (:func:`semdedup_trained_auto`), whose hash-bucket init is
+    id-distribution-free."""
     n = load_table(spark, sf_dir, "embeddings", spread=False).count()
     stride = _auto_stride(n, per_cluster)
+    intended_k = max(n // per_cluster, 8)
     cents = (
         load_table(spark, sf_dir, "embeddings", spread=False)
         .filter(
@@ -150,12 +163,21 @@ def semdedup_auto(
             _norm2("embedding").alias("c_n2"),
         )
     )
+    n_picked = cents.count()
+    if n_picked * 2 < intended_k:
+        raise ValueError(
+            f"semdedup_auto: modular centroid pick selected {n_picked} of "
+            f"the intended {intended_k} centroids — the vec_id space is "
+            "too sparse/skewed for the dense-id rule (docstring contract); "
+            "use semdedup_trained_auto (hash-bucket init) instead"
+        )
     return semdedup_df(
         _emb_normed(spark, sf_dir),
         cents,
         tau=tau,
         max_cluster_size=max_cluster_size,
         heavy_bucket_mode=heavy_bucket_mode,
+        assign_nprobe=assign_nprobe,
     )
 
 
@@ -228,24 +250,80 @@ def _dup_pairs(
     )
 
 
+def _assign_two_level_cos(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    coarse_k: int | None,
+) -> DataFrame:
+    """Two-level (coarse->fine) nearest-centroid assignment under the
+    SAME rounded-cosine ranking as ``similarity._assign_buckets`` — the
+    scale path for auto-K, where flat assignment's N*K*dim flops grow as
+    N^2*dim/60 (the round-9 probe's 5x->25x alpha~1.15 segment). Ranks
+    ~sqrt(K) coarse + nprobe groups' fine members per row instead of K.
+    APPROXIMATE (the true nearest fine centroid may sit in an unprobed
+    group): agreement and keep-rate parity vs the flat form are
+    pytest-pinned; the flat form stays the oracle path. Falls back to
+    flat below TWO_LEVEL_MIN_K, where the index build would cost more
+    than it saves — so the operator self-selects the right strategy by K
+    and small-corpus results are bit-identical to flat."""
+    from .kmeans import (
+        TWO_LEVEL_MIN_K,
+        build_two_level_index,
+        kmeans_assign_two_level,
+    )
+
+    # K rows to the driver — bounded (K = N/60 by the auto rule), the
+    # same sync-point class as the trainer's own centroid state.
+    rows = centroids.select("centroid_id", "centroid_vec").collect()
+    if len(rows) < TWO_LEVEL_MIN_K:
+        return _assign_buckets(emb, centroids, n_keep=1)
+    idx = build_two_level_index(
+        emb.sparkSession,
+        [(r["centroid_id"], r["centroid_vec"]) for r in rows],
+        coarse_k=coarse_k,
+        metric="cosine",
+    )
+    return kmeans_assign_two_level(
+        emb,
+        idx,
+        out_col="centroid_id",
+        nprobe=nprobe,
+        metric="cosine",
+        norm2_col="norm2",
+        score_col="_neg_cos",
+    ).select("vec_id", "embedding", "norm2", "centroid_id")
+
+
 def _assigned_frame(
-    emb: DataFrame, centroids: DataFrame, scope: str
+    emb: DataFrame,
+    centroids: DataFrame,
+    scope: str,
+    assign_nprobe: int | None = None,
+    assign_coarse_k: int | None = None,
 ) -> DataFrame:
     """Scope-persisted (vec_id, nemb, centroid_id, cent_cos) assignment
     frame — the ONE definition both keep-rule variants build on (a
     drift between them would silently break the tested subset
     invariant). ``nemb`` is the unit vector (embedding / sqrt(norm2),
     doubles), normalized ONCE here so the quadratic pair stage scores
-    with a bare dot — see :func:`_dup_pairs`."""
+    with a bare dot — see :func:`_dup_pairs`. ``assign_nprobe`` engages
+    the two-level coarse->fine assignment (:func:`_assign_two_level_cos`)
+    for the routing stage only; cent_cos is recomputed with the shared
+    exact formula either way."""
     # _nrm is computed BELOW the centroid-join barrier so the divide
     # lambda sees a per-row ATTRIBUTE: hoisting it as a sibling
     # withColumn would be undone by CollapseProject (the alias gets
     # re-inlined into the lambda and sqrt runs once per ELEMENT — 64x).
     # FP-identical: same correctly-rounded sqrt, same per-element divide.
+    assigned0 = (
+        _assign_two_level_cos(emb, centroids, assign_nprobe, assign_coarse_k)
+        if assign_nprobe is not None
+        else _assign_buckets(emb, centroids, n_keep=1)
+    )
     return scoped_persist(
         scope,
-        _assign_buckets(emb, centroids, n_keep=1)
-        .withColumn("_nrm", F.sqrt(F.col("norm2")))
+        assigned0.withColumn("_nrm", F.sqrt(F.col("norm2")))
         .join(F.broadcast(centroids), "centroid_id")
         .withColumn(
             "cent_cos",
@@ -268,6 +346,8 @@ def semdedup_df(
     tau: float = SEMDEDUP_TAU,
     max_cluster_size: int | None = None,
     heavy_bucket_mode: str = "star",
+    assign_nprobe: int | None = None,
+    assign_coarse_k: int | None = None,
 ) -> DataFrame:
     """df-based core over any (vec_id, embedding[, norm2]) frame and a
     (centroid_id, centroid_vec, c_n2) centroid frame.
@@ -286,7 +366,9 @@ def semdedup_df(
     # persisted: the pair self-join consumes it on both legs, and the
     # assignment projection (K x DIM dot products per row) is the
     # CPU-heavy stage — the standard materialize-the-index trade
-    assigned = _assigned_frame(emb, centroids, "semdedup")
+    assigned = _assigned_frame(
+        emb, centroids, "semdedup", assign_nprobe, assign_coarse_k
+    )
     dup = _dup_pairs(assigned, tau, max_cluster_size, heavy_bucket_mode)
     nb = dup.select(
         F.col("a_id").alias("vec_id"),
@@ -407,21 +489,32 @@ def semdedup_trained(
     tau: float = SEMDEDUP_TAU,
     max_iters: int = 3,
     max_cluster_size: int | None = None,
+    assign_nprobe: int | None = None,
 ) -> DataFrame:
     """SemDeDup over kmeans-TRAINED centroids — the production index
     build (the paper trains k-means on the embedding space). Composes
     the distributed Lloyd's trainer exactly like
     :func:`similarity.topk_cosine_ivf_trained`; deterministic for a
-    given input but not a DuckDB one-shot, hence pytest-pinned."""
+    given input but not a DuckDB one-shot, hence pytest-pinned.
+    ``assign_nprobe`` engages the two-level coarse->fine ranking in BOTH
+    per-iteration Lloyd's assignment and the final cluster routing —
+    the N*K*dim term appears in each, and both self-select flat below
+    ``kmeans.TWO_LEVEL_MIN_K``."""
     from .kmeans import centroids_df, kmeans_fit
 
     emb = _emb_normed(spark, sf_dir)
-    fitted, _ = kmeans_fit(emb, k=k_centroids, max_iters=max_iters)
+    fitted, _ = kmeans_fit(
+        emb, k=k_centroids, max_iters=max_iters, assign_nprobe=assign_nprobe
+    )
     centroids = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
     )
     return semdedup_df(
-        emb, centroids, tau=tau, max_cluster_size=max_cluster_size
+        emb,
+        centroids,
+        tau=tau,
+        max_cluster_size=max_cluster_size,
+        assign_nprobe=assign_nprobe,
     )
 
 
@@ -432,11 +525,20 @@ def semdedup_trained_auto(
     tau: float = SEMDEDUP_TAU,
     max_iters: int = 3,
     max_cluster_size: int | None = None,
+    assign_nprobe: int | None = 2,
 ) -> DataFrame:
     """The full production composition: K sized from N (auto rule) AND
     centroids kmeans-trained — what a 100 TB run would actually execute.
     Deterministic for a given input (hash-bucket init + Lloyd's), not a
-    DuckDB one-shot; pytest-pinned like :func:`semdedup_trained`."""
+    DuckDB one-shot; pytest-pinned like :func:`semdedup_trained`.
+
+    Two-level assignment is ON by default here (``assign_nprobe=2``):
+    with K proportional to N the flat ranking's N*K*dim flops are the
+    composition's dominant term (round-9 probe: the auto-K 5x->25x
+    segment at alpha~1.15 was exactly this), and the production path is
+    pytest-pinned rather than DuckDB-oracled, so the approximate routing
+    is admissible. Below TWO_LEVEL_MIN_K it self-selects flat, so bench-
+    scale results are unchanged."""
     n = load_table(spark, sf_dir, "embeddings", spread=False).count()
     return semdedup_trained(
         spark,
@@ -445,6 +547,7 @@ def semdedup_trained_auto(
         tau=tau,
         max_iters=max_iters,
         max_cluster_size=max_cluster_size,
+        assign_nprobe=assign_nprobe,
     )
 
 

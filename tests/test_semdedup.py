@@ -228,3 +228,36 @@ def test_semdedup_trained_auto_sizes_k_from_n(spark):
     assert len(rows) == n
     k = max(n // 60, 8)
     assert {r.centroid_id for r in rows} <= set(range(k))
+
+
+def test_semdedup_auto_fails_loud_on_sparse_id_space(spark, tmp_path):
+    """Dense-id guard (round-10 #5): the modular centroid pick assumes
+    vec_ids roughly cover [0, n). Ids striped at 10M (every id sharing
+    a residue class the rule can't hit) must raise, not silently run
+    with a fraction of the intended K and a quadratic pair stage."""
+    import pytest
+
+    from concerts_etl_sa_spark.operators.semdedup import semdedup_auto
+    from concerts_etl_sa_spark.schemas import TESTDATA_SCHEMAS
+
+    rows = [
+        (i * 10_000_000, [float((i * 7 + d) % 13) for d in range(64)], 0)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, TESTDATA_SCHEMAS["embeddings"])
+    sf = str(tmp_path / "sparse_sf")
+    df.coalesce(1).write.parquet(sf + "/embeddings_dir")
+    import os
+    import shutil
+
+    part = next(
+        f
+        for f in os.listdir(sf + "/embeddings_dir")
+        if f.endswith(".parquet")
+    )
+    shutil.move(
+        os.path.join(sf, "embeddings_dir", part),
+        os.path.join(sf, "embeddings.parquet"),
+    )
+    with pytest.raises(ValueError, match="modular centroid pick"):
+        semdedup_auto(spark, sf)
