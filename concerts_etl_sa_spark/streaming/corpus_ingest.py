@@ -104,59 +104,36 @@ def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
     Crash-window FENCE: a ``<sink>__backfill_manifest`` marker file is
     created before the first rename and removed only after the swap is
     fully settled. :func:`run_corpus_ingest` refuses to start while the
-    marker exists, so the one state this recovery cannot repair — an
-    ingest recreating the sink INSIDE the swap window (the "ambiguous
-    state" error below) — is prevented from ever arising, instead of
-    merely detected after the fact."""
+    marker exists, so the one state recovery cannot repair — an ingest
+    recreating the sink INSIDE the swap window (the "ambiguous state"
+    error) — is prevented from ever arising, instead of merely detected
+    after the fact.
+
+    Swap, fence and recovery are the SHARED ``_fs`` staged-promote
+    machinery (round-10 #6 — one definition across ann_maintenance,
+    the snapshot sinks and this backfill): this caller passes its
+    sink-lifetime suffixes, the fence marker, and ``prefer_staged=True``
+    (the tmp rewrite is fully verified before the swap begins, so a
+    crash between the renames RESUMES the promote instead of discarding
+    the verified work — unlike the snapshot sinks, whose staging is
+    untrusted scratch)."""
     from ..operators.dedup import _shingles, _tokens, band_fps_from_shingles
+    from ._fs import delete_path, promote_staged, recover_promote
 
     tmp_dir = sink_dir.rstrip("/") + "__backfill"
-    old_dir = sink_dir.rstrip("/") + "__pre_backfill"
     marker_dir = backfill_marker_path(sink_dir)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    p_sink = jvm.org.apache.hadoop.fs.Path(sink_dir)
-    fs = p_sink.getFileSystem(hconf)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp_dir)
-    p_old = jvm.org.apache.hadoop.fs.Path(old_dir)
-    p_marker = jvm.org.apache.hadoop.fs.Path(marker_dir)
     # crash-window recovery BEFORE the existence probe: a death between
-    # the two renames below leaves the sink missing while the corpus
-    # lives in the staging dirs — without this, a rerun would report
-    # "already indexed" (0) and the next ingest would silently rebuild
-    # an EMPTY sink with every gate disarmed
-    if path_exists(spark, old_dir):
-        if not path_exists(spark, sink_dir):
-            if path_exists(spark, tmp_dir):
-                # tmp was fully verified before the swap began — resume
-                # the interrupted promote
-                if not fs.rename(p_tmp, p_sink):
-                    raise RuntimeError(
-                        f"backfill recovery: could not promote {tmp_dir}"
-                    )
-            else:
-                # no rewrite on disk: roll the original back
-                if not fs.rename(p_old, p_sink):
-                    raise RuntimeError(
-                        f"backfill recovery: could not restore {old_dir}"
-                    )
-        if path_exists(spark, old_dir) and path_exists(spark, sink_dir):
-            # a genuinely completed swap has no tmp dir left (it was
-            # renamed onto the sink). old+sink+tmp ALL present means an
-            # ingest recreated the sink INSIDE the crash window — the
-            # original corpus lives in old_dir and deleting it here
-            # would silently destroy it. Fail loudly instead.
-            if path_exists(spark, tmp_dir):
-                raise RuntimeError(
-                    f"backfill: ambiguous state — {sink_dir}, {old_dir} "
-                    f"and {tmp_dir} all exist. The sink was likely "
-                    "recreated by an ingest during an interrupted "
-                    "backfill; the original corpus is in the "
-                    "__pre_backfill dir. Reconcile manually (merge the "
-                    "recreated sink's rows into the staged corpus) "
-                    "before rerunning."
-                )
-            fs.delete(p_old, True)  # completed-swap leftover
+    # the two renames leaves the sink missing while the corpus lives in
+    # the staging dirs — without this, a rerun would report "already
+    # indexed" (0) and the next ingest would silently rebuild an EMPTY
+    # sink with every gate disarmed
+    recover_promote(
+        spark,
+        sink_dir,
+        staging_suffix="__backfill",
+        old_suffix="__pre_backfill",
+        prefer_staged=True,
+    )
     if not path_exists(spark, sink_dir):
         return 0
     sink = spark.read.schema(CURATED_SCHEMA).parquet(sink_dir)
@@ -165,8 +142,7 @@ def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
         # the sink is settled and fully indexed — any marker left here
         # is a stale fence from a crash after the swap completed but
         # before the marker delete; clear it so ingest can resume
-        if path_exists(spark, marker_dir):
-            fs.delete(p_marker, False)
+        delete_path(spark, marker_dir)
         return 0
     # staged tokenize (HOF staging rule); _toks is NULL for rows that
     # already carry band_fps, so the signature pipeline only runs on the
@@ -189,41 +165,16 @@ def backfill_band_fps(spark: SparkSession, sink_dir: str) -> int:
     ).count()
     if n != 0:  # defensive: the rewrite must leave nothing unindexed
         raise RuntimeError(f"backfill left {n} rows without band_fps")
-    # fence FIRST: from here until the marker delete, run_corpus_ingest
-    # refuses to start, so no ingest can recreate the sink mid-swap.
-    # createNewFile returns False instead of throwing when it cannot
-    # create (e.g. the file already exists) — False with NO marker on
-    # disk means the swap would proceed UNFENCED, and the fence is the
-    # sole protection against the unrecoverable ingest-recreates-sink-
-    # mid-swap state; fail before the first rename instead. (False with
-    # the marker present is fine: a prior run crashed after fencing but
-    # before its first rename — the fence is already in place.)
-    if not fs.createNewFile(p_marker) and not path_exists(spark, marker_dir):
-        raise RuntimeError(
-            f"backfill: could not create fence marker {marker_dir}; "
-            "refusing to start the swap unfenced"
-        )
-    if not fs.rename(p_sink, p_old):
-        fs.delete(p_marker, False)  # swap never started
-        raise RuntimeError(f"backfill: could not stage {sink_dir} aside")
-    if not fs.rename(p_tmp, p_sink):
-        # roll back so the sink is never left missing. The fence marker
-        # is removed ONLY when the rollback lands: with the sink still
-        # missing, the marker is the sole thing stopping an ingest from
-        # recreating the sink mid-swap (the documented unrecoverable
-        # old+sink+tmp state) — an unconditional delete here would
-        # unfence exactly that window.
-        if fs.rename(p_old, p_sink):
-            fs.delete(p_marker, False)
-            raise RuntimeError(f"backfill: could not promote {tmp_dir}")
-        raise RuntimeError(
-            f"backfill: could not promote {tmp_dir} AND could not roll "
-            f"back {old_dir} — fence marker left in place; reconcile "
-            "manually (restore the sink from __pre_backfill), then "
-            "delete the marker"
-        )
-    fs.delete(p_old, True)
-    fs.delete(p_marker, False)
+    # fenced staged swap (shared implementation): marker created before
+    # the first rename, removed only once the swap settles or fully
+    # rolls back — run_corpus_ingest refuses to start while it exists.
+    promote_staged(
+        spark,
+        sink_dir,
+        staging_suffix="__backfill",
+        old_suffix="__pre_backfill",
+        marker=marker_dir,
+    )
     return n_legacy
 
 
