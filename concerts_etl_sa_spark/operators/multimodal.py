@@ -507,6 +507,89 @@ def media_table_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PGM_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def extract_pgm_features(media: DataFrame) -> DataFrame:
+    """REAL-codec feature extraction (round-10 #3 — the in-window l4
+    row previously exercised only the stub decode): every field here
+    comes out of :func:`pgm_decode`'s parsed header and raster — width/
+    height from the header ints, mean intensity from the raster bytes —
+    never from side-channel metadata or the closed-form generator. The
+    DuckDB twin recomputes the expected values arithmetically from the
+    fixture's closed form WITHOUT decoding, so parity proves the decoder
+    actually decodes (same device as MEDIA_RESIZE_DECODED_SQL).
+    mapInPandas keeps the binary payloads inside one Arrow-batched
+    stage: bytes never cross a shuffle, features (a few scalars per doc)
+    are what moves."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                w, h, px = pgm_decode(b)
+                rows.append(
+                    (
+                        int(i), w, h, 1, len(b),
+                        round(sum(px) / float(len(px)), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "n_bytes",
+                    "mean_intensity",
+                ],
+            ).astype(
+                {"width": "int32", "height": "int32", "channels": "int32"}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        batches, PGM_FEATURES_SCHEMA
+    )
+
+
+def media_features_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end real-codec features: PGM table -> parse -> stats."""
+    return extract_pgm_features(media_table_pgm(spark, sf_dir))
+
+
+def _media_features_pgm_sql() -> str:
+    # header 'P5\n{w} {h}\n255\n' + w*h raster bytes; pixel value
+    # (doc_id*31 + idx) % 256 — all arithmetic, no decoding, so a match
+    # proves the Spark side parsed the actual bytes
+    w = "(8 + doc_id % 8)"
+    h = "(8 + doc_id % 5)"
+    return f"""
+SELECT doc_id,
+  CAST({w} AS INT) AS width,
+  CAST({h} AS INT) AS height,
+  CAST(1 AS INT) AS channels,
+  CAST(octet_length(encode('P5' || chr(10) || CAST({w} AS VARCHAR) || ' '
+                    || CAST({h} AS VARCHAR) || chr(10) || '255' || chr(10)))
+       + {w} * {h} AS BIGINT) AS n_bytes,
+  round(list_aggregate(
+    list_transform(generate_series(0, {w} * {h} - 1),
+                   j -> CAST((doc_id * 31 + j) % 256 AS DOUBLE)),
+    'avg'), 6) AS mean_intensity
+FROM documents
+ORDER BY doc_id
+"""
+
+
+MEDIA_FEATURES_PGM_SQL = _media_features_pgm_sql()
+
+
 RESIZE_DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -142,7 +142,18 @@ _L_FAMILY = [
     # the count() sizing step) differs; fixed keeps unreg_* pytest
     # parity and stays benched (rationale in SURVEY §8).
     ("l2_semdedup_auto", SEM.semdedup_auto, SEM.SEMDEDUP_AUTO_SQL),
-    ("l4_media_features", MM.media_features, MM.MEDIA_FEATURES_SQL),
+    # round-10 rotation #7: l4_media_features (stub decode over the
+    # raw-text media table — deterministic md5 + kind-mapped dim, i.e.
+    # the oracle re-derives everything from documents.text without any
+    # decoding happening on either side) cedes its slot to the REAL-codec
+    # form: payloads are actual binary PGM images, the Spark side parses
+    # header + raster (pgm_decode) and the DuckDB twin recomputes
+    # width/height/mean-intensity arithmetically from the fixture's
+    # closed form WITHOUT decoding — a hash match proves the decoder
+    # decodes. The stub row keeps pytest oracle parity as unreg_*
+    # (rationale in SURVEY §8).
+    ("l4_media_features_pgm", MM.media_features_pgm,
+     MM.MEDIA_FEATURES_PGM_SQL),
     # one-scan suite of every per-doc text projection (token stats,
     # BPE-ish counts, quality, lang-id, fingerprints) — the standalone
     # per-op queries remain exported and pytest-covered

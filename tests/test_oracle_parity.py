@@ -122,6 +122,12 @@ def _all_queries():
         # rotated OUT of the driver window in round 7 (stub-backed in
         # this container) — still oracle-parity-checked here
         ("unreg_l4_media_resize", MM.media_resize, MM.MEDIA_RESIZE_SQL),
+        # round-10 rotation #7: the stub-decode features row ceded its
+        # window slot to the real-codec l4_media_features_pgm — parity
+        # kept (the stub table is still the multimodal plumbing contract
+        # for containers without any codec)
+        ("unreg_l4_media_features", MM.media_features,
+         MM.MEDIA_FEATURES_SQL),
         ("unreg_l4_frame_sample", MM.frame_sample, MM.FRAME_SAMPLE_SQL),
         # round-9: REAL-codec resize — Spark decodes actual PGM bytes,
         # the oracle recomputes the resized payload from the closed-form
