@@ -74,6 +74,13 @@ HEADLINE = R6_HEADLINE + [
     # — the scale-correct form; alongside l2_semdedup (fixed K=32) the
     # pair isolates what the K lever costs at bench scale
     "l2_semdedup_auto",
+    # round-10 additions (verdict #4): the TRAINED production
+    # compositions were pytest-pinned but unbenched — a trainer or
+    # encoder regression was invisible to bench-audit. All three resolve
+    # via _extra_queries (no driver-window slot).
+    "unreg_l2_semdedup_trained_auto",
+    "unreg_l2_topk_cosine_pq_trained",
+    "unreg_l2_topk_cosine_ivfpq_trained",
 ]
 
 
@@ -105,6 +112,13 @@ def _extra_queries():
         "l1_exact_dedup": D.exact_dedup,
         "l3_pii_redact": TS.pii_redact,
         "l2_semdedup_trained": _semdedup_trained,
+        # round-10: trained production compositions under the ratchet
+        # (auto-K sizing + Lloyd's training + two-level assignment for
+        # semdedup; per-subspace-Lloyd's codebooks for PQ; trained
+        # coarse + trained codebooks for IVF+PQ)
+        "unreg_l2_semdedup_trained_auto": SEM.semdedup_trained_auto,
+        "unreg_l2_topk_cosine_pq_trained": PQ.topk_cosine_pq_trained,
+        "unreg_l2_topk_cosine_ivfpq_trained": PQ.topk_cosine_ivfpq_trained,
     }
 
 

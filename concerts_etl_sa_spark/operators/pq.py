@@ -341,6 +341,160 @@ def pq_train(
         base.unpersist(blocking=False)
 
 
+def pq_train_fused(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    max_iters: int = 3,
+    vec_col: str = "embedding",
+    rel_tol: float = 1e-6,
+) -> list[list[list[float]]]:
+    """All-subspace Lloyd's in ONE loop — the production trainer.
+
+    :func:`pq_train` runs m SEQUENTIAL kmeans_fit calls: m inits + up to
+    m*max_iters assignment/update jobs, i.e. ~m*(max_iters+1) passes over
+    the (cached) corpus — 32 passes at the defaults, which the round-10
+    bench gate surfaced as 23 s at sf0.1 and which at 100 TB is 32 reads
+    of a cache that may spill. Here every iteration is ONE job: the m
+    codebooks travel as one broadcast row (array-of-arrays of (j, v)
+    structs), ``zip_with(subs, _books)`` ranks each subspace's k entries
+    against its slice in-place, and a single posexplode aggregation
+    yields all (s, cluster, pos) partial sums — m*SUB = DIM narrow rows
+    per vector, the SAME shuffle volume as one full-dim kmeans
+    iteration. Total passes: 1 init + max_iters, independent of m.
+
+    Per-subspace convergence matches kmeans_fit's contract (exact
+    fixed-point OR relative-inertia early stop, each subspace freezing
+    independently; a frozen subspace's stats are simply ignored). The
+    seed ids are id-derived (hash buckets), hence IDENTICAL across
+    subspaces — one collect seeds all m books. Results match
+    :func:`pq_train` up to floating-point aggregation order (the fused
+    job sums partials in a different partition order; parity is pinned
+    by test at 1e-9, determinism exactly)."""
+    # _nrm is built as a real column in its own projection stage so the
+    # divide lambdas see a per-row attribute (same device as
+    # semdedup._assigned_frame)
+    slim = (
+        emb.select("vec_id", vec_col, _nrm(emb, vec_col).alias("_nrm"))
+        .select(
+            "vec_id",
+            F.array(
+                *[
+                    F.transform(
+                        F.slice(vec_col, s * PQ_SUB + 1, PQ_SUB),
+                        lambda x: x.cast("double") / F.col("_nrm"),
+                    )
+                    for s in range(m)
+                ]
+            ).alias("subs"),
+        )
+        .persist()
+    )
+    try:
+        return _fused_loop(slim, m, k, max_iters, rel_tol)
+    finally:
+        slim.unpersist(blocking=False)
+
+
+def _fused_loop(
+    slim: DataFrame, m: int, k: int, max_iters: int, rel_tol: float
+) -> list[list[list[float]]]:
+    from .kmeans import _sq_dist_lambda
+
+    spark = slim.sparkSession
+    # init: the hash-bucket min-id pick is id-derived, so every subspace
+    # seeds from the SAME rows — one collect slices all m books
+    # (identical ids, and identical subvector values, to what m separate
+    # kmeans_init calls would pick)
+    seed_ids = (
+        slim.select(F.pmod(F.hash("vec_id"), F.lit(k)).alias("b"), "vec_id")
+        .groupBy("b")
+        .agg(F.min("vec_id").alias("vec_id"))
+    )
+    picked = (
+        slim.join(F.broadcast(seed_ids.select("vec_id")), "vec_id")
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(picked) < k:
+        picked = slim.orderBy("vec_id").limit(k).collect()
+    books = [
+        [[float(x) for x in r["subs"][s]] for r in picked[:k]]
+        for s in range(m)
+    ]
+    sub_dim = len(books[0][0])
+    hists: list[list[float]] = [[] for _ in range(m)]
+    frozen = [False] * m
+    schema = "_books ARRAY<ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>>>>"
+    for _ in range(max_iters):
+        if all(frozen):
+            break
+        bdf = spark.createDataFrame(
+            [([[(j, v) for j, v in enumerate(book)] for book in books],)],
+            schema,
+        )
+        best = F.zip_with(
+            "subs",
+            "_books",
+            lambda subv, book: F.named_struct(
+                F.lit("b"),
+                F.array_min(
+                    F.transform(
+                        book,
+                        lambda c: F.named_struct(
+                            F.lit("d"),
+                            _sq_dist_lambda(subv, c["v"]),
+                            F.lit("j"),
+                            c["j"],
+                        ),
+                    )
+                ),
+                F.lit("subv"),
+                subv,
+            ),
+        )
+        stats = (
+            slim.crossJoin(F.broadcast(bdf))
+            .select(F.posexplode(best).alias("s", "info"))
+            .select(
+                "s",
+                F.col("info.b.j").alias("cluster"),
+                F.col("info.b.d").alias("_sq_dist"),
+                F.posexplode("info.subv").alias("pos", "x"),
+            )
+            .groupBy("s", "cluster", "pos")
+            .agg(
+                F.sum("x").alias("sum_x"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_sq_dist") / sub_dim).alias("d"),
+            )
+            .collect()
+        )
+        new_books = [[list(c) for c in book] for book in books]
+        inertia = [0.0] * m
+        for r in stats:
+            if frozen[r["s"]]:
+                continue
+            new_books[r["s"]][r["cluster"]][r["pos"]] = (
+                r["sum_x"] / r["n"]
+            )
+            inertia[r["s"]] += r["d"]
+        for s in range(m):
+            if frozen[s]:
+                continue
+            hists[s].append(inertia[s])
+            if new_books[s] == books[s]:
+                frozen[s] = True
+                continue
+            books[s] = new_books[s]
+            h = hists[s]
+            if len(h) >= 2 and h[-2] - h[-1] <= rel_tol * max(
+                h[-2], 1e-12
+            ):
+                frozen[s] = True
+    return books
+
+
 def pq_codebook_from_trained(
     spark: SparkSession, books: list[list[list[float]]]
 ) -> DataFrame:
@@ -364,11 +518,13 @@ def topk_cosine_pq_trained(
 ) -> DataFrame:
     """PQ top-k over per-subspace kmeans-TRAINED codebooks — the
     production index build. Deterministic for a given input but not a
-    DuckDB one-shot (iterative trainer), hence pytest-pinned."""
+    DuckDB one-shot (iterative trainer), hence pytest-pinned. Uses the
+    FUSED trainer (one job per iteration for all m subspaces) — the
+    sequential :func:`pq_train` is the semantic reference."""
     from ..sources.readers import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(emb, m=PQ_M, k=k_codes, max_iters=max_iters)
+    books = pq_train_fused(emb, m=PQ_M, k=k_codes, max_iters=max_iters)
     return topk_cosine_pq_df(
         emb, pq_codebook_from_trained(spark, books)
     )
@@ -499,7 +655,7 @@ def topk_cosine_ivfpq_trained(
     coarse = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
     )
-    books = pq_train(emb, m=PQ_M, k=k_codes, max_iters=max_iters)
+    books = pq_train_fused(emb, m=PQ_M, k=k_codes, max_iters=max_iters)
     return topk_cosine_ivfpq_df(
         _emb_normed(spark, sf_dir),
         coarse,

@@ -147,3 +147,27 @@ def test_pq_plan_size_flat_in_codebook(spark):
         )
         assert enc.count() == emb.count()
     assert sizes[256] < sizes[16] + 2000, sizes
+
+
+def test_pq_train_fused_matches_sequential(spark):
+    """The fused all-subspace trainer (one job per Lloyd iteration —
+    round-10 fix for the 32-corpus-pass sequential form the new bench
+    gate surfaced at 23 s) must reproduce the sequential reference
+    per-subspace: same shapes, same convergence, values within 1e-9
+    (the fused job sums update partials in a different partition order,
+    so bit-equality is not contractual — measured 0.0 on both fixtures,
+    pinned with float-aggregation headroom). Determinism is exact."""
+    from concerts_etl_sa_spark.operators.pq import pq_train, pq_train_fused
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seq = pq_train(emb)
+    fus = pq_train_fused(emb)
+    assert len(fus) == len(seq)
+    for a, b in zip(seq, fus):
+        assert len(a) == len(b)
+        for ca, cb in zip(a, b):
+            assert max(abs(x - y) for x, y in zip(ca, cb)) <= 1e-9
+    assert pq_train_fused(emb) == fus

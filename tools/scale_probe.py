@@ -111,8 +111,18 @@ def _capped_ops() -> dict:
             SEM.semdedup_auto(spark, sf, max_cluster_size=CAP)
         ),
         # not capped, but probe-only like the capped forms: the full
-        # production composition (auto-K sizing + Lloyd's training)
+        # production composition (auto-K sizing + Lloyd's training +
+        # round-10 two-level assignment, ON by default)
         "l2_semdedup_auto_trained": SEM.semdedup_trained_auto,
+        # round-10: auto-K with TWO-LEVEL coarse->fine assignment on the
+        # fixed modular centroids — the treatment for the round-9 finding
+        # that the auto-K 5x->25x segment (alpha~1.15) is the flat
+        # ranking's N*K*dim term. Self-selects flat below K=64, so the 1x
+        # point (K=33) equals l2_semdedup_auto by construction; the
+        # 5x->25x segment (K=166 -> 833) is the measurement.
+        "l2_semdedup_auto_2l": lambda spark, sf: (
+            SEM.semdedup_auto(spark, sf, assign_nprobe=2)
+        ),
     }
 
 
