@@ -45,9 +45,15 @@ from pyspark.sql import functions as F
 
 # Two-level (coarse -> fine) assignment engages only above this K: below
 # it the flat broadcast ranking is already cheap and the index build
-# (a nested fit over K rows + one K-row collect) would dominate. At the
-# auto-K sizing rule (K = N/60) this threshold corresponds to ~N = 4k.
-TWO_LEVEL_MIN_K = 64
+# (a nested fit over K rows + routing collects — job-LATENCY-bound
+# constants, not data work) dominates. Round-10 single-node measurement:
+# at K=166 two-level LOSES (fit 21.9 s vs flat 6.5 s; one-shot assign
+# 9.4 vs 5.9), at K=833 it WINS 2x (21.6 vs 43.7 end-to-end) — local
+# crossover ~K 300-500. 256 is the engage point; the constant does not
+# grow with N (K-row work), so at production N the true crossover is
+# lower and this threshold is conservative. At the auto-K rule
+# (K = N/60) this corresponds to ~N = 15k.
+TWO_LEVEL_MIN_K = 256
 
 _TL_SCHEMA = (
     "_coarse ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>, "
@@ -225,10 +231,14 @@ def build_two_level_index(
     coarse_k: int | None = None,
     metric: str = "sq_dist",
     max_iters: int = 3,
+    coarse_vecs: list[list[float]] | None = None,
 ):
     """Group K fine centroids under ~sqrt(K) coarse centroids so
     assignment ranks sqrt(K) + nprobe*(K/sqrt(K)) candidates per row
-    instead of K — the N*K*dim flop term that dominates auto-K paths
+    instead of K (hierarchical/two-level quantization — the standard
+    large-K device: Nister & Stewenius 2006 vocabulary trees, FAISS's
+    coarse-quantizer + IVF composition) — the N*K*dim flop term that
+    dominates auto-K paths
     (K proportional to N makes flat assignment N^2*dim/60; two-level cuts
     it to ~N*sqrt(K)*dim). The coarse level is TRAINED with the same
     distributed Lloyd's (``kmeans_fit`` over the K centroid rows — a
@@ -247,7 +257,14 @@ def build_two_level_index(
     Assignment under nested pruning is APPROXIMATE: the true nearest fine
     centroid may live in an unprobed coarse group. Callers either probe
     nprobe > 1 groups (IVF's own device) or pin the agreement/keep-rate
-    delta in pytest — the flat form stays the oracle path."""
+    delta in pytest — the flat form stays the oracle path.
+
+    ``coarse_vecs`` reuses a previously-trained coarse level (skipping
+    the nested fit; only the fine->coarse ROUTING reruns) — the Lloyd
+    caller's amortization: fine centroids drift slowly between
+    iterations, and the coarse level is routing structure whose quality
+    affects only approximation, never correctness, so rebuilding it
+    per iteration buys nothing but the nested fit's job latency."""
     k = len(id_vecs)
     if coarse_k is None:
         coarse_k = max(int(round(k**0.5)), 2)
@@ -269,7 +286,8 @@ def build_two_level_index(
     cdf = spark.createDataFrame(
         fit_vecs, "vec_id INT, embedding ARRAY<DOUBLE>"
     )
-    coarse_vecs, _ = kmeans_fit(cdf, k=coarse_k, max_iters=max_iters)
+    if coarse_vecs is None:
+        coarse_vecs, _ = kmeans_fit(cdf, k=coarse_k, max_iters=max_iters)
     coarse_entries = [
         (g, [float(x) for x in v], float(sum(x * x for x in v)))
         for g, v in enumerate(coarse_vecs)
@@ -401,12 +419,21 @@ def _fit_loop(
     centroids = kmeans_init(slim, k, id_col=id_col, vec_col=vec_col)
     dim = len(centroids[0])
     two_level = assign_nprobe is not None and k >= TWO_LEVEL_MIN_K
+    coarse_reuse: list[list[float]] | None = None
     inertia_hist: list[float] = []
     for _ in range(max_iters):
         if two_level:
+            # the coarse level is trained ONCE (first iteration) and
+            # reused: later iterations only re-route the drifted fine
+            # centroids (one small job + K-row collect instead of a
+            # nested fit per iteration — routing structure, not
+            # correctness)
             idx = build_two_level_index(
-                slim.sparkSession, list(enumerate(centroids))
+                slim.sparkSession,
+                list(enumerate(centroids)),
+                coarse_vecs=coarse_reuse,
             )
+            coarse_reuse = [v for _, v, _ in idx[0]]
             assigned = kmeans_assign_two_level(
                 slim, idx, vec_col=vec_col, nprobe=assign_nprobe
             )

@@ -68,33 +68,34 @@ def test_two_level_fallback_identical_below_min_k(spark):
 
 
 def test_two_level_semdedup_parity_at_real_k(spark):
-    """At K=100 over the sf0.1 embeddings (per_cluster=20 engages real
-    two-level routing: K >= TWO_LEVEL_MIN_K), the approximate form must
-    stay semantically close to flat. Pinned at the measured marks with
-    headroom: keep-rate delta 0.0055 (pin < 0.03), within-cluster
-    duplicate-pair count >= 70% of flat's (measured 80% — and flat
-    itself recalls only ~11% of the full tau graph at this K, so the
-    two-level haircut is a fraction OF a fraction, not a cliff). Also
-    pins determinism: two runs, identical frames."""
+    """At K=400 over the sf0.1 embeddings (per_cluster=5 engages real
+    two-level routing: K >= TWO_LEVEL_MIN_K=256), the approximate form
+    must stay semantically close to flat. Pinned at the measured marks
+    with headroom: keep-rate delta 0.0155 (pin < 0.05), within-cluster
+    duplicate-pair count 74.5% of flat's (pin >= 0.68 — and flat itself
+    recalls only a small fraction of the full tau graph at this K, the
+    paper's own K-recall trade, so the two-level haircut is a fraction
+    OF a fraction, not a cliff). Also pins determinism: two runs,
+    identical frames."""
     flat = (
-        semdedup_auto(spark, SF01_DIR, per_cluster=20)
+        semdedup_auto(spark, SF01_DIR, per_cluster=5)
         .toPandas()
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
     two = (
-        semdedup_auto(spark, SF01_DIR, per_cluster=20, assign_nprobe=2)
+        semdedup_auto(spark, SF01_DIR, per_cluster=5, assign_nprobe=2)
         .toPandas()
         .sort_values("vec_id")
         .reset_index(drop=True)
     )
-    assert abs(flat["is_kept"].mean() - two["is_kept"].mean()) < 0.03
+    assert abs(flat["is_kept"].mean() - two["is_kept"].mean()) < 0.05
     # n_dup_neighbors sums 2x the pair count — the recall proxy
     assert (
-        two["n_dup_neighbors"].sum() >= 0.70 * flat["n_dup_neighbors"].sum()
+        two["n_dup_neighbors"].sum() >= 0.68 * flat["n_dup_neighbors"].sum()
     )
     two_again = (
-        semdedup_auto(spark, SF01_DIR, per_cluster=20, assign_nprobe=2)
+        semdedup_auto(spark, SF01_DIR, per_cluster=5, assign_nprobe=2)
         .toPandas()
         .sort_values("vec_id")
         .reset_index(drop=True)
