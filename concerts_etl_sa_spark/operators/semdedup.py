@@ -420,6 +420,8 @@ def semdedup_groups_df(
     tau: float = SEMDEDUP_TAU,
     max_cluster_size: int | None = None,
     heavy_bucket_mode: str = "star",
+    assign_nprobe: int | None = None,
+    assign_coarse_k: int | None = None,
 ) -> DataFrame:
     """The paper's EXACT per-group rule: duplicate groups are connected
     components of the tau-graph (within clusters), and each group keeps
@@ -436,7 +438,9 @@ def semdedup_groups_df(
     if "norm2" not in emb.columns:
         emb = emb.withColumn("norm2", _norm2("embedding"))
     begin_scope("semdedup_groups")
-    assigned = _assigned_frame(emb, centroids, "semdedup_groups")
+    assigned = _assigned_frame(
+        emb, centroids, "semdedup_groups", assign_nprobe, assign_coarse_k
+    )
     dup = scoped_persist(
         "semdedup_groups",
         _dup_pairs(assigned, tau, max_cluster_size, heavy_bucket_mode),

@@ -443,6 +443,7 @@ def topk_cosine_ivf_trained(
     k_centroids: int = 8,
     nprobe: int = NPROBE,
     max_iters: int = 3,
+    assign_nprobe: int | None = None,
 ) -> DataFrame:
     """IVF over k-means-TRAINED centroids — the production index build.
 
@@ -451,11 +452,19 @@ def topk_cosine_ivf_trained(
     fixed-centroid query. Pytest-verified, not a driver-window slot:
     trained centroids are deterministic for a given input but not
     expressible as a DuckDB one-shot, and the recall guarantee (trained
-    >= fixed at equal K/nprobe) is the contract worth pinning."""
+    >= fixed at equal K/nprobe) is the contract worth pinning.
+    ``assign_nprobe`` engages the two-level coarse->fine ranking inside
+    the TRAINER's Lloyd iterations (kmeans.TWO_LEVEL_MIN_K gates it) —
+    the lever for production k_centroids in the thousands; the
+    probe-side assignment keeps the flat ranking (K candidate lists are
+    what the search prunes by, and the search path is the oracle-shaped
+    one)."""
     from .kmeans import centroids_df, kmeans_fit
 
     emb = _emb_normed(spark, sf_dir)
-    fitted, _ = kmeans_fit(emb, k=k_centroids, max_iters=max_iters)
+    fitted, _ = kmeans_fit(
+        emb, k=k_centroids, max_iters=max_iters, assign_nprobe=assign_nprobe
+    )
     centroids = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
     )
