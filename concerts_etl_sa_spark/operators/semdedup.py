@@ -49,6 +49,7 @@ from ..sources.readers import load_table
 from ._cachescope import begin_scope, scoped_persist
 from .similarity import (
     _assign_buckets,
+    _assign_two_level_centroids,
     _cosine_pre,
     _cosine_sql,
     _dot,
@@ -250,51 +251,6 @@ def _dup_pairs(
     )
 
 
-def _assign_two_level_cos(
-    emb: DataFrame,
-    centroids: DataFrame,
-    nprobe: int,
-    coarse_k: int | None,
-) -> DataFrame:
-    """Two-level (coarse->fine) nearest-centroid assignment under the
-    SAME rounded-cosine ranking as ``similarity._assign_buckets`` — the
-    scale path for auto-K, where flat assignment's N*K*dim flops grow as
-    N^2*dim/60 (the round-9 probe's 5x->25x alpha~1.15 segment). Ranks
-    ~sqrt(K) coarse + nprobe groups' fine members per row instead of K.
-    APPROXIMATE (the true nearest fine centroid may sit in an unprobed
-    group): agreement and keep-rate parity vs the flat form are
-    pytest-pinned; the flat form stays the oracle path. Falls back to
-    flat below TWO_LEVEL_MIN_K, where the index build would cost more
-    than it saves — so the operator self-selects the right strategy by K
-    and small-corpus results are bit-identical to flat."""
-    from .kmeans import (
-        TWO_LEVEL_MIN_K,
-        build_two_level_index,
-        kmeans_assign_two_level,
-    )
-
-    # K rows to the driver — bounded (K = N/60 by the auto rule), the
-    # same sync-point class as the trainer's own centroid state.
-    rows = centroids.select("centroid_id", "centroid_vec").collect()
-    if len(rows) < TWO_LEVEL_MIN_K:
-        return _assign_buckets(emb, centroids, n_keep=1)
-    idx = build_two_level_index(
-        emb.sparkSession,
-        [(r["centroid_id"], r["centroid_vec"]) for r in rows],
-        coarse_k=coarse_k,
-        metric="cosine",
-    )
-    return kmeans_assign_two_level(
-        emb,
-        idx,
-        out_col="centroid_id",
-        nprobe=nprobe,
-        metric="cosine",
-        norm2_col="norm2",
-        score_col="_neg_cos",
-    ).select("vec_id", "embedding", "norm2", "centroid_id")
-
-
 def _assigned_frame(
     emb: DataFrame,
     centroids: DataFrame,
@@ -308,7 +264,9 @@ def _assigned_frame(
     invariant). ``nemb`` is the unit vector (embedding / sqrt(norm2),
     doubles), normalized ONCE here so the quadratic pair stage scores
     with a bare dot — see :func:`_dup_pairs`. ``assign_nprobe`` engages
-    the two-level coarse->fine assignment (:func:`_assign_two_level_cos`)
+    the two-level coarse->fine assignment (the shared
+    ``similarity._assign_two_level_centroids`` — one definition with the
+    IVF candidate side, same rationale as the shared flat ranking)
     for the routing stage only; cent_cos is recomputed with the shared
     exact formula either way."""
     # _nrm is computed BELOW the centroid-join barrier so the divide
@@ -317,7 +275,9 @@ def _assigned_frame(
     # re-inlined into the lambda and sqrt runs once per ELEMENT — 64x).
     # FP-identical: same correctly-rounded sqrt, same per-element divide.
     assigned0 = (
-        _assign_two_level_cos(emb, centroids, assign_nprobe, assign_coarse_k)
+        _assign_two_level_centroids(
+            emb, centroids, assign_nprobe, assign_coarse_k
+        )
         if assign_nprobe is not None
         else _assign_buckets(emb, centroids, n_keep=1)
     )

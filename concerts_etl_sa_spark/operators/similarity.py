@@ -369,7 +369,60 @@ def _assign_buckets(emb: DataFrame, centroids: DataFrame, n_keep: int) -> DataFr
     )
 
 
-def _ivf_topk(emb: DataFrame, centroids: DataFrame, nprobe: int = NPROBE) -> DataFrame:
+def _assign_two_level_centroids(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    coarse_k: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse->fine) nearest-centroid assignment under the
+    SAME rounded-cosine ranking as :func:`_assign_buckets` — the ONE
+    definition the IVF candidate side and the semdedup paths share (a
+    drift between them would silently diverge their approximation
+    contracts). Scale path for K ∝ N, where flat assignment's N*K*dim
+    flops grow super-linearly; ranks ~sqrt(K) coarse + nprobe groups'
+    fine members per row instead of K. APPROXIMATE (the true nearest
+    fine centroid may sit in an unprobed group): agreement and
+    keep-rate parity vs the flat form are pytest-pinned; the flat form
+    stays the oracle path. Falls back to flat below TWO_LEVEL_MIN_K,
+    where the index build (K-row job latency) costs more than it saves
+    — the operator self-selects the measured winner by K and small-K
+    results are bit-identical to flat. Returns (vec_id, embedding,
+    norm2, centroid_id), the `_assign_buckets(n_keep=1)` shape."""
+    from .kmeans import (
+        TWO_LEVEL_MIN_K,
+        build_two_level_index,
+        kmeans_assign_two_level,
+    )
+
+    # K rows to the driver — bounded (K ~ N/60 under the auto rule),
+    # the same sync-point class as the trainer's own centroid state.
+    rows = centroids.select("centroid_id", "centroid_vec").collect()
+    if len(rows) < TWO_LEVEL_MIN_K:
+        return _assign_buckets(emb, centroids, n_keep=1)
+    idx = build_two_level_index(
+        emb.sparkSession,
+        [(r["centroid_id"], r["centroid_vec"]) for r in rows],
+        coarse_k=coarse_k,
+        metric="cosine",
+    )
+    return kmeans_assign_two_level(
+        emb,
+        idx,
+        out_col="centroid_id",
+        nprobe=nprobe,
+        metric="cosine",
+        norm2_col="norm2",
+        score_col="_neg_cos",
+    ).select("vec_id", "embedding", "norm2", "centroid_id")
+
+
+def _ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = NPROBE,
+    assign_nprobe: int | None = None,
+) -> DataFrame:
     """Probe-and-rank core shared by the fixed and trained IVF variants.
 
     ``centroids`` needs (centroid_id, centroid_vec, c_n2). No pair dedup:
@@ -379,10 +432,23 @@ def _ivf_topk(emb: DataFrame, centroids: DataFrame, nprobe: int = NPROBE) -> Dat
     pair can satisfy the probe equi-join at
     most once — a dropDuplicates here would be a provably-no-op exchange
     on the scored rows (round-5 judge finding; uniqueness pinned by
-    tests/test_ivf_pair_uniqueness.py)."""
-    cand = _assign_buckets(
-        emb.filter(F.col("vec_id") >= N_QUERIES), centroids, n_keep=1
-    ).select(
+    tests/test_ivf_pair_uniqueness.py).
+
+    ``assign_nprobe`` applies the two-level coarse->fine ranking to the
+    CANDIDATE-side list assignment — the N*K*dim term of an IVF build
+    when K is production-sized (same lever, same TWO_LEVEL_MIN_K gate
+    and same approximation contract as the semdedup paths: a candidate
+    may land in a neighboring list, trading a little recall for sqrt(K)
+    assignment work). The query side keeps the flat ranking: it is
+    Q-sized, and its nprobe slice defines the search contract."""
+    cand_src = emb.filter(F.col("vec_id") >= N_QUERIES)
+    if assign_nprobe is not None:
+        cand_assigned = _assign_two_level_centroids(
+            cand_src, centroids, assign_nprobe
+        )
+    else:
+        cand_assigned = _assign_buckets(cand_src, centroids, n_keep=1)
+    cand = cand_assigned.select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_vec"),
         F.col("norm2").alias("cv_n2"),
@@ -453,12 +519,12 @@ def topk_cosine_ivf_trained(
     trained centroids are deterministic for a given input but not
     expressible as a DuckDB one-shot, and the recall guarantee (trained
     >= fixed at equal K/nprobe) is the contract worth pinning.
-    ``assign_nprobe`` engages the two-level coarse->fine ranking inside
-    the TRAINER's Lloyd iterations (kmeans.TWO_LEVEL_MIN_K gates it) —
-    the lever for production k_centroids in the thousands; the
-    probe-side assignment keeps the flat ranking (K candidate lists are
-    what the search prunes by, and the search path is the oracle-shaped
-    one)."""
+    ``assign_nprobe`` engages the two-level coarse->fine ranking in BOTH
+    the trainer's Lloyd iterations AND the candidate-side list
+    assignment (each gated by kmeans.TWO_LEVEL_MIN_K) — the lever for
+    production k_centroids in the thousands. The QUERY-side probe keeps
+    the flat ranking: it is Q-sized and its nprobe slice defines the
+    search contract."""
     from .kmeans import centroids_df, kmeans_fit
 
     emb = _emb_normed(spark, sf_dir)
@@ -468,7 +534,9 @@ def topk_cosine_ivf_trained(
     centroids = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
     )
-    return _ivf_topk(emb, centroids, nprobe=nprobe)
+    return _ivf_topk(
+        emb, centroids, nprobe=nprobe, assign_nprobe=assign_nprobe
+    )
 
 
 def _ivf_sql() -> str:

@@ -138,7 +138,8 @@ def test_two_level_assign_plan_flat_in_k(spark):
 
 def test_kmeans_fit_two_level_deterministic_and_converges(spark):
     """The trainer with two-level per-iteration assignment (engaged at
-    k=64 over the sf0.001 embeddings) still returns k centroids,
+    k=TWO_LEVEL_MIN_K over the sf0.001 embeddings) still returns k
+    centroids,
     deterministic across runs, with finite positive inertia. The exact
     monotone-inertia proof doesn't transfer to approximate assignment
     (ANN-kmeans contract) — determinism and shape are what's pinned."""
@@ -151,3 +152,24 @@ def test_kmeans_fit_two_level_deterministic_and_converges(spark):
     assert a == b and ia == ib
     assert len(a) == k
     assert all(x > 0 and x == x for x in ia)  # finite, positive
+
+
+def test_ivf_trained_two_level_fallback_identity(spark):
+    """topk_cosine_ivf_trained with assign_nprobe set must be
+    BIT-IDENTICAL to the flat form below TWO_LEVEL_MIN_K (default
+    k_centroids=8 — both the trainer and the candidate-side assignment
+    self-select flat), so enabling the production lever is free for
+    small indexes."""
+    from concerts_etl_sa_spark.operators.similarity import (
+        topk_cosine_ivf_trained,
+    )
+
+    flat = sorted(
+        topk_cosine_ivf_trained(spark, SF_DIR).collect(),
+        key=lambda r: (r["q_id"], r["rn"]),
+    )
+    two = sorted(
+        topk_cosine_ivf_trained(spark, SF_DIR, assign_nprobe=2).collect(),
+        key=lambda r: (r["q_id"], r["rn"]),
+    )
+    assert flat == two
