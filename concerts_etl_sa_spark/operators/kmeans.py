@@ -44,16 +44,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Two-level (coarse -> fine) assignment engages only above this K: below
-# it the flat broadcast ranking is already cheap and the index build
-# (a nested fit over K rows + routing collects — job-LATENCY-bound
-# constants, not data work) dominates. Round-10 single-node measurement:
-# at K=166 two-level LOSES (fit 21.9 s vs flat 6.5 s; one-shot assign
-# 9.4 vs 5.9), at K=833 it WINS 2x (21.6 vs 43.7 end-to-end) — local
-# crossover ~K 300-500. 256 is the engage point; the constant does not
-# grow with N (K-row work), so at production N the true crossover is
-# lower and this threshold is conservative. At the auto-K rule
-# (K = N/60) this corresponds to ~N = 15k.
-TWO_LEVEL_MIN_K = 256
+# it the flat broadcast ranking is already cheap. Round-10 measurement
+# history: the first index build ran as NESTED SPARK JOBS over the K
+# centroid rows — a ~3-4 s job-latency constant that put the single-node
+# crossover at K~300 (K=166 fit: 21.9 s two-level vs 6.5 s flat) and
+# briefly forced this threshold to 256. Moving the build DRIVER-SIDE
+# (numpy over the K*dim floats that are already driver state) removed
+# the constant entirely; re-measured, two-level then wins at every
+# tested K: one-shot assign 5.2 vs 6.3 s at K=166 and 17.6 vs 45.9 s
+# (2.6x) at K=833; the Lloyd FIT 3.8-4.5 vs 5.7-6.5 s at K=166 and
+# 10 vs 52-56 s (5.4x) at K=833. 64 keeps a floor under which the
+# approximation buys nothing measurable (K=33 was a wash).
+TWO_LEVEL_MIN_K = 64
 
 _TL_SCHEMA = (
     "_coarse ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>, "
@@ -159,19 +161,6 @@ def kmeans_assign(
     )
 
 
-def _norm2_hof(vec_col: str):
-    """Squared norm via HOFs, dim-generic (the ``similarity._norm2``
-    F.expr form is DIM-hardcoded). Same left-associative term order, so
-    values match; only used for two-level ROUTING, where the score never
-    reaches an output column."""
-    c = F.col(vec_col)
-    return F.aggregate(
-        F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, p: acc + p,
-    )
-
-
 def _tl_score(metric: str, vec, cand, n2_col):
     """Ranking score for one (row vector, candidate struct) pair inside a
     HOF lambda — lower is better in BOTH metrics so array_min/array_sort
@@ -188,40 +177,6 @@ def _tl_score(metric: str, vec, cand, n2_col):
             _dot_lambda(vec, cand["v"]) / F.sqrt(n2_col * cand["n2"]), 6
         ),
         F.lit(float("-inf")),
-    )
-
-
-def _rank_top1(
-    emb: DataFrame,
-    entries: list[tuple[int, list[float], float]],
-    metric: str,
-    vec_col: str,
-    out_col: str,
-    norm2_col: str | None = None,
-) -> DataFrame:
-    """Flat broadcast argmin of ``entries`` (j, vec, n2) per row — the
-    routing primitive the two-level builder uses to group fine centroids
-    under coarse ones with the SAME metric the assignment will use."""
-    cents = emb.sparkSession.createDataFrame(
-        [(entries,)],
-        "_cands ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>",
-    )
-    n2 = F.col(norm2_col) if norm2_col else None
-    best = F.array_min(
-        F.transform(
-            "_cands",
-            lambda c: F.named_struct(
-                F.lit("d"),
-                _tl_score(metric, F.col(vec_col), c, n2),
-                F.lit("j"),
-                c["j"],
-            ),
-        )
-    )
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("_b", best)
-        .select(*emb.columns, F.col("_b.j").alias(out_col))
     )
 
 
@@ -260,60 +215,80 @@ def build_two_level_index(
     delta in pytest — the flat form stays the oracle path.
 
     ``coarse_vecs`` reuses a previously-trained coarse level (skipping
-    the nested fit; only the fine->coarse ROUTING reruns) — the Lloyd
+    the coarse fit; only the fine->coarse ROUTING reruns) — the Lloyd
     caller's amortization: fine centroids drift slowly between
     iterations, and the coarse level is routing structure whose quality
-    affects only approximation, never correctness, so rebuilding it
-    per iteration buys nothing but the nested fit's job latency."""
+    affects only approximation, never correctness.
+
+    The whole build runs DRIVER-SIDE in numpy: the K fine centroids are
+    already driver state (K*dim floats — the same bound as the
+    trainer's own centroid list), so a K-row Lloyd costs milliseconds
+    there, while the earlier nested-Spark-fit form cost a ~3-4 s
+    JOB-LATENCY constant per build (the thing that set the round-10
+    single-node crossover at K~300). Deterministic: stride init over
+    id-sorted order, argmin's first-index tiebreak = lowest group id."""
+    import numpy as np
+
     k = len(id_vecs)
     if coarse_k is None:
         coarse_k = max(int(round(k**0.5)), 2)
-
-    def _unit(v: list[float]) -> list[float]:
-        n = sum(float(x) * float(x) for x in v) ** 0.5
-        return [float(x) / n for x in v] if n > 0 else [float(x) for x in v]
-
-    # cosine metric: train the coarse level on UNIT fine centroids —
+    ids = [int(j) for j, _ in id_vecs]
+    V = np.asarray([[float(x) for x in v] for _, v in id_vecs])
+    # cosine metric: fit the coarse level on UNIT fine centroids —
     # ||a-b||^2 = 2 - 2*cos(a,b) on the unit sphere, so the sq-dist
-    # trainer clusters by cosine and grouping agrees with the cosine
+    # Lloyd clusters by cosine and grouping agrees with the cosine
     # probe ranking (raw-space coarse groups routed by cosine measured
-    # 0.57 assignment agreement; unit-space grouping is the fix).
-    fit_vecs = (
-        [(int(j), _unit(v)) for j, v in id_vecs]
-        if metric == "cosine"
-        else [(int(j), [float(x) for x in v]) for j, v in id_vecs]
-    )
-    cdf = spark.createDataFrame(
-        fit_vecs, "vec_id INT, embedding ARRAY<DOUBLE>"
-    )
-    if coarse_vecs is None:
-        coarse_vecs, _ = kmeans_fit(cdf, k=coarse_k, max_iters=max_iters)
-    coarse_entries = [
-        (g, [float(x) for x in v], float(sum(x * x for x in v)))
-        for g, v in enumerate(coarse_vecs)
-    ]
-    routed_df = cdf
-    norm2_col = None
+    # 0.57 assignment agreement; unit-space grouping is the fix)
+    X = V
     if metric == "cosine":
-        routed_df = cdf.withColumn("norm2", _norm2_hof("embedding"))
-        norm2_col = "norm2"
-    # K rows back to the driver — the index build's bounded sync point,
-    # same class as the trainer's k*dim stats collect.
-    routed = (
-        _rank_top1(
-            routed_df, coarse_entries, metric, "embedding", "g", norm2_col
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        X = V / nrm[:, None]
+
+    def _route(C: "np.ndarray") -> "np.ndarray":
+        # metric-consistent with the assign-time probe ranking (cosine
+        # routes by cosine, the trainer metric by sq-dist); first-index
+        # tiebreak = lowest g, mirroring the struct-order tiebreak
+        if metric == "cosine":
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0.0] = 1.0
+            return (X @ C.T / cn[None, :]).argmax(1)
+        d = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * X @ C.T
+            + (C * C).sum(1)[None, :]
         )
-        .select("vec_id", "g")
-        .collect()
-    )
-    group_of = {r["vec_id"]: r["g"] for r in routed}
+        return d.argmin(1)
+
+    if coarse_vecs is None:
+        order = np.argsort(np.asarray(ids), kind="stable")
+        seed_pos = order[
+            [(i * k) // coarse_k for i in range(min(coarse_k, k))]
+        ]
+        C = X[seed_pos].copy()
+        for _ in range(max_iters):
+            g = _route(C)
+            newC = C.copy()
+            for gi in range(C.shape[0]):
+                mask = g == gi
+                if mask.any():
+                    newC[gi] = X[mask].mean(0)
+            if np.array_equal(newC, C):
+                break
+            C = newC
+    else:
+        C = np.asarray([[float(x) for x in v] for v in coarse_vecs])
+    g = _route(C)
     groups: dict[int, list[tuple[int, list[float], float]]] = {}
-    for j, v in id_vecs:
+    for pos, (j, v) in enumerate(id_vecs):
         vv = [float(x) for x in v]
-        groups.setdefault(group_of[int(j)], []).append(
+        groups.setdefault(int(g[pos]), []).append(
             (int(j), vv, float(sum(x * x for x in vv)))
         )
-    coarse = [e for e in coarse_entries if e[0] in groups]
+    coarse = [
+        (gi, [float(x) for x in C[gi]], float((C[gi] * C[gi]).sum()))
+        for gi in sorted(groups)
+    ]
     return coarse, groups
 
 
