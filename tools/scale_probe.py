@@ -123,7 +123,22 @@ def _capped_ops() -> dict:
         "l2_semdedup_auto_2l": lambda spark, sf: (
             SEM.semdedup_auto(spark, sf, assign_nprobe=2)
         ),
+        # round-10: trained IVF with K sized from N (same N/60 rule) and
+        # the two-level lever on — the IVF build's N*K*dim term measured
+        # at production-shaped K (the fixed l2_topk_cosine_ivf row keeps
+        # K=4, which proves nothing about large-K builds)
+        "l2_topk_cosine_ivf_trained_auto": _ivf_trained_auto,
     }
+
+
+def _ivf_trained_auto(spark, sf):
+    from concerts_etl_sa_spark.operators import similarity as S
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    n = load_table(spark, sf, "embeddings", spread=False).count()
+    return S.topk_cosine_ivf_trained(
+        spark, sf, k_centroids=max(n // 60, 8), assign_nprobe=2
+    )
 
 
 def _rotate_words(text: str, r: int) -> str:
