@@ -181,7 +181,6 @@ def _tl_score(metric: str, vec, cand, n2_col):
 
 
 def build_two_level_index(
-    spark,
     id_vecs: list[tuple[int, list[float]]],
     coarse_k: int | None = None,
     metric: str = "sq_dist",
@@ -404,9 +403,7 @@ def _fit_loop(
             # nested fit per iteration — routing structure, not
             # correctness)
             idx = build_two_level_index(
-                slim.sparkSession,
-                list(enumerate(centroids)),
-                coarse_vecs=coarse_reuse,
+                list(enumerate(centroids)), coarse_vecs=coarse_reuse
             )
             coarse_reuse = [v for _, v, _ in idx[0]]
             assigned = kmeans_assign_two_level(

@@ -401,7 +401,6 @@ def _assign_two_level_centroids(
     if len(rows) < TWO_LEVEL_MIN_K:
         return _assign_buckets(emb, centroids, n_keep=1)
     idx = build_two_level_index(
-        emb.sparkSession,
         [(r["centroid_id"], r["centroid_vec"]) for r in rows],
         coarse_k=coarse_k,
         metric="cosine",

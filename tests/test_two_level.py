@@ -37,9 +37,7 @@ def test_two_level_exact_on_separated_blobs(spark):
     nprobe covering the coarse candidates)."""
     _, df = _clustered(spark)
     cents = [[0.1, 0.1, 0.0, 0.0], [10.0, 9.9, 0.0, 0.1], [0.0, 0.1, 9.9, 10.0]]
-    idx = build_two_level_index(
-        spark, list(enumerate(cents)), coarse_k=2
-    )
+    idx = build_two_level_index(list(enumerate(cents)), coarse_k=2)
     flat = {
         r["vec_id"]: r["cluster"]
         for r in kmeans_assign(df, cents).select("vec_id", "cluster").collect()
@@ -69,7 +67,7 @@ def test_two_level_fallback_identical_below_min_k(spark):
 
 def test_two_level_semdedup_parity_at_real_k(spark):
     """At K=400 over the sf0.1 embeddings (per_cluster=5 engages real
-    two-level routing: K >= TWO_LEVEL_MIN_K=256), the approximate form
+    two-level routing: K >= TWO_LEVEL_MIN_K), the approximate form
     must stay semantically close to flat. Pinned at the measured marks
     with headroom: keep-rate delta 0.0155 (pin < 0.05), within-cluster
     duplicate-pair count 74.5% of flat's (pin >= 0.68 — and flat itself
@@ -111,7 +109,7 @@ def test_two_level_index_structure(spark):
         (j, [float((j * 13 + d * 7) % 97) / 97.0 for d in range(4)])
         for j in range(80)
     ]
-    coarse, groups = build_two_level_index(spark, cents, metric="cosine")
+    coarse, groups = build_two_level_index(cents, metric="cosine")
     assert set(groups) == {g for g, _, _ in coarse}
     members = [j for mem in groups.values() for j, _, _ in mem]
     assert sorted(members) == list(range(80))
@@ -129,7 +127,7 @@ def test_two_level_assign_plan_flat_in_k(spark):
             (j, [float((j * 13 + d * 7) % 97) / 97.0 for d in range(4)])
             for j in range(k)
         ]
-        idx = build_two_level_index(spark, cents)
+        idx = build_two_level_index(cents)
         a = kmeans_assign_two_level(df, idx, nprobe=2)
         sizes[k] = len(a._jdf.queryExecution().executedPlan().toString())
         assert a.count() == 90
