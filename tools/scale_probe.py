@@ -110,6 +110,13 @@ def _capped_ops() -> dict:
         "l2_semdedup_auto_capped": lambda spark, sf: (
             SEM.semdedup_auto(spark, sf, max_cluster_size=CAP)
         ),
+        # round-10: cap + two-level combined — the full production
+        # defense set (skew-capped pair stage AND sqrt(K) assignment)
+        "l2_semdedup_auto_2l_capped": lambda spark, sf: (
+            SEM.semdedup_auto(
+                spark, sf, max_cluster_size=CAP, assign_nprobe=2
+            )
+        ),
         # not capped, but probe-only like the capped forms: the full
         # production composition (auto-K sizing + Lloyd's training +
         # round-10 two-level assignment, ON by default)
