@@ -194,14 +194,13 @@ def build_two_level_index(
     coarse-quantizer + IVF composition) — the N*K*dim flop term that
     dominates auto-K paths
     (K proportional to N makes flat assignment N^2*dim/60; two-level cuts
-    it to ~N*sqrt(K)*dim). The coarse level is TRAINED with the same
-    distributed Lloyd's (``kmeans_fit`` over the K centroid rows — a
-    K-row job, negligible next to the corpus scan), then every fine
-    centroid is routed to its nearest coarse centroid under ``metric``
-    (the metric the assignment itself will rank with, so probe order and
-    grouping agree). Coarse centroids that attract no fine members are
-    dropped, which guarantees every probed group key exists in the
-    broadcast map (ANSI ``element_at`` stays crash-free by construction).
+    it to ~N*sqrt(K)*dim). The coarse level is trained by a small Lloyd
+    loop over the K fine centroids, then every fine centroid is routed
+    to its nearest coarse centroid under ``metric`` (the metric the
+    assignment itself will rank with, so probe order and grouping
+    agree). Coarse centroids that attract no fine members are dropped,
+    which guarantees every probed group key exists in the broadcast map
+    (ANSI ``element_at`` stays crash-free by construction).
 
     Returns ``(coarse, groups)``: ``coarse`` = [(g, vec, n2)] live coarse
     entries, ``groups`` = {g: [(j, vec, n2)]} fine members. Both are
