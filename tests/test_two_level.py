@@ -171,3 +171,67 @@ def test_ivf_trained_two_level_fallback_identity(spark):
         key=lambda r: (r["q_id"], r["rn"]),
     )
     assert flat == two
+
+
+def test_two_level_agreement_monotone_and_total_probe_exact(spark):
+    """Two provable properties of nested pruning, pinned:
+
+    1. MONOTONE: if two-level agrees with flat on a row at nprobe=n, the
+       flat winner was in the probed set, and probed(n) is a prefix of
+       probed(n+1) under the same coarse ranking — so agreement is
+       row-wise (hence aggregate) non-decreasing in nprobe.
+    2. TOTAL PROBE = EXACT: with nprobe >= the number of coarse groups
+       the candidate set is ALL fine centroids, so the two-level argmin
+       must equal the flat argmin BIT-EXACTLY (same rounded-cosine
+       score, same lowest-id tiebreak) — a total-coverage check of the
+       whole array+map broadcast expression machinery."""
+    from concerts_etl_sa_spark.operators.semdedup import (
+        SEMDEDUP_CENTROID_RESIDUE,
+        _auto_stride,
+    )
+    from concerts_etl_sa_spark.operators.similarity import (
+        _assign_buckets,
+        _assign_two_level_centroids,
+        _emb_normed,
+        _norm2,
+    )
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    emb = _emb_normed(spark, SF01_DIR)
+    n = emb.count()
+    stride = _auto_stride(n, 5)  # K=400 over the 2000 sf0.1 vectors
+    cents = (
+        load_table(spark, SF01_DIR, "embeddings", spread=False)
+        .filter(
+            (F.col("vec_id") % stride)
+            == F.lit(SEMDEDUP_CENTROID_RESIDUE % stride)
+        )
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+            _norm2("embedding").alias("c_n2"),
+        )
+    )
+    flat = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _assign_buckets(emb, cents, n_keep=1)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+
+    def agreement(nprobe):
+        two = {
+            r["vec_id"]: r["centroid_id"]
+            for r in _assign_two_level_centroids(emb, cents, nprobe)
+            .select("vec_id", "centroid_id")
+            .collect()
+        }
+        return sum(two[k] == v for k, v in flat.items()) / len(flat), two
+
+    a1, _ = agreement(1)
+    a2, _ = agreement(2)
+    a3, _ = agreement(3)
+    assert a1 <= a2 <= a3, (a1, a2, a3)
+    a_total, two_total = agreement(10**6)
+    assert a_total == 1.0
+    assert two_total == flat
