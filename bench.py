@@ -81,6 +81,10 @@ HEADLINE = R6_HEADLINE + [
     "unreg_l2_semdedup_trained_auto",
     "unreg_l2_topk_cosine_pq_trained",
     "unreg_l2_topk_cosine_ivfpq_trained",
+    # round-10 rotation #7: the real-codec media row joins the gate like
+    # every prior rotated-in query (PGM parse + raster stats inside one
+    # mapInPandas stage — the documented PythonEval exception)
+    "l4_media_features_pgm",
 ]
 
 
