@@ -135,7 +135,17 @@ def _capped_ops() -> dict:
         # at production-shaped K (the fixed l2_topk_cosine_ivf row keeps
         # K=4, which proves nothing about large-K builds)
         "l2_topk_cosine_ivf_trained_auto": _ivf_trained_auto,
+        # round-10: the ITERATIVE op (pointer-doubling connected
+        # components over simhash near-pairs + cluster representatives)
+        # — the one plan family the static alpha table didn't cover
+        "l1_dedup_clusters": _dedup_clusters,
     }
+
+
+def _dedup_clusters(spark, sf):
+    from concerts_etl_sa_spark.operators.components import dedup_clusters
+
+    return dedup_clusters(spark, sf)
 
 
 def _ivf_trained_auto(spark, sf):
