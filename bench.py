@@ -85,6 +85,10 @@ HEADLINE = R6_HEADLINE + [
     # every prior rotated-in query (PGM parse + raster stats inside one
     # mapInPandas stage — the documented PythonEval exception)
     "l4_media_features_pgm",
+    # round-10: the trained-IVF build (auto-K + two-level lever) joins
+    # the ratchet alongside the other trained compositions — at bench
+    # scale K=33 self-selects flat, so the row pins the trainer + build
+    "unreg_l2_topk_cosine_ivf_trained_auto",
 ]
 
 
@@ -123,7 +127,18 @@ def _extra_queries():
         "unreg_l2_semdedup_trained_auto": SEM.semdedup_trained_auto,
         "unreg_l2_topk_cosine_pq_trained": PQ.topk_cosine_pq_trained,
         "unreg_l2_topk_cosine_ivfpq_trained": PQ.topk_cosine_ivfpq_trained,
+        "unreg_l2_topk_cosine_ivf_trained_auto": _ivf_trained_auto,
     }
+
+
+def _ivf_trained_auto(spark, sf_dir):
+    from concerts_etl_sa_spark.operators import similarity as S
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    n = load_table(spark, sf_dir, "embeddings", spread=False).count()
+    return S.topk_cosine_ivf_trained(
+        spark, sf_dir, k_centroids=max(n // 60, 8), assign_nprobe=2
+    )
 
 
 def main() -> None:

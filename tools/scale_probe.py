@@ -149,13 +149,10 @@ def _dedup_clusters(spark, sf):
 
 
 def _ivf_trained_auto(spark, sf):
-    from concerts_etl_sa_spark.operators import similarity as S
-    from concerts_etl_sa_spark.sources.readers import load_table
+    # one definition: the bench gate's helper (auto-K + two-level lever)
+    from bench import _ivf_trained_auto as bench_ivf_trained_auto
 
-    n = load_table(spark, sf, "embeddings", spread=False).count()
-    return S.topk_cosine_ivf_trained(
-        spark, sf, k_centroids=max(n // 60, 8), assign_nprobe=2
-    )
+    return bench_ivf_trained_auto(spark, sf)
 
 
 def _rotate_words(text: str, r: int) -> str:
