@@ -89,6 +89,9 @@ HEADLINE = R6_HEADLINE + [
     # the ratchet alongside the other trained compositions — at bench
     # scale K=33 self-selects flat, so the row pins the trainer + build
     "unreg_l2_topk_cosine_ivf_trained_auto",
+    # round-10: bigram-LM cross-entropy (the n-gram generalization of
+    # unigram_xent — two broadcast model tables, row-side bigram build)
+    "unreg_l3_bigram_xent",
 ]
 
 
@@ -128,6 +131,7 @@ def _extra_queries():
         "unreg_l2_topk_cosine_pq_trained": PQ.topk_cosine_pq_trained,
         "unreg_l2_topk_cosine_ivfpq_trained": PQ.topk_cosine_ivfpq_trained,
         "unreg_l2_topk_cosine_ivf_trained_auto": _ivf_trained_auto,
+        "unreg_l3_bigram_xent": TS.bigram_xent,
     }
 
 

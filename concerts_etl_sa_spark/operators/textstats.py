@@ -966,3 +966,138 @@ SELECT d.doc_id,
   round(per_doc.neg_lp_sum / per_doc.n_tokens, 6) AS cross_entropy
 FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 """
+
+
+# ------------------------------------- bigram-LM cross-entropy (round 10)
+
+BIGRAM_TABLE_K = 2000  # truncated bigram table size (bounded model)
+
+
+def bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained TRUNCATED
+    Laplace BIGRAM LM — the n-gram generalization of
+    :func:`unigram_xent` (CCNet's production filter is a 5-gram KenLM;
+    unigram/bigram are the Spark-expressible members of the family and
+    share its shape: train a bounded model on the corpus, score every
+    document by mean negative log-probability, threshold downstream).
+
+    Model: p(cur | prev) = (c(prev, cur) + 1) / (c(prev) + V) with
+    c(prev, cur) from the top-``BIGRAM_TABLE_K`` bigram table,
+    c(prev) from the top-``UNIGRAM_VOCAB_K`` unigram table (both
+    truncated — out-of-table counts are 0 BY DESIGN, making unseen
+    transitions expensive), V = corpus distinct-token count. Scored
+    over a document's n_tokens - 1 transitions; docs with < 2 tokens
+    get n_bigrams = 0 and a NULL cross-entropy.
+
+    Scale design mirrors unigram_xent: BOTH model tables are top-K —
+    broadcast-sized by construction, independent of corpus size — so
+    scoring is two map-side broadcast joins over the bigram postings.
+    The bigrams themselves are built ROW-SIDE (zip_with over two slices
+    of the token array — no positional self-join, no extra shuffle);
+    the postings frame is scoped-persisted because the bigram-count
+    build and the scoring join both consume it. V rides the unigram
+    counts aggregate, never a second corpus pass.
+
+    FP determinism across engines: per-transition logp is an exact
+    function of (c_bg, c_prev, V); the per-doc sum of ~1e2 doubles
+    carries O(1e-13) association error, far inside the 6-dp round.
+    Truncation tie-breaks are total orders ((c DESC, prev, cur) /
+    (c DESC, token)) so both engines build the identical tables.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from ._cachescope import begin_scope, scoped_persist
+
+    begin_scope("bigram_xent")
+    toked = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    sz = F.size("toks")
+    pairs = F.zip_with(
+        F.slice("toks", 1, F.greatest(sz - 1, F.lit(0))),
+        F.slice("toks", 2, F.greatest(sz - 1, F.lit(0))),
+        lambda a, b: F.named_struct(
+            F.lit("prev"), a, F.lit("cur"), b
+        ),
+    )
+    bg = scoped_persist(
+        "bigram_xent",
+        toked.select("doc_id", F.explode(pairs).alias("p")).select(
+            "doc_id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+        ),
+    )
+    # unigram context counts + V from one postings pass (the unigram
+    # occurrence count equals the token count used by unigram_xent)
+    occ = toked.select("doc_id", F.explode("toks").alias("token"))
+    ucounts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("uc"))
+    totals = ucounts.agg(F.count(F.lit(1)).alias("v_distinct"))
+    uvocab = (
+        ucounts.orderBy(F.desc("uc"), F.asc("token"))
+        .limit(UNIGRAM_VOCAB_K)
+        .select(F.col("token").alias("prev"), "uc")
+    )
+    btable = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .orderBy(F.desc("bc"), F.asc("prev"), F.asc("cur"))
+        .limit(BIGRAM_TABLE_K)
+    )
+    logp = F.log(
+        (F.coalesce("bc", F.lit(0)) + F.lit(1)).cast("double")
+        / (F.coalesce("uc", F.lit(0)) + F.col("v_distinct")).cast("double")
+    )
+    per_doc = (
+        bg.join(F.broadcast(btable), ["prev", "cur"], "left")
+        .join(F.broadcast(uvocab), "prev", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(-logp).alias("neg_lp_sum"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.round(
+            F.col("neg_lp_sum") / F.col("n_bigrams"), 6
+        ).alias("cross_entropy"),
+    )
+
+
+BIGRAM_XENT_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, p['prev'] AS prev, p['cur'] AS cur FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> {{'prev': toks[i], 'cur': toks[i + 1]}})) AS p
+    FROM tokd)
+),
+occ AS (SELECT doc_id, unnest(toks) AS token FROM tokd),
+ucounts AS (SELECT token, count(*) AS uc FROM occ GROUP BY token),
+totals AS (SELECT count(*) AS v_distinct FROM ucounts),
+uvocab AS (
+  SELECT token AS prev, uc FROM ucounts
+  ORDER BY uc DESC, token ASC LIMIT {UNIGRAM_VOCAB_K}
+),
+btable AS (
+  SELECT prev, cur, count(*) AS bc FROM bg GROUP BY prev, cur
+  ORDER BY bc DESC, prev ASC, cur ASC LIMIT {BIGRAM_TABLE_K}
+),
+per_doc AS (
+  SELECT bg.doc_id,
+         count(*) AS n_bigrams,
+         sum(-ln(CAST(coalesce(btable.bc, 0) + 1 AS DOUBLE)
+                 / CAST(coalesce(uvocab.uc, 0) + totals.v_distinct
+                        AS DOUBLE))) AS neg_lp_sum
+  FROM bg
+  LEFT JOIN btable USING (prev, cur)
+  LEFT JOIN uvocab USING (prev)
+  CROSS JOIN totals
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+  coalesce(per_doc.n_bigrams, 0) AS n_bigrams,
+  round(per_doc.neg_lp_sum / per_doc.n_bigrams, 6) AS cross_entropy
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""

@@ -96,6 +96,10 @@ def _all_queries():
          D.MINHASH_LSH_JOIN_SQL),
         ("unreg_l3_repetition_stats", TS.repetition_stats,
          TS.REPETITION_STATS_SQL),
+        # round-10: the n-gram generalization of unigram_xent (Laplace
+        # bigram over truncated broadcast tables) — window full, parity
+        # pinned here like the rest of the l3 extras
+        ("unreg_l3_bigram_xent", TS.bigram_xent, TS.BIGRAM_XENT_SQL),
         ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
         # rotated out of the driver window in round 8 (slot ceded to
         # l3_unigram_xent) — parity kept
