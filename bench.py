@@ -92,6 +92,10 @@ HEADLINE = R6_HEADLINE + [
     # round-10: bigram-LM cross-entropy (the n-gram generalization of
     # unigram_xent — two broadcast model tables, row-side bigram build)
     "unreg_l3_bigram_xent",
+    # round-11 rotation #8: the iterative plan family joins the gate
+    # with its window slot (pointer-doubled connected components over
+    # simhash near-pairs + cluster representatives)
+    "l1_dedup_clusters",
 ]
 
 
@@ -104,6 +108,9 @@ def _extra_queries():
 
     def _semdedup_trained(spark, sf_dir):
         return SEM.semdedup_trained(spark, sf_dir, k_centroids=32)
+
+    def _semdedup_trained_auto(spark, sf_dir):
+        return SEM.semdedup_trained_auto(spark, sf_dir, assign_nprobe=2)
 
     from concerts_etl_sa_spark.operators import pq as PQ
 
@@ -126,8 +133,10 @@ def _extra_queries():
         # round-10: trained production compositions under the ratchet
         # (auto-K sizing + Lloyd's training + two-level assignment for
         # semdedup; per-subspace-Lloyd's codebooks for PQ; trained
-        # coarse + trained codebooks for IVF+PQ)
-        "unreg_l2_semdedup_trained_auto": SEM.semdedup_trained_auto,
+        # coarse + trained codebooks for IVF+PQ). assign_nprobe=2 is the
+        # explicit production opt-in (the public default stays exact —
+        # round-10 advisory)
+        "unreg_l2_semdedup_trained_auto": _semdedup_trained_auto,
         "unreg_l2_topk_cosine_pq_trained": PQ.topk_cosine_pq_trained,
         "unreg_l2_topk_cosine_ivfpq_trained": PQ.topk_cosine_ivfpq_trained,
         "unreg_l2_topk_cosine_ivf_trained_auto": _ivf_trained_auto,

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .dedup import simhash_near_pairs
+from .dedup import SIMHASH_NEAR_PAIRS_SQL, simhash_near_pairs
 
 
 def connected_components(
@@ -138,3 +138,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("cluster_rep")).alias("is_representative"),
         )
     )
+
+
+# Round-11 rotation #8: the iterative plan family gets a driver-window
+# oracle. Spark computes components by pointer-doubled min-label
+# propagation to FIXPOINT; DuckDB computes the same closed form — each
+# vertex's component is the MINIMUM id reachable in the symmetrized
+# near-dup graph — via a recursive CTE (transitive closure, bounded by
+# sum(|component|^2): near-dup components are small by construction).
+# The two engines share no iteration structure, so a hash match checks
+# the fixpoint itself, not the algorithm.
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({SIMHASH_NEAR_PAIRS_SQL})
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach(v, r) AS (
+  SELECT u AS v, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS v, reach.r
+  FROM edges e JOIN reach ON e.v = reach.v
+),
+comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+sizes AS (
+  SELECT cluster_rep, count(*) AS cluster_size
+  FROM assigned GROUP BY cluster_rep
+)
+SELECT a.doc_id, a.cluster_rep, s.cluster_size,
+       (a.doc_id = a.cluster_rep) AS is_representative
+FROM assigned a JOIN sizes s USING (cluster_rep)
+ORDER BY a.doc_id
+"""

@@ -57,8 +57,30 @@ from pyspark.sql import functions as F
 # approximation buys nothing measurable (K=33 was a wash).
 TWO_LEVEL_MIN_K = 64
 
+# Three-level (top -> mid -> fine) routing engages above this K — the
+# round-11 extension for K in the thousands (BASELINE.md: two-level
+# assignment at 125x/K=4166 measured 32.4 s vs flat's 333 s; the third
+# tier cuts ranked candidates (1+nprobe)*sqrt(K)=195 -> ~(1+2*(nprobe+1))
+# *K^(1/3)=112 and measured 29.1 s — a ~10% win only, because the
+# interpreted-HOF per-candidate constant, not the dot flops, now
+# dominates at this K; end-to-end semdedup 125x: 69.8 vs 73.4 s). The
+# asymptote is what the tier buys: N*K^(1/3) vs N*sqrt(K) when K tracks
+# N (N^(4/3) vs N^1.5) — at a production K~50k the candidate gap is
+# 672 vs ~260, where the measured-constant argument flips. The
+# threshold stays above the two-level sweet spot (at K=833 the two
+# forms measured a wash, 11.2 vs 11.7 s end-to-end) and each extra
+# tier costs routing approximation (the dispatcher widens nprobe by
+# one to hold the keep-rate/recall bars — tests/test_three_level.py).
+THREE_LEVEL_MIN_K = 2048
+
 _TL_SCHEMA = (
     "_coarse ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>, "
+    "_groups MAP<INT, ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>>"
+)
+
+_TL3_SCHEMA = (
+    "_coarse ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>, "
+    "_mid MAP<INT, ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>>, "
     "_groups MAP<INT, ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>>"
 )
 
@@ -232,51 +254,12 @@ def build_two_level_index(
         coarse_k = max(int(round(k**0.5)), 2)
     ids = [int(j) for j, _ in id_vecs]
     V = np.asarray([[float(x) for x in v] for _, v in id_vecs])
-    # cosine metric: fit the coarse level on UNIT fine centroids —
-    # ||a-b||^2 = 2 - 2*cos(a,b) on the unit sphere, so the sq-dist
-    # Lloyd clusters by cosine and grouping agrees with the cosine
-    # probe ranking (raw-space coarse groups routed by cosine measured
-    # 0.57 assignment agreement; unit-space grouping is the fix)
-    X = V
-    if metric == "cosine":
-        nrm = np.linalg.norm(V, axis=1)
-        nrm[nrm == 0.0] = 1.0
-        X = V / nrm[:, None]
-
-    def _route(C: "np.ndarray") -> "np.ndarray":
-        # metric-consistent with the assign-time probe ranking (cosine
-        # routes by cosine, the trainer metric by sq-dist); first-index
-        # tiebreak = lowest g, mirroring the struct-order tiebreak
-        if metric == "cosine":
-            cn = np.linalg.norm(C, axis=1)
-            cn[cn == 0.0] = 1.0
-            return (X @ C.T / cn[None, :]).argmax(1)
-        d = (
-            (X * X).sum(1)[:, None]
-            - 2.0 * X @ C.T
-            + (C * C).sum(1)[None, :]
-        )
-        return d.argmin(1)
-
+    X = _np_metric_space(V, metric)
     if coarse_vecs is None:
-        order = np.argsort(np.asarray(ids), kind="stable")
-        seed_pos = order[
-            [(i * k) // coarse_k for i in range(min(coarse_k, k))]
-        ]
-        C = X[seed_pos].copy()
-        for _ in range(max_iters):
-            g = _route(C)
-            newC = C.copy()
-            for gi in range(C.shape[0]):
-                mask = g == gi
-                if mask.any():
-                    newC[gi] = X[mask].mean(0)
-            if np.array_equal(newC, C):
-                break
-            C = newC
+        C = _np_lloyd(X, ids, coarse_k, metric, max_iters)
     else:
         C = np.asarray([[float(x) for x in v] for v in coarse_vecs])
-    g = _route(C)
+    g = _np_route(X, C, metric)
     groups: dict[int, list[tuple[int, list[float], float]]] = {}
     for pos, (j, v) in enumerate(id_vecs):
         vv = [float(x) for x in v]
@@ -288,6 +271,203 @@ def build_two_level_index(
         for gi in sorted(groups)
     ]
     return coarse, groups
+
+
+def _np_metric_space(V, metric: str):
+    """The space the routing Lloyd runs in. Cosine metric: UNIT vectors —
+    ||a-b||^2 = 2 - 2*cos(a,b) on the unit sphere, so the sq-dist Lloyd
+    clusters by cosine and grouping agrees with the cosine probe ranking
+    (raw-space coarse groups routed by cosine measured 0.57 assignment
+    agreement; unit-space grouping is the fix)."""
+    import numpy as np
+
+    if metric != "cosine":
+        return V
+    nrm = np.linalg.norm(V, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    return V / nrm[:, None]
+
+
+def _np_route(X, C, metric: str):
+    """Row -> nearest-centroid routing, metric-consistent with the
+    assign-time probe ranking (cosine routes by cosine, the trainer
+    metric by sq-dist); first-index tiebreak = lowest group id,
+    mirroring the struct-order tiebreak of the Spark expression."""
+    import numpy as np
+
+    if metric == "cosine":
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0.0] = 1.0
+        return (X @ C.T / cn[None, :]).argmax(1)
+    d = (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+    return d.argmin(1)
+
+
+def _np_lloyd(X, ids: list[int], n_clusters: int, metric: str,
+              max_iters: int):
+    """Driver-side deterministic Lloyd over the (already metric-mapped)
+    rows: stride init over id-sorted order, empty clusters keep their
+    previous centroid. Milliseconds at routing-index scale (K rows)."""
+    import numpy as np
+
+    n = X.shape[0]
+    order = np.argsort(np.asarray(ids), kind="stable")
+    seed_pos = order[
+        [(i * n) // n_clusters for i in range(min(n_clusters, n))]
+    ]
+    C = X[seed_pos].copy()
+    for _ in range(max_iters):
+        g = _np_route(X, C, metric)
+        newC = C.copy()
+        for gi in range(C.shape[0]):
+            mask = g == gi
+            if mask.any():
+                newC[gi] = X[mask].mean(0)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return C
+
+
+def build_three_level_index(
+    id_vecs: list[tuple[int, list[float]]],
+    mid_k: int | None = None,
+    top_k: int | None = None,
+    metric: str = "sq_dist",
+    max_iters: int = 3,
+    mid_vecs: list[list[float]] | None = None,
+):
+    """Route K fine centroids through a ~K^(1/3)-ary three-tier tree —
+    the round-11 extension of :func:`build_two_level_index` for K in the
+    thousands, where even sqrt(K) coarse candidates dominate the
+    assignment flops (BASELINE.md 125x table: the two-level 25x->125x
+    segment ran alpha~1.06, the N*sqrt(K)*dim = N^1.5 curve when K
+    tracks N). Assignment ranks ~top_k + nprobe*(mid_k/top_k) +
+    nprobe*(K/mid_k) candidates; at the default balanced fanout
+    (top_k = K^(1/3), mid_k = K^(2/3)) that is ~(1+2*nprobe)*K^(1/3) —
+    N^(4/3) total when K tracks N. Same vocabulary-tree device
+    (Nister & Stewenius 2006 use depth ~6 at 1M leaves; FAISS's
+    IMI/coarse-quantizer hierarchy is the IVF analog).
+
+    Construction mirrors the two-level build exactly, one tier deeper:
+    a driver-side numpy Lloyd fits mid_k mid centroids over the fine
+    centroids, every fine centroid routes to its nearest mid; a second
+    K^(2/3)-row Lloyd fits top_k top centroids over the MID centroids,
+    every mid routes to its nearest top. Mid ids are synthetic
+    (0..mid_k-1); dead mids and dead tops are dropped, so every probed
+    map key exists (ANSI element_at stays crash-free by construction).
+
+    Returns ``(top, mids, groups)``: ``top`` = [(t, vec, n2)] live top
+    entries, ``mids`` = {t: [(m, vec, n2)]}, ``groups`` = {m: [(j, vec,
+    n2)]}. ``mid_vecs`` reuses a previously-fitted mid level across
+    Lloyd iterations (fine centroids drift slowly; routing structure,
+    not correctness) — the top level refits over the reused mids, a
+    K^(2/3)-row numpy job.
+
+    Assignment under doubly-nested pruning is APPROXIMATE at both
+    tiers; callers probe nprobe > 1 groups per tier and pin keep-rate /
+    agreement deltas in pytest (tests/test_three_level.py) — the flat
+    form stays the oracle path."""
+    import numpy as np
+
+    k = len(id_vecs)
+    if mid_k is None:
+        mid_k = max(int(round(k ** (2.0 / 3.0))), 4)
+    if top_k is None:
+        top_k = max(int(round(k ** (1.0 / 3.0))), 2)
+    ids = [int(j) for j, _ in id_vecs]
+    V = np.asarray([[float(x) for x in v] for _, v in id_vecs])
+    X = _np_metric_space(V, metric)
+    if mid_vecs is None:
+        M = _np_lloyd(X, ids, mid_k, metric, max_iters)
+    else:
+        M = np.asarray([[float(x) for x in v] for v in mid_vecs])
+    g_fine = _np_route(X, M, metric)
+    # top tier fits over the mid centroids IN THE SAME METRIC SPACE
+    # (for cosine the mids are means of unit vectors — re-mapping to
+    # the unit sphere keeps the grouping argument intact)
+    MX = _np_metric_space(M, metric)
+    T = _np_lloyd(MX, list(range(M.shape[0])), top_k, metric, max_iters)
+    g_mid = _np_route(MX, T, metric)
+
+    groups: dict[int, list[tuple[int, list[float], float]]] = {}
+    for pos, (j, v) in enumerate(id_vecs):
+        vv = [float(x) for x in v]
+        groups.setdefault(int(g_fine[pos]), []).append(
+            (int(j), vv, float(sum(x * x for x in vv)))
+        )
+    mids: dict[int, list[tuple[int, list[float], float]]] = {}
+    for m in sorted(groups):  # dead mids (no fine members) dropped here
+        mv = [float(x) for x in M[m]]
+        mids.setdefault(int(g_mid[m]), []).append(
+            (m, mv, float((M[m] * M[m]).sum()))
+        )
+    top = [
+        (t, [float(x) for x in T[t]], float((T[t] * T[t]).sum()))
+        for t in sorted(mids)  # dead tops dropped
+    ]
+    return top, mids, groups
+
+
+def kmeans_assign_three_level(
+    emb: DataFrame,
+    index,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    nprobe: int = 2,
+    metric: str = "sq_dist",
+    norm2_col: str | None = None,
+    score_col: str = "_sq_dist",
+) -> DataFrame:
+    """Top -> mid -> fine assignment against a
+    :func:`build_three_level_index` result: rank the live top centroids,
+    take the best ``nprobe`` tops' mids, rank THOSE, take the best
+    ``nprobe`` mids' fine members, rank those. Shuffle-free like the
+    flat and two-level forms — the whole tree travels as ONE broadcast
+    row (array + two maps, the same K*dim doubles plus ~K^(2/3) mid
+    vectors), and all three ranking tiers are constant-size HOF
+    expressions, so the plan stays O(1) in K."""
+    top, mids, groups = index
+    idx = emb.sparkSession.createDataFrame(
+        [(top, mids, groups)], _TL3_SCHEMA
+    )
+    n2 = F.col(norm2_col) if norm2_col else None
+
+    def _ranked(c):
+        return F.named_struct(
+            F.lit("d"),
+            _tl_score(metric, F.col(vec_col), c, n2),
+            F.lit("j"),
+            c["j"],
+        )
+
+    probed_top = F.slice(
+        F.array_sort(F.transform("_coarse", _ranked)), 1, nprobe
+    )
+    mid_cand = F.flatten(
+        F.transform(probed_top, lambda p: F.element_at(F.col("_mid"), p["j"]))
+    )
+    probed_mid = F.slice(
+        F.array_sort(F.transform(mid_cand, _ranked)), 1, nprobe
+    )
+    # element_at (not try_element_at) at both tiers: every probed key is
+    # a map key by construction (dead mids/tops dropped at build time) —
+    # a miss is an index-construction bug and should fail loud.
+    fine_cand = F.flatten(
+        F.transform(
+            probed_mid, lambda p: F.element_at(F.col("_groups"), p["j"])
+        )
+    )
+    best = F.array_min(F.transform(fine_cand, _ranked))
+    return (
+        emb.crossJoin(F.broadcast(idx))
+        .withColumn("_b", best)
+        .select(
+            *emb.columns,
+            F.col("_b.j").alias(out_col),
+            F.col("_b.d").alias(score_col),
+        )
+    )
 
 
 def kmeans_assign_two_level(
@@ -392,10 +572,33 @@ def _fit_loop(
     centroids = kmeans_init(slim, k, id_col=id_col, vec_col=vec_col)
     dim = len(centroids[0])
     two_level = assign_nprobe is not None and k >= TWO_LEVEL_MIN_K
+    three_level = assign_nprobe is not None and k >= THREE_LEVEL_MIN_K
     coarse_reuse: list[list[float]] | None = None
+    mid_reuse: list[list[float]] | None = None
     inertia_hist: list[float] = []
     for _ in range(max_iters):
-        if two_level:
+        if three_level:
+            # routing tiers are trained ONCE (first iteration) and the
+            # mid level is reused: later iterations only re-route the
+            # drifted fine centroids + refit the tiny top tier (numpy
+            # over K^(2/3) rows — routing structure, not correctness)
+            idx3 = build_three_level_index(
+                list(enumerate(centroids)), mid_vecs=mid_reuse
+            )
+            mid_reuse = [
+                v
+                for _, v, _ in sorted(
+                    (e for mem in idx3[1].values() for e in mem),
+                    key=lambda x: x[0],
+                )
+            ]
+            # nprobe+1: the doubly-nested prune costs ~one probe step of
+            # routing agreement (same widening as the cosine dispatch in
+            # similarity._assign_two_level_centroids)
+            assigned = kmeans_assign_three_level(
+                slim, idx3, vec_col=vec_col, nprobe=assign_nprobe + 1
+            )
+        elif two_level:
             # the coarse level is trained ONCE (first iteration) and
             # reused: later iterations only re-route the drifted fine
             # centroids (one small job + K-row collect instead of a

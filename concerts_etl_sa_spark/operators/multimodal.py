@@ -533,15 +533,25 @@ def extract_pgm_features(media: DataFrame) -> DataFrame:
     are what moves."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in it:
             rows = []
             for i, p in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(p)
                 w, h, px = pgm_decode(b)
+                # half-AWAY rounding (floor(x*1e6 + 0.5)/1e6, x >= 0
+                # here), matching the DuckDB twin's SQL round()
+                # convention BY CONSTRUCTION — Python round() is
+                # half-to-even, and while the current fixture admits no
+                # exact 6-dp half tie (w*h would need 2-adic valuation
+                # 7), parity should not be fixture-dependent
+                # (round-10 advisory).
+                mean = sum(px) / float(len(px))
                 rows.append(
                     (
                         int(i), w, h, 1, len(b),
-                        round(sum(px) / float(len(px)), 6),
+                        math.floor(mean * 1e6 + 0.5) / 1e6,
                     )
                 )
             yield pd.DataFrame(

@@ -329,7 +329,17 @@ def semdedup_df(
     assigned = _assigned_frame(
         emb, centroids, "semdedup", assign_nprobe, assign_coarse_k
     )
-    dup = _dup_pairs(assigned, tau, max_cluster_size, heavy_bucket_mode)
+    # persisted: ``nb`` consumes dup TWICE (the two union legs), so an
+    # unpersisted dup re-runs the ENTIRE quadratic pair self-join per
+    # leg — the round-11 125x stage attribution measured that join at
+    # 43.5 s against an ~84 s two-leg keep stage (the keep aggregation
+    # proper is ~free), i.e. the operator's dominant linear term carried
+    # a silent 2x. The DuckDB twin already materializes dup once
+    # (AS MATERIALIZED); this brings the engines into the same shape.
+    dup = scoped_persist(
+        "semdedup",
+        _dup_pairs(assigned, tau, max_cluster_size, heavy_bucket_mode),
+    )
     nb = dup.select(
         F.col("a_id").alias("vec_id"),
         F.col("b_cc").alias("n_cc"),
@@ -489,20 +499,24 @@ def semdedup_trained_auto(
     tau: float = SEMDEDUP_TAU,
     max_iters: int = 3,
     max_cluster_size: int | None = None,
-    assign_nprobe: int | None = 2,
+    assign_nprobe: int | None = None,
 ) -> DataFrame:
     """The full production composition: K sized from N (auto rule) AND
     centroids kmeans-trained — what a 100 TB run would actually execute.
     Deterministic for a given input (hash-bucket init + Lloyd's), not a
     DuckDB one-shot; pytest-pinned like :func:`semdedup_trained`.
 
-    Two-level assignment is ON by default here (``assign_nprobe=2``):
+    ``assign_nprobe`` engages the two-level coarse->fine assignment:
     with K proportional to N the flat ranking's N*K*dim flops are the
     composition's dominant term (round-9 probe: the auto-K 5x->25x
     segment at alpha~1.15 was exactly this), and the production path is
     pytest-pinned rather than DuckDB-oracled, so the approximate routing
-    is admissible. Below TWO_LEVEL_MIN_K it self-selects flat, so bench-
-    scale results are unchanged."""
+    is admissible (keep-rate delta pinned <0.05 in tests/test_two_level).
+    The default stays ``None`` (exact flat assignment) like every other
+    public entry point — a round-10 advisory flagged the silent
+    exact->approximate default flip; the bench/probe production
+    configurations opt in with ``assign_nprobe=2`` explicitly. Below
+    TWO_LEVEL_MIN_K the engaged form self-selects flat anyway."""
     n = load_table(spark, sf_dir, "embeddings", spread=False).count()
     return semdedup_trained(
         spark,

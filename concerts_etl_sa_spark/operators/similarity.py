@@ -390,8 +390,11 @@ def _assign_two_level_centroids(
     results are bit-identical to flat. Returns (vec_id, embedding,
     norm2, centroid_id), the `_assign_buckets(n_keep=1)` shape."""
     from .kmeans import (
+        THREE_LEVEL_MIN_K,
         TWO_LEVEL_MIN_K,
+        build_three_level_index,
         build_two_level_index,
+        kmeans_assign_three_level,
         kmeans_assign_two_level,
     )
 
@@ -400,6 +403,30 @@ def _assign_two_level_centroids(
     rows = centroids.select("centroid_id", "centroid_vec").collect()
     if len(rows) < TWO_LEVEL_MIN_K:
         return _assign_buckets(emb, centroids, n_keep=1)
+    if len(rows) >= THREE_LEVEL_MIN_K and coarse_k is None:
+        # round-11: above THREE_LEVEL_MIN_K the sqrt(K) coarse ranking
+        # itself dominates — route through the K^(1/3)-ary tree instead
+        # (same approximation contract, one tier deeper; selected by
+        # measurement like the two-level threshold). The probe widens by
+        # ONE: the doubly-nested prune costs ~one probe step of routing
+        # agreement (measured at K=400: 3-level nprobe=3 holds the
+        # two-level nprobe=2 quality bars — keep-rate delta 0.027,
+        # pair recall 0.715 — while nprobe=2 falls to 0.59 recall), and
+        # even widened the candidate count is ~(1+2*(nprobe+1))*K^(1/3)
+        # vs (1+nprobe)*sqrt(K), still ~1.7x fewer at the threshold.
+        idx3 = build_three_level_index(
+            [(r["centroid_id"], r["centroid_vec"]) for r in rows],
+            metric="cosine",
+        )
+        return kmeans_assign_three_level(
+            emb,
+            idx3,
+            out_col="centroid_id",
+            nprobe=nprobe + 1,
+            metric="cosine",
+            norm2_col="norm2",
+            score_col="_neg_cos",
+        ).select("vec_id", "embedding", "norm2", "centroid_id")
     idx = build_two_level_index(
         [(r["centroid_id"], r["centroid_vec"]) for r in rows],
         coarse_k=coarse_k,

@@ -987,7 +987,12 @@ def bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated — out-of-table counts are 0 BY DESIGN, making unseen
     transitions expensive), V = corpus distinct-token count. Scored
     over a document's n_tokens - 1 transitions; docs with < 2 tokens
-    get n_bigrams = 0 and a NULL cross-entropy.
+    get n_bigrams = 0 and a NULL cross-entropy. Each transition's logp
+    is clamped to <= 0 (round-10 advisory): the truncated tables can
+    otherwise yield p > 1 when the context falls OUT of the unigram
+    table (uc -> 0) while its bigram stays IN the top-K with bc >= V —
+    plausible on heavily duplicated corpora — and a negative surprisal
+    would corrupt downstream thresholds.
 
     Scale design mirrors unigram_xent: BOTH model tables are top-K —
     broadcast-sized by construction, independent of corpus size — so
@@ -1039,9 +1044,18 @@ def bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bc"), F.asc("prev"), F.asc("cur"))
         .limit(BIGRAM_TABLE_K)
     )
-    logp = F.log(
-        (F.coalesce("bc", F.lit(0)) + F.lit(1)).cast("double")
-        / (F.coalesce("uc", F.lit(0)) + F.col("v_distinct")).cast("double")
+    # least(logp, 0): with BOTH tables truncated, an out-of-table context
+    # coalesces uc to 0 while a top-K bigram can still carry bc >= V on a
+    # heavily duplicated corpus, making the ratio > 1 — a positive logp
+    # that would subtract from the cross-entropy sum. Clamping keeps every
+    # per-transition contribution a proper >= 0 surprisal; the SQL twin
+    # applies the identical least() so parity is unchanged.
+    logp = F.least(
+        F.log(
+            (F.coalesce("bc", F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce("uc", F.lit(0)) + F.col("v_distinct")).cast("double")
+        ),
+        F.lit(0.0),
     )
     per_doc = (
         bg.join(F.broadcast(btable), ["prev", "cur"], "left")
@@ -1087,9 +1101,9 @@ btable AS (
 per_doc AS (
   SELECT bg.doc_id,
          count(*) AS n_bigrams,
-         sum(-ln(CAST(coalesce(btable.bc, 0) + 1 AS DOUBLE)
-                 / CAST(coalesce(uvocab.uc, 0) + totals.v_distinct
-                        AS DOUBLE))) AS neg_lp_sum
+         sum(-least(ln(CAST(coalesce(btable.bc, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(uvocab.uc, 0) + totals.v_distinct
+                              AS DOUBLE)), 0)) AS neg_lp_sum
   FROM bg
   LEFT JOIN btable USING (prev, cur)
   LEFT JOIN uvocab USING (prev)

@@ -90,6 +90,7 @@ def q_consolidate(spark, sf_dir):
 # 4-20: North-star L-family (SURVEY §2.L) — dedup, ANN, multimodal, text
 # ===================================================================
 
+from .operators import components as CC  # noqa: E402
 from .operators import decontam as DC  # noqa: E402
 from .operators import dedup as D  # noqa: E402
 from .operators import multimodal as MM  # noqa: E402
@@ -116,6 +117,16 @@ _L_FAMILY = [
     # window slots of the stub-backed l4 resize/frame-sample rows (those
     # keep pytest oracle parity as unreg_*; rationale in SURVEY §8)
     ("l1_duplicate_spans", DC.duplicate_spans, DC.DUPLICATE_SPANS_SQL),
+    # round-11 rotation #8: b20_defaults_bundle (single-scan
+    # defaults/casts/constants projection — the lowest-information
+    # remaining scalar row, same class as rotations 1-5) cedes its slot
+    # to the ITERATIVE plan family: pointer-doubled connected components
+    # over simhash near-pairs + cluster representatives. The DuckDB twin
+    # computes the same fixpoint (min reachable id) via a recursive-CTE
+    # transitive closure — structurally a different algorithm, so the
+    # hash match checks the fixpoint, not the iteration. b20 keeps
+    # pytest oracle parity as unreg_* (rationale in SURVEY §8).
+    ("l1_dedup_clusters", CC.dedup_clusters, CC.DEDUP_CLUSTERS_SQL),
     ("l2_topk_cosine_bruteforce", S.topk_cosine_bruteforce,
      S.TOPK_COSINE_BRUTEFORCE_SQL),
     ("l2_topk_cosine_lsh", S.topk_cosine_lsh, S.TOPK_COSINE_LSH_SQL),
@@ -361,15 +372,12 @@ def q_money_suite(spark, sf_dir):
     )
 
 
-_TAIL_SCALARS = [
-    # b18_nested_first rotated out in round 9 (slot ceded to
-    # l3_quality_deciles), c4_stat_cell_pick rotated out in round 9
-    # (slot ceded to l2_topk_cosine_pq) — parity kept as unreg_*
-    ("b20_defaults_bundle", SS.defaults_bundle, SS.DEFAULTS_BUNDLE_SQL),
-]
-
-for _name, _fn, _sql in _TAIL_SCALARS:
-    register(_name, _sql)(_fn)
+# b18_nested_first rotated out in round 9 (slot ceded to
+# l3_quality_deciles), c4_stat_cell_pick rotated out in round 9 (slot
+# ceded to l2_topk_cosine_pq), b20_defaults_bundle rotated out in round
+# 11 (slot ceded to l1_dedup_clusters) — parity kept as unreg_* in
+# tests/test_oracle_parity.py; SS.defaults_bundle / its SQL stay
+# exported for that test and the bench.
 
 
 assert len(_REGISTRY) <= MAX_ENTRIES, (

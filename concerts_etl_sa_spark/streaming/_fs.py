@@ -170,12 +170,26 @@ def promote_staged(
                 f"promote: could not create fence marker {marker}; "
                 "refusing to start the swap unfenced"
             )
+    staged_aside = False
     if path_exists(spark, live_dir):
         if not fs.rename(p_live, p_old):
             if p_marker is not None:
                 fs.delete(p_marker, False)  # swap never started
             raise RuntimeError(f"promote: could not stage {live_dir} aside")
+        staged_aside = True
     if not fs.rename(p_staging, p_live):
+        if not staged_aside:
+            # first-ever snapshot: no live dir was staged aside, so there
+            # is nothing to roll back (and the rollback rename would
+            # necessarily fail, surfacing the misleading "could not roll
+            # back ... reconcile manually" error — round-10 advisory).
+            # The pre-swap state (no live dir) already holds; unfence.
+            if p_marker is not None:
+                fs.delete(p_marker, False)
+            raise RuntimeError(
+                f"promote: could not promote "
+                f"{staging_dir(live_dir, staging_suffix)}"
+            )
         # roll back so the live dir is never left missing. The fence
         # marker is removed ONLY when the rollback lands: with the live
         # dir still missing, the marker is the sole thing stopping a

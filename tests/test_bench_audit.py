@@ -1,54 +1,53 @@
-"""Pin the bench-regression gate (tools/bench_audit.py).
+"""Bench-gate ratchet checks (round-10 verdict #3 / watch item (c)).
 
-The gate must (a) pass a replay of the best prior round, (b) flag an
-injected regression beyond band+floor, (c) tolerate swings inside the
-documented variance band — the r2->r3 no-code-change drift class.
+The trained rows' FIRST bench baselines were set at the pre-fused-
+trainer marks (23.2 / 25.5 s); until the r10 driver bench recorded the
+fused-trainer level (4.08 / 9.80 s) a ~5x trainer regression would have
+passed the gate. These tests pin that the ratchet now keys off the
+fused marks and that a deliberately-slowed trainer FAILS the audit —
+the local A/B the verdict asked for, kept as a permanent regression pin
+(best_prior only ever decreases, so the assertions stay valid as
+future rounds ratchet further down).
 """
 
 from __future__ import annotations
 
-import importlib.util
+import os
 import sys
 
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
 
-def _audit_mod():
-    spec = importlib.util.spec_from_file_location(
-        "bench_audit", "/root/repo/tools/bench_audit.py"
+from bench_audit import ABS_FLOOR, REL_BAND, audit, best_prior  # noqa: E402
+
+TRAINED = {
+    "unreg_l2_topk_cosine_pq_trained",
+    "unreg_l2_topk_cosine_ivfpq_trained",
+}
+
+
+def test_trained_row_baselines_ratcheted_to_fused_marks():
+    prior = best_prior(TRAINED)
+    assert prior["unreg_l2_topk_cosine_pq_trained"][0] <= 4.08, prior
+    assert prior["unreg_l2_topk_cosine_ivfpq_trained"][0] <= 9.80, prior
+
+
+def test_gate_fails_a_slowed_trainer():
+    """A trainer regressed back to the pre-fuse sequential form (23.2 s
+    for pq_trained) must trip the gate — this is exactly the regression
+    the stale first-mark baselines would have let through."""
+    regs, _lines = audit(
+        {"queries": {"unreg_l2_topk_cosine_pq_trained": 23.2}}
     )
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["bench_audit"] = mod
-    spec.loader.exec_module(mod)
-    return mod
-
-
-def test_clean_replay_passes():
-    ba = _audit_mod()
-    prior = ba.best_prior({"e1_pricing_summary"})
-    assert prior, "no BENCH_r*.json history found"
-    sec, _src = prior["e1_pricing_summary"]
-    regs, _ = ba.audit({"queries": {"e1_pricing_summary": sec}})
-    assert regs == []
-
-
-def test_injected_regression_fails():
-    ba = _audit_mod()
-    prior = ba.best_prior({"e1_pricing_summary"})
-    sec, _src = prior["e1_pricing_summary"]
-    regs, _ = ba.audit({"queries": {"e1_pricing_summary": sec * 3 + 1}})
-    assert len(regs) == 1 and "e1_pricing_summary" in regs[0]
-
-
-def test_inside_band_tolerated():
-    ba = _audit_mod()
-    prior = ba.best_prior({"l3_pii_redact"})
-    sec, _src = prior["l3_pii_redact"]
-    # +25% + 0.2s absolute: inside REL_BAND + ABS_FLOOR
-    regs, _ = ba.audit({"queries": {"l3_pii_redact": sec * 1.25 + 0.2}})
-    assert regs == []
-
-
-def test_unknown_query_is_baseline_not_failure():
-    ba = _audit_mod()
-    regs, lines = ba.audit({"queries": {"brand_new_query": 99.0}})
-    assert regs == []
-    assert any("baseline" in l for l in lines)
+    assert regs, "pre-fuse trainer mark passed the gate"
+    # and the current fused mark (plus normal variance) still passes
+    prior = best_prior(TRAINED)["unreg_l2_topk_cosine_pq_trained"][0]
+    ok_mark = prior * (1.0 + REL_BAND) + ABS_FLOOR - 0.01
+    regs_ok, _ = audit(
+        {"queries": {"unreg_l2_topk_cosine_pq_trained": ok_mark}}
+    )
+    assert not regs_ok

@@ -67,3 +67,65 @@ def test_ivf_pairs_unique_end_to_end(spark):
     )
     assert dups == 0
     assert out.count() > 0
+
+
+def test_ivf_rank_order_is_total(spark):
+    """Round-10 watch item (b) armor: the one unreproduced IVF hash
+    mismatch would be explicable if any ranking stage admitted ties.
+    Audit result pinned here: every ordering in the path carries a
+    unique-id tiebreak, so the ORDER KEY ITSELF is unique per scope —
+    (cosine, c_id) within a query (c_id unique per q_id by the pair-
+    uniqueness proof above), (neg_cos, centroid_id) within a vector's
+    assignment ranking (centroid ids distinct by construction)."""
+    emb = _emb_normed(spark, SF_DIR)
+    cand = _assign_buckets(
+        emb.filter(F.col("vec_id") >= N_QUERIES), _centroids(spark), n_keep=1
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("norm2").alias("cv_n2"),
+        "centroid_id",
+    )
+    qry = _assign_buckets(
+        emb.filter(F.col("vec_id") < N_QUERIES), _centroids(spark),
+        n_keep=NPROBE,
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("norm2").alias("q_n2"),
+        "centroid_id",
+    )
+    from concerts_etl_sa_spark.operators.similarity import _cosine_pre
+
+    scored = cand.join(F.broadcast(qry), "centroid_id").withColumn(
+        "cosine", _cosine_pre("q_vec", "c_vec", "q_n2", "cv_n2")
+    )
+    dup_keys = (
+        scored.groupBy("q_id", "cosine", "c_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup_keys == 0
+
+
+def test_ivf_run_to_run_determinism(spark):
+    """Round-10 watch item (b) armor, part 2: the full query must be
+    bit-stable across runs AND across physical layouts (shuffle
+    partition count changes every exchange's row order — if any stage
+    depended on arrival order, the collected rows would drift)."""
+    baseline = sorted(
+        tuple(r) for r in topk_cosine_ivf(spark, SF_DIR).collect()
+    )
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            spark.catalog.clearCache()
+            again = sorted(
+                tuple(r) for r in topk_cosine_ivf(spark, SF_DIR).collect()
+            )
+            assert again == baseline, f"drift at shuffle.partitions={parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        spark.catalog.clearCache()

@@ -115,6 +115,10 @@ def _all_queries():
         # l2_topk_cosine_pq) — parity kept
         ("unreg_c4_stat_cell_pick", SS.stat_cell_pick,
          SS.STAT_CELL_PICK_SQL),
+        # rotated out of the driver window in round 11 (slot ceded to
+        # l1_dedup_clusters, rotation #8) — parity kept
+        ("unreg_b20_defaults_bundle", SS.defaults_bundle,
+         SS.DEFAULTS_BUNDLE_SQL),
         # round-9 IVF+PQ composition (fixed coarse + fixed codebook):
         # the window is full, so the FAISS-style production shape is
         # parity-pinned here

@@ -113,3 +113,29 @@ def test_whole_stage_codegen_covers_scalar_cascade(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bigram_scoring_joins_stay_broadcast(spark):
+    """Round-11 trigram guardrail (verdict #7): the n-gram LM family's
+    scale property is that BOTH model tables are top-K truncated —
+    broadcast-sized BY CONSTRUCTION — so scoring is map-side broadcast
+    joins over the postings. If a future n=3 member (or a K bump) let a
+    model table grow past broadcast size, Spark would silently fall
+    back to a SortMergeJoin ON THE POSTINGS SIDE — a corpus-sized
+    shuffle where the design promises none. Pin the plan shape: the
+    scoring path carries NO sort-merge join, and the model tables bound
+    stays broadcast-sized (docstring contract: K * ~avg-token bytes;
+    2000 + 1000 entries is ~100 KB, five orders under the 8 GB
+    broadcast ceiling)."""
+    from concerts_etl_sa_spark.operators import textstats as TS
+
+    plan = plan_of(TS.bigram_xent(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, (
+        "bigram scoring must broadcast its truncated model tables"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2  # btable + uvocab joins
+    # the structural bound itself: table sizes are compile-time consts
+    assert TS.BIGRAM_TABLE_K + TS.UNIGRAM_VOCAB_K <= 1_000_000, (
+        "model tables must stay broadcast-sized (the family's scale "
+        "property is structural, not accidental)"
+    )

@@ -119,8 +119,11 @@ def _capped_ops() -> dict:
         ),
         # not capped, but probe-only like the capped forms: the full
         # production composition (auto-K sizing + Lloyd's training +
-        # round-10 two-level assignment, ON by default)
-        "l2_semdedup_auto_trained": SEM.semdedup_trained_auto,
+        # two-level assignment via the explicit production opt-in —
+        # the public default stays exact, round-10 advisory)
+        "l2_semdedup_auto_trained": lambda spark, sf: (
+            SEM.semdedup_trained_auto(spark, sf, assign_nprobe=2)
+        ),
         # round-10: auto-K with TWO-LEVEL coarse->fine assignment on the
         # fixed modular centroids — the treatment for the round-9 finding
         # that the auto-K 5x->25x segment (alpha~1.15) is the flat

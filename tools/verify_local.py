@@ -62,6 +62,47 @@ def table_digest(cols, rows):
     return h.hexdigest(), lines
 
 
+DUMP_DIR = "/tmp/verify_mismatch"
+
+
+def dump_mismatch(name: str, sf_dir: str, slines: list[str],
+                  olines: list[str]) -> str:
+    """Write BOTH engines' full canonical row sets plus the symmetric
+    diff to a timestamped capture file and return its path.
+
+    Round-10 watch item (b): l2_topk_cosine_ivf hash-mismatched ONCE in
+    a full sf0.01 batch, then passed every rerun — the failing rows were
+    lost the moment the batch was rerun, leaving the flake undiagnosable.
+    This hook makes any future mismatch a post-mortem artifact instead
+    of a lost event: the capture is written BEFORE the verdict returns,
+    so a rerun cannot destroy the evidence."""
+    import os
+
+    os.makedirs(DUMP_DIR, exist_ok=True)
+    path = os.path.join(
+        DUMP_DIR, f"{name}_{time.strftime('%Y%m%dT%H%M%S')}.txt"
+    )
+    sset, oset = set(slines), set(olines)
+    with open(path, "w") as f:
+        f.write(f"query: {name}\nsf_dir: {sf_dir}\n")
+        f.write(f"spark rows: {len(slines)}  duck rows: {len(olines)}\n")
+        f.write(f"spark-only: {len(sset - oset)}  "
+                f"duck-only: {len(oset - sset)}\n\n")
+        f.write("== spark-only (symmetric diff) ==\n")
+        for line in sorted(sset - oset):
+            f.write(line + "\n")
+        f.write("\n== duck-only (symmetric diff) ==\n")
+        for line in sorted(oset - sset):
+            f.write(line + "\n")
+        f.write("\n== full spark result (canonical, sorted) ==\n")
+        for line in slines:
+            f.write(line + "\n")
+        f.write("\n== full duckdb result (canonical, sorted) ==\n")
+        for line in olines:
+            f.write(line + "\n")
+    return path
+
+
 def _build_spark():
     """PLAIN session by default — the driver's correctness gate runs a
     config-free ``SparkSession.builder.getOrCreate()`` (none of
@@ -166,6 +207,8 @@ def main():
             print(f"PASS  {name}: rows={len(srows)} ({dt:.1f}s)")
         else:
             print(f"FAIL  {name}: value hash mismatch rows={len(srows)}")
+            dump = dump_mismatch(name, SF_DIR, slines, olines)
+            print(f"   full capture written to {dump}")
             sset, oset = set(slines), set(olines)
             for line in list(sset - oset)[:3]:
                 print(f"   spark-only: {line[:220]!r}")
