@@ -311,7 +311,9 @@ def minhash_lsh_pairs_df(
             max_bucket_size,
             heavy_bucket_mode,
         )
-        return _verify_jaccard(cand, ds, jaccard_threshold)
+        return _verify_jaccard(
+            cand, ds, jaccard_threshold, single_partition_sort=False
+        )
 
     # FIRST-shared-band emission (same trick as simhash_near_pairs): a
     # pair sharing k bands matches the join k times; keep only the match
@@ -663,11 +665,30 @@ MINHASH_LSH_JOIN_SQL = _minhash_lsh_join_sql()
 
 
 def _verify_jaccard(
-    cand: DataFrame, ds: DataFrame, jaccard_threshold: float
+    cand: DataFrame, ds: DataFrame, jaccard_threshold: float,
+    single_partition_sort: bool = True,
 ) -> DataFrame:
     """Re-attach shingles to the (slim) candidate pairs and keep exact
-    Jaccard >= threshold."""
-    pairs = cand.join(
+    Jaccard >= threshold.
+
+    ``single_partition_sort=False`` is the CAPPED-path setting, and it
+    changes two things the flood scale demands:
+
+    - no ``sorted_small``: a capped flood's true pair volume is linear
+      in N but large in absolute terms (the round-11 125x flood
+      measured ~600k+ true pairs), and repartition(1) would funnel all
+      of them through one sorting task — the simhash capped branch's
+      ``sortWithinPartitions`` convention applies instead (consumers of
+      the capped forms are components / ingest gates that need a set,
+      not a total order).
+    - ``shuffle_hash``-hinted re-attach joins: the candidate set is
+      linear in N BY CONSTRUCTION, so broadcasting it is a scale bug
+      regardless of what it happens to measure today — at 125x flood
+      AQE saw it under the 64 MB threshold, broadcast it, and OOM'd the
+      driver building the hashed relation. The hint pins a per-partition
+      hash join (bounded build side) at every scale."""
+    cand_j = cand if single_partition_sort else cand.hint("shuffle_hash")
+    pairs = cand_j.join(
         ds.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")),
         "a_id",
     ).join(
@@ -676,15 +697,17 @@ def _verify_jaccard(
     )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
-    return (
+    scored = (
         pairs.withColumn(
             "jaccard",
             F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
-        .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )
+    if single_partition_sort:
+        return scored.transform(lambda d: sorted_small(d, "a_id", "b_id"))
+    return scored.sortWithinPartitions("a_id", "b_id")
 
 
 # the per-bucket skew guard (_capped_candidates in rounds <= 6) is now
@@ -781,7 +804,10 @@ def ngram_jaccard_pairs_df(
             heavy_bucket_mode,
             multi_band=False,
         )
-        pairs = cand.join(
+        # shuffle_hash hint: the capped pair set is linear in N by
+        # construction — never broadcast it (the 125x flood OOM lesson,
+        # see _verify_jaccard)
+        pairs = cand.hint("shuffle_hash").join(
             ds.select(
                 F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")
             ),
@@ -806,15 +832,19 @@ def ngram_jaccard_pairs_df(
         pairs = a.join(b, "min_sh").filter(F.col("a_id") < F.col("b_id"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
-    return (
+    scored = (
         pairs.withColumn(
             "jaccard",
             F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a_id", "b_id", "jaccard")
-        .transform(lambda d: sorted_small(d, "a_id", "b_id"))
     )
+    if max_bucket_size is not None:
+        # capped path: flood-scale true-pair volume through one sorting
+        # task is the _verify_jaccard straggler; same convention there
+        return scored.sortWithinPartitions("a_id", "b_id")
+    return scored.transform(lambda d: sorted_small(d, "a_id", "b_id"))
 
 
 NGRAM_JACCARD_PAIRS_SQL = f"""
@@ -956,7 +986,11 @@ def simhash_near_pairs_df(
             heavy_bucket_mode,
         )
         return (
-            cand.join(
+            # shuffle_hash hint: the capped pair set is linear in N by
+            # construction — never broadcast it (the 125x flood OOM
+            # lesson, see _verify_jaccard)
+            cand.hint("shuffle_hash")
+            .join(
                 sig.select(
                     F.col("doc_id").alias("a_id"),
                     F.col("simhash").alias("a_sig"),

@@ -214,7 +214,10 @@ def _dup_pairs(
         cand = capped_candidates(
             buckets, max_cluster_size, heavy_bucket_mode, multi_band=False
         )
-        pairs = cand.join(
+        # shuffle_hash hint: the capped pair set is linear in N by
+        # construction — never broadcast it (the 125x flood OOM lesson,
+        # see dedup._verify_jaccard)
+        pairs = cand.hint("shuffle_hash").join(
             assigned.select(
                 F.col("vec_id").alias("a_id"),
                 F.col("nemb").alias("a_nv"),

@@ -663,7 +663,10 @@ def embedding_near_dup_pairs_df(
         cand = capped_candidates(
             bands, max_bucket_size, heavy_bucket_mode, multi_band=True
         )
-        pairs = cand.join(
+        # shuffle_hash hint: the capped pair set is linear in N by
+        # construction — never broadcast it (the 125x flood OOM lesson,
+        # see dedup._verify_jaccard)
+        pairs = cand.hint("shuffle_hash").join(
             emb.select(
                 F.col("vec_id").alias("a_id"),
                 F.col("embedding").alias("a_vec"),

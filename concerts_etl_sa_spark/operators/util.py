@@ -52,9 +52,23 @@ def capped_candidates(
     Both build-side windows partition on ``band_fp`` — the SAME key the
     pair self-join shuffles on, so the rank/count machinery adds no
     extra exchange on the build side at scale. The in-bucket order is
-    ``xxhash64(doc_id, band_fp)`` (doc_id tiebreak): deterministic,
-    partition-invariant, and uncorrelated with doc_id so a heavy
-    bucket's anchor/sample isn't biased toward old documents.
+    deterministic, partition-invariant, and uncorrelated with doc_id so
+    a heavy bucket's anchor/sample isn't biased toward old documents —
+    but the hash SEED differs by mode, deliberately:
+
+    - ``star`` orders by ``xxhash64(doc_id)`` alone, so the anchor is a
+      pure function of bucket MEMBERSHIP: two bands whose heavy buckets
+      hold the same docs (the exact-duplicate-flood shape) pick the
+      SAME anchor and emit the SAME (anchor, member) edges, which the
+      multi-band dropDuplicates then collapses. The round-11 125x flood
+      probe measured the per-band-seeded form emitting ~N_BANDS x the
+      deduped pair volume (every band elected a different anchor for
+      the same cluster) — 4x the verify-stage work for zero extra
+      connectivity, since each bucket's own star already connects it.
+    - ``sample`` keeps ``xxhash64(doc_id, band_fp)``: here per-band
+      DEcorrelation is the feature — a doc sampled out of one band's
+      bucket can still earn edges in another band, so recall degrades
+      gracefully instead of the same victims losing every edge.
 
     ``multi_band=True`` (docs appear under several band keys) ends with
     a pair ``dropDuplicates``: capped emission is not
@@ -69,7 +83,12 @@ def capped_candidates(
             f"heavy_bucket_mode must be 'star' or 'sample', got {heavy_bucket_mode!r}"
         )
     wb = Window.partitionBy("band_fp")
-    wo = wb.orderBy(F.xxhash64(F.col("doc_id"), F.col("band_fp")), F.col("doc_id"))
+    order = (
+        (F.xxhash64(F.col("doc_id")), F.col("doc_id"))
+        if heavy_bucket_mode == "star"
+        else (F.xxhash64(F.col("doc_id"), F.col("band_fp")), F.col("doc_id"))
+    )
+    wo = wb.orderBy(*order)
     ranked = bands.select(
         "doc_id",
         "band_fp",

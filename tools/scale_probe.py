@@ -75,7 +75,16 @@ DEFAULT_OPS = [
 ]
 
 
-CAP = 256  # per-bucket/cluster skew cap for the *_capped variants
+# per-bucket/cluster skew cap for the *_capped variants (--cap). The
+# cap is the SATURATION POINT of the bounded-quadratic pair regime:
+# below it a flood of multiplicity R grows candidate volume as
+# buckets x C(R*m_nat, 2) — the designed bound, quadratic in R until
+# R*m_nat crosses the cap, linear (star) after. A flood probe must
+# therefore pick cap < R*typical-bucket or it measures the
+# pre-saturation regime (the round-11 125x minhash lesson: R=125
+# twins per band bucket stayed under cap=256 and the segment ran
+# quadratic BY DESIGN; cap=64 is the saturation proof).
+CAP = 256
 
 
 def _capped_ops() -> dict:
@@ -219,12 +228,15 @@ def build_scaled(scales: list[int], flood: bool) -> dict[int, str]:
 
 
 def main() -> None:
+    global CAP
     ap = argparse.ArgumentParser()
     ap.add_argument("--flood", action="store_true")
     ap.add_argument("--ops", default=",".join(DEFAULT_OPS))
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--scales", default="1,5,25")
+    ap.add_argument("--cap", type=int, default=CAP)
     args = ap.parse_args()
+    CAP = args.cap
     scales = [int(x) for x in args.scales.split(",")]
     ops = [o for o in args.ops.split(",") if o]
 
@@ -285,6 +297,7 @@ def main() -> None:
                 "mode": "flood" if args.flood else "natural",
                 "scales": scales,
                 "runs": args.runs,
+                "cap": CAP,
                 "loadavg_start": load1,
                 "ops": results,
             }
