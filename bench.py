@@ -96,6 +96,9 @@ HEADLINE = R6_HEADLINE + [
     # with its window slot (pointer-doubled connected components over
     # simhash near-pairs + cluster representatives)
     "l1_dedup_clusters",
+    # round-11: the n=3 xent family member (trigram + bigram-context
+    # broadcast tables, row-side composed-zip_with trigram build)
+    "unreg_l3_trigram_xent",
 ]
 
 
@@ -141,6 +144,7 @@ def _extra_queries():
         "unreg_l2_topk_cosine_ivfpq_trained": PQ.topk_cosine_ivfpq_trained,
         "unreg_l2_topk_cosine_ivf_trained_auto": _ivf_trained_auto,
         "unreg_l3_bigram_xent": TS.bigram_xent,
+        "unreg_l3_trigram_xent": TS.trigram_xent,
     }
 
 

@@ -686,13 +686,29 @@ def _verify_jaccard(
       regardless of what it happens to measure today — at 125x flood
       AQE saw it under the 64 MB threshold, broadcast it, and OOM'd the
       driver building the hashed relation. The hint pins a per-partition
-      hash join (bounded build side) at every scale."""
-    cand_j = cand if single_partition_sort else cand.hint("shuffle_hash")
+      hash join (bounded build side) at every scale.
+    - HASH-FINGERPRINTED shingles: the verify joins attach
+      xxhash64(shingle) arrays (8 B/element) instead of the ~30-char
+      strings, so the join payload shrinks ~4x and array_intersect/
+      array_union compare longs — the dominant per-pair cost in the
+      pre-saturation flood regime, where candidate volume is the
+      designed bounded-quadratic buckets x C(min(R*m, cap), 2).
+      Philosophically consistent with the operator (the band keys are
+      already fingerprinted the same way): distinct shingles map to
+      distinct longs w.h.p., so intersection/union COUNTS — and with
+      them the rounded Jaccard — are unchanged; a collision inflates
+      one pair's Jaccard by ~1/|union| with p ~ |sh|^2/2^64. The
+      oracle path (single_partition_sort=True) keeps exact strings."""
+    if single_partition_sort:
+        cand_j, attach = cand, F.col("shingles")
+    else:
+        cand_j = cand.hint("shuffle_hash")
+        attach = F.transform("shingles", lambda s: F.xxhash64(s))
     pairs = cand_j.join(
-        ds.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")),
+        ds.select(F.col("doc_id").alias("a_id"), attach.alias("a_sh")),
         "a_id",
     ).join(
-        ds.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")),
+        ds.select(F.col("doc_id").alias("b_id"), attach.alias("b_sh")),
         "b_id",
     )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
@@ -804,18 +820,16 @@ def ngram_jaccard_pairs_df(
             heavy_bucket_mode,
             multi_band=False,
         )
-        # shuffle_hash hint: the capped pair set is linear in N by
-        # construction — never broadcast it (the 125x flood OOM lesson,
-        # see _verify_jaccard)
+        # shuffle_hash hint + hashed-shingle attach: the capped pair set
+        # is linear in N by construction — never broadcast it — and the
+        # verify compares xxhash64 fingerprints, not strings (the 125x
+        # flood lessons, see _verify_jaccard)
+        attach = F.transform("shingles", lambda s: F.xxhash64(s))
         pairs = cand.hint("shuffle_hash").join(
-            ds.select(
-                F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")
-            ),
+            ds.select(F.col("doc_id").alias("a_id"), attach.alias("a_sh")),
             "a_id",
         ).join(
-            ds.select(
-                F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")
-            ),
+            ds.select(F.col("doc_id").alias("b_id"), attach.alias("b_sh")),
             "b_id",
         )
     else:

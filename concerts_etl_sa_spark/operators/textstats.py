@@ -1115,3 +1115,157 @@ SELECT d.doc_id,
   round(per_doc.neg_lp_sum / per_doc.n_bigrams, 6) AS cross_entropy
 FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 """
+
+
+# ------------------------------------ trigram-LM cross-entropy (round 11)
+
+TRIGRAM_TABLE_K = 2000    # truncated trigram table size (bounded model)
+TRIGRAM_CONTEXT_K = 2000  # truncated (prev2, prev1) context-count table
+
+
+def trigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus-trained TRUNCATED
+    Laplace TRIGRAM LM — the n=3 member of the xent family
+    (:func:`unigram_xent` / :func:`bigram_xent`; CCNet's production
+    filter is a 5-gram KenLM, and each member shares its shape: train a
+    bounded model on the corpus, score every document by mean negative
+    log-probability, threshold downstream).
+
+    Model: p(cur | prev2, prev1) = (c(prev2, prev1, cur) + 1)
+    / (c(prev2, prev1) + V), with the trigram count from the
+    top-``TRIGRAM_TABLE_K`` table, the context count from the
+    top-``TRIGRAM_CONTEXT_K`` bigram-context table, and V = corpus
+    distinct-token count. Out-of-table counts are 0 BY DESIGN (unseen
+    continuations are expensive); per-transition logp is clamped <= 0
+    (the same truncated-table p>1 hazard the bigram clamp closes).
+    Docs with < 3 tokens get n_trigrams = 0 and a NULL cross-entropy.
+
+    Scale property — STRUCTURAL, per the round-11 guardrail
+    (tests/test_plan_hygiene.py pins the bigram member's plan; the same
+    broadcast-only shape holds here): BOTH model tables are top-K, so
+    scoring is two map-side broadcast joins over the trigram postings;
+    the postings are built ROW-SIDE (a composed zip_with over three
+    token-array slices — no positional self-join), and V rides the
+    unigram counts aggregate. The family's memory bound is
+    (TRIGRAM_TABLE_K + TRIGRAM_CONTEXT_K) entries — ~100s of KB,
+    independent of corpus size.
+
+    Truncation tie-breaks are total orders ((c DESC, p2, p1, cur) /
+    (c DESC, p2, p1)) so both engines build identical tables.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from ._cachescope import begin_scope, scoped_persist
+
+    begin_scope("trigram_xent")
+    toked = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    sz = F.size("toks")
+    n3 = F.greatest(sz - 2, F.lit(0))
+    # compose two zip_withs: (p2, p1) pairs zipped against the cur slice
+    ctx = F.zip_with(
+        F.slice("toks", 1, n3),
+        F.slice("toks", 2, n3),
+        lambda a, b: F.named_struct(F.lit("p2"), a, F.lit("p1"), b),
+    )
+    tris = F.zip_with(
+        ctx,
+        F.slice("toks", 3, n3),
+        lambda c, t: F.named_struct(
+            F.lit("p2"), c["p2"], F.lit("p1"), c["p1"], F.lit("cur"), t
+        ),
+    )
+    tg = scoped_persist(
+        "trigram_xent",
+        toked.select("doc_id", F.explode(tris).alias("t")).select(
+            "doc_id",
+            F.col("t.p2").alias("p2"),
+            F.col("t.p1").alias("p1"),
+            F.col("t.cur").alias("cur"),
+        ),
+    )
+    occ = toked.select("doc_id", F.explode("toks").alias("token"))
+    totals = occ.select("token").groupBy("token").agg(
+        F.count(F.lit(1)).alias("uc")
+    ).agg(F.count(F.lit(1)).alias("v_distinct"))
+    ctx_table = (
+        tg.groupBy("p2", "p1")
+        .agg(F.count(F.lit(1)).alias("cc"))
+        .orderBy(F.desc("cc"), F.asc("p2"), F.asc("p1"))
+        .limit(TRIGRAM_CONTEXT_K)
+    )
+    ttable = (
+        tg.groupBy("p2", "p1", "cur")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("p2"), F.asc("p1"), F.asc("cur"))
+        .limit(TRIGRAM_TABLE_K)
+    )
+    logp = F.least(
+        F.log(
+            (F.coalesce("tc", F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce("cc", F.lit(0)) + F.col("v_distinct")).cast(
+                "double"
+            )
+        ),
+        F.lit(0.0),
+    )
+    per_doc = (
+        tg.join(F.broadcast(ttable), ["p2", "p1", "cur"], "left")
+        .join(F.broadcast(ctx_table), ["p2", "p1"], "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(-logp).alias("neg_lp_sum"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        F.round(
+            F.col("neg_lp_sum") / F.col("n_trigrams"), 6
+        ).alias("cross_entropy"),
+    )
+
+
+TRIGRAM_XENT_SQL = f"""
+WITH tokd AS (
+  SELECT doc_id, {_tokens_sql('text')} AS toks FROM documents
+),
+tg AS (
+  SELECT doc_id, t['p2'] AS p2, t['p1'] AS p1, t['cur'] AS cur FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 2),
+                  i -> {{'p2': toks[i], 'p1': toks[i + 1],
+                        'cur': toks[i + 2]}})) AS t
+    FROM tokd)
+),
+occ AS (SELECT doc_id, unnest(toks) AS token FROM tokd),
+totals AS (
+  SELECT count(*) AS v_distinct
+  FROM (SELECT token FROM occ GROUP BY token)
+),
+ctx_table AS (
+  SELECT p2, p1, count(*) AS cc FROM tg GROUP BY p2, p1
+  ORDER BY cc DESC, p2 ASC, p1 ASC LIMIT {TRIGRAM_CONTEXT_K}
+),
+ttable AS (
+  SELECT p2, p1, cur, count(*) AS tc FROM tg GROUP BY p2, p1, cur
+  ORDER BY tc DESC, p2 ASC, p1 ASC, cur ASC LIMIT {TRIGRAM_TABLE_K}
+),
+per_doc AS (
+  SELECT tg.doc_id,
+         count(*) AS n_trigrams,
+         sum(-least(ln(CAST(coalesce(ttable.tc, 0) + 1 AS DOUBLE)
+                       / CAST(coalesce(ctx_table.cc, 0)
+                              + totals.v_distinct AS DOUBLE)), 0))
+           AS neg_lp_sum
+  FROM tg
+  LEFT JOIN ttable USING (p2, p1, cur)
+  LEFT JOIN ctx_table USING (p2, p1)
+  CROSS JOIN totals
+  GROUP BY tg.doc_id
+)
+SELECT d.doc_id,
+  coalesce(per_doc.n_trigrams, 0) AS n_trigrams,
+  round(per_doc.neg_lp_sum / per_doc.n_trigrams, 6) AS cross_entropy
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""

@@ -100,6 +100,10 @@ def _all_queries():
         # bigram over truncated broadcast tables) — window full, parity
         # pinned here like the rest of the l3 extras
         ("unreg_l3_bigram_xent", TS.bigram_xent, TS.BIGRAM_XENT_SQL),
+        # round-11: the n=3 family member (two truncated broadcast
+        # tables — trigram + bigram-context — row-side composed-zip_with
+        # trigram build, logp clamped <= 0)
+        ("unreg_l3_trigram_xent", TS.trigram_xent, TS.TRIGRAM_XENT_SQL),
         ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
         # rotated out of the driver window in round 8 (slot ceded to
         # l3_unigram_xent) — parity kept

@@ -129,13 +129,18 @@ def test_bigram_scoring_joins_stay_broadcast(spark):
     broadcast ceiling)."""
     from concerts_etl_sa_spark.operators import textstats as TS
 
-    plan = plan_of(TS.bigram_xent(spark, SF_DIR))
-    assert "SortMergeJoin" not in plan, (
-        "bigram scoring must broadcast its truncated model tables"
-    )
-    assert plan.count("BroadcastHashJoin") >= 2  # btable + uvocab joins
+    for member, n_bcast in ((TS.bigram_xent, 2), (TS.trigram_xent, 2)):
+        plan = plan_of(member(spark, SF_DIR))
+        assert "SortMergeJoin" not in plan, (
+            f"{member.__name__} scoring must broadcast its truncated "
+            "model tables"
+        )
+        assert plan.count("BroadcastHashJoin") >= n_bcast
     # the structural bound itself: table sizes are compile-time consts
-    assert TS.BIGRAM_TABLE_K + TS.UNIGRAM_VOCAB_K <= 1_000_000, (
+    assert (
+        TS.BIGRAM_TABLE_K + TS.UNIGRAM_VOCAB_K
+        + TS.TRIGRAM_TABLE_K + TS.TRIGRAM_CONTEXT_K
+    ) <= 1_000_000, (
         "model tables must stay broadcast-sized (the family's scale "
         "property is structural, not accidental)"
     )
