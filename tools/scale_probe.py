@@ -119,6 +119,13 @@ def _capped_ops() -> dict:
         "l2_semdedup_auto_capped": lambda spark, sf: (
             SEM.semdedup_auto(spark, sf, max_cluster_size=CAP)
         ),
+        # round-11: the sign-bucket pair family's capped form — its
+        # natural buckets are already fat (2x4-bit keys over N vectors:
+        # ~N/16 members per band bucket), so a flood saturates the cap
+        # immediately and the probe measures the star regime directly
+        "l2_embedding_near_dup_capped": lambda spark, sf: (
+            _embedding_near_dup_capped(spark, sf)
+        ),
         # round-10: cap + two-level combined — the full production
         # defense set (skew-capped pair stage AND sqrt(K) assignment)
         "l2_semdedup_auto_2l_capped": lambda spark, sf: (
@@ -152,6 +159,14 @@ def _capped_ops() -> dict:
         # — the one plan family the static alpha table didn't cover
         "l1_dedup_clusters": _dedup_clusters,
     }
+
+
+def _embedding_near_dup_capped(spark, sf):
+    from concerts_etl_sa_spark.operators import similarity as S
+
+    return S.embedding_near_dup_pairs_df(
+        S._emb_normed(spark, sf), max_bucket_size=CAP
+    )
 
 
 def _dedup_clusters(spark, sf):
