@@ -99,6 +99,10 @@ HEADLINE = R6_HEADLINE + [
     # round-11: the n=3 xent family member (trigram + bigram-context
     # broadcast tables, row-side composed-zip_with trigram build)
     "unreg_l3_trigram_xent",
+    # round-11: kNN label-noise detection over embeddings.label — the
+    # auto-K IVF-pruned PRODUCTION form ratchets; the exact N^2 form is
+    # the documented non-scale oracle (pytest parity at sf0.001 only)
+    "unreg_l2_knn_label_noise_ivf",
 ]
 
 
@@ -106,6 +110,7 @@ def _extra_queries():
     """Benched operators that hold no driver-window slot (pytest-parity
     only) — resolved straight from their modules."""
     from concerts_etl_sa_spark.operators import dedup as D
+    from concerts_etl_sa_spark.operators import labelqa as LQ
     from concerts_etl_sa_spark.operators import semdedup as SEM
     from concerts_etl_sa_spark.operators import textstats as TS
 
@@ -145,6 +150,7 @@ def _extra_queries():
         "unreg_l2_topk_cosine_ivf_trained_auto": _ivf_trained_auto,
         "unreg_l3_bigram_xent": TS.bigram_xent,
         "unreg_l3_trigram_xent": TS.trigram_xent,
+        "unreg_l2_knn_label_noise_ivf": LQ.knn_label_noise_ivf,
     }
 
 

@@ -1,0 +1,251 @@
+"""Label-quality analysis over labeled embeddings (SURVEY §2.L2
+extension; the training-data op the ``embeddings.label`` column exists
+for).
+
+Classifier training sets carry label errors, and the standard detector
+is NEIGHBORHOOD DISAGREEMENT (the kNN member of the Confident Learning
+family, Northcutt et al. 2021, arXiv:1911.00068: an example whose
+nearest neighbors vote for a different class is a label-error
+candidate): for every labeled vector, take its k nearest neighbors by
+cosine, compute the neighbor-majority label and the fraction agreeing
+with the vector's OWN label, and flag the rows whose neighborhood
+outvotes them.
+
+Two forms, the repo's established oracle/production split:
+
+- :func:`knn_label_noise` — EXACT kNN via a broadcast of the
+  (id, unit-vector, label) table against itself. This is the
+  DuckDB-one-shot oracle form (parity-pinned in
+  tests/test_oracle_parity.py as ``unreg_l2_knn_label_noise``); the
+  corpus-sized broadcast is the documented NON-scale part, exactly like
+  ``quality_deciles``'s exact percentiles — the production swap is the
+  IVF form below.
+- :func:`knn_label_noise_ivf` — the scale path: both sides assign to a
+  fixed centroid set (the existing IVF machinery — broadcast HOF
+  ranking, no shuffle), queries probe their ``nprobe`` nearest lists,
+  and kNN runs within the probed lists only (~N/K * nprobe candidates
+  per vector, the same plan shape as ``topk_cosine_ivf`` with EVERY
+  vector as a query). Approximate: a true neighbor can hide in an
+  unprobed list; the agreement with the exact form is pytest-pinned.
+
+Determinism: cosines are rounded to 6 dp, neighbor rank ties break on
+vec_id asc, and the majority vote breaks ties on (count DESC, label
+ASC) — total orders end-to-end, both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.readers import load_table
+from .similarity import (
+    _assign_buckets,
+    _cosine_pre,
+    _cosine_sql,
+    _norm2,
+)
+
+KNN_K = 5
+
+
+def _labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "embedding", "label", _norm2("embedding").alias("norm2")
+    )
+
+
+def _noise_from_scored(scored: DataFrame, k: int) -> DataFrame:
+    """(a_id, a_label, b_label, cosine) candidate scores -> the
+    per-vector verdict frame. Shared by the exact and IVF forms so the
+    vote/tie-break semantics cannot drift."""
+    w = Window.partitionBy("a_id").orderBy(F.desc("cosine"), F.asc("b_id"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    votes = top.groupBy("a_id", "a_label", "b_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("a_id").orderBy(
+        F.desc("votes"), F.asc("b_label")
+    )
+    per_vec = (
+        votes.withColumn("vrn", F.row_number().over(wv))
+        .groupBy("a_id", "a_label")
+        .agg(
+            F.max(F.when(F.col("vrn") == 1, F.col("b_label"))).alias(
+                "knn_majority_label"
+            ),
+            F.sum("votes").alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("b_label") == F.col("a_label"), F.col("votes"))
+                .otherwise(F.lit(0))
+            ).alias("n_agree"),
+        )
+    )
+    return per_vec.select(
+        F.col("a_id").alias("vec_id"),
+        F.col("a_label").alias("label"),
+        "knn_majority_label",
+        F.round(
+            F.col("n_agree").cast("double") / F.col("n_neighbors"), 6
+        ).alias("knn_agree_frac"),
+        (F.col("knn_majority_label") != F.col("a_label")).alias(
+            "is_suspect"
+        ),
+    )
+
+
+def knn_label_noise(
+    spark: SparkSession, sf_dir: str, k: int = KNN_K
+) -> DataFrame:
+    """Exact-kNN label-noise frame: (vec_id, label, knn_majority_label,
+    knn_agree_frac, is_suspect) for every labeled vector."""
+    emb = _labeled(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("norm2").alias("a_n2"),
+        F.col("label").alias("a_label"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("norm2").alias("b_n2"),
+        F.col("label").alias("b_label"),
+    )
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn("cosine", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2"))
+        .select("a_id", "a_label", "b_id", "b_label", "cosine")
+    )
+    return _noise_from_scored(scored, k).transform(
+        lambda d: d.repartition(1).sortWithinPartitions("vec_id")
+    )
+
+
+def knn_label_noise_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    nprobe: int = 4,
+    per_list: int = 60,
+) -> DataFrame:
+    """IVF-pruned production form: kNN candidates come only from each
+    vector's ``nprobe`` nearest inverted lists. Plan shape: two
+    shuffle-free broadcast assignments + one equi-join on centroid_id;
+    candidate volume ~N * (N/K) * nprobe instead of N^2. Agreement with
+    :func:`knn_label_noise` is pytest-pinned.
+
+    The index is AUTO-K (K = max(N // per_list, 8), the semdedup sizing
+    rule, centroids by the same deterministic modular pick): every
+    vector is a query here, so the candidate join's key cardinality IS
+    the parallelism — the toy K=4 ``IVF_CENTROID_IDS`` index funnels
+    the whole N*(N/4)*nprobe volume through four join keys (measured
+    1.8x SLOWER than exact brute force at sf0.1), while K ∝ N keeps
+    per-list volume constant and the join keys plentiful, the same
+    argument as semdedup_auto. The count() is one scalar sync to size
+    the index before the plan is built. ``nprobe=4`` is the measured
+    default: per-verdict agreement with exact 0.38/0.48/0.59/0.84 at
+    nprobe 2/3/4/6 on the ISOTROPIC synthetic labels (real clustered
+    embeddings sit far higher at equal nprobe), 4.9 s at sf0.1 vs the
+    exact form's 17.7 s, and candidate volume ~N * nprobe * per_list
+    stays linear in N."""
+    emb = _labeled(spark, sf_dir)
+    from .semdedup import SEMDEDUP_CENTROID_RESIDUE, _auto_stride
+
+    n = load_table(spark, sf_dir, "embeddings", spread=False).count()
+    stride = _auto_stride(n, per_list)
+    centroids = (
+        load_table(spark, sf_dir, "embeddings", spread=False)
+        .filter(
+            (F.col("vec_id") % stride)
+            == F.lit(SEMDEDUP_CENTROID_RESIDUE % stride)
+        )
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+            _norm2("embedding").alias("c_n2"),
+        )
+    )
+    qry = _assign_buckets(
+        emb.select("vec_id", "embedding", "norm2"), centroids, n_keep=nprobe
+    ).join(emb.select("vec_id", "label"), "vec_id").select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_vec"),
+        F.col("norm2").alias("a_n2"),
+        F.col("label").alias("a_label"),
+        "centroid_id",
+    )
+    cand = _assign_buckets(
+        emb.select("vec_id", "embedding", "norm2"), centroids, n_keep=1
+    ).join(emb.select("vec_id", "label"), "vec_id").select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("norm2").alias("b_n2"),
+        F.col("label").alias("b_label"),
+        "centroid_id",
+    )
+    scored = (
+        cand.join(qry, "centroid_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        # a (a, b) pair can appear once per SHARED probed list; the
+        # rank window needs each candidate once — dropDuplicates is
+        # required here (unlike topk_cosine_ivf's query side, both
+        # sides here are N-sized and a candidate may sit in several of
+        # a query's probed lists only via distinct centroid ids, which
+        # n_keep=1 on the candidate side already rules out — but the
+        # QUERY side probes nprobe lists, and the candidate's single
+        # list can match at most one of them, so uniqueness holds by
+        # the same argument as tests/test_ivf_pair_uniqueness.py; no
+        # dedup exchange needed)
+        .withColumn("cosine", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2"))
+        .select("a_id", "a_label", "b_id", "b_label", "cosine")
+    )
+    # no single-partition sort: this is the production form and its
+    # output is corpus-sized (one row per labeled vector)
+    return _noise_from_scored(scored, k).sortWithinPartitions("vec_id")
+
+
+def _knn_label_noise_sql(k: int = KNN_K) -> str:
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label,
+         b.vec_id AS b_id, b.label AS b_label,
+         {cos} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+top AS (
+  SELECT * FROM (
+    SELECT a_id, a_label, b_id, b_label,
+           row_number() OVER (PARTITION BY a_id
+                              ORDER BY cosine DESC, b_id) AS rn
+    FROM scored
+  ) WHERE rn <= {k}
+),
+votes AS (
+  SELECT a_id, a_label, b_label, count(*) AS votes
+  FROM top GROUP BY a_id, a_label, b_label
+),
+ranked AS (
+  SELECT a_id, a_label, b_label, votes,
+         row_number() OVER (PARTITION BY a_id
+                            ORDER BY votes DESC, b_label) AS vrn
+  FROM votes
+)
+SELECT a_id AS vec_id, a_label AS label,
+       max(CASE WHEN vrn = 1 THEN b_label END) AS knn_majority_label,
+       round(CAST(sum(CASE WHEN b_label = a_label THEN votes ELSE 0 END)
+                  AS DOUBLE) / sum(votes), 6) AS knn_agree_frac,
+       max(CASE WHEN vrn = 1 THEN b_label END) <> a_label AS is_suspect
+FROM ranked
+GROUP BY a_id, a_label
+ORDER BY vec_id
+"""
+
+
+KNN_LABEL_NOISE_SQL = _knn_label_noise_sql()

@@ -58,6 +58,7 @@ def _all_queries():
     # entries; these signature intermediates are consumed by their
     # *_pairs registry entries) still get pytest-level oracle parity.
     from concerts_etl_sa_spark.operators import dedup as D
+    from concerts_etl_sa_spark.operators import labelqa as LQ
     from concerts_etl_sa_spark.operators import multimodal as MM
     from concerts_etl_sa_spark.operators import pq as PQ
     from concerts_etl_sa_spark.operators import semdedup as SEM
@@ -104,6 +105,13 @@ def _all_queries():
         # tables — trigram + bigram-context — row-side composed-zip_with
         # trigram build, logp clamped <= 0)
         ("unreg_l3_trigram_xent", TS.trigram_xent, TS.TRIGRAM_XENT_SQL),
+        # round-11: kNN label-noise detection (Confident-Learning-style
+        # neighborhood disagreement over embeddings.label — the column
+        # no operator previously computed on). Exact form is the
+        # DuckDB-one-shot oracle; the IVF-pruned production form is
+        # pinned in tests/test_labelqa.py.
+        ("unreg_l2_knn_label_noise", LQ.knn_label_noise,
+         LQ.KNN_LABEL_NOISE_SQL),
         ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
         # rotated out of the driver window in round 8 (slot ceded to
         # l3_unigram_xent) — parity kept
