@@ -103,12 +103,15 @@ HEADLINE = R6_HEADLINE + [
     # auto-K IVF-pruned PRODUCTION form ratchets; the exact N^2 form is
     # the documented non-scale oracle (pytest parity at sf0.001 only)
     "unreg_l2_knn_label_noise_ivf",
+    # round-11: typed JSON extraction over events.props
+    "unreg_e10_props_json_stats",
 ]
 
 
 def _extra_queries():
     """Benched operators that hold no driver-window slot (pytest-parity
     only) — resolved straight from their modules."""
+    from concerts_etl_sa_spark.operators import analytics as A
     from concerts_etl_sa_spark.operators import dedup as D
     from concerts_etl_sa_spark.operators import labelqa as LQ
     from concerts_etl_sa_spark.operators import semdedup as SEM
@@ -151,6 +154,7 @@ def _extra_queries():
         "unreg_l3_bigram_xent": TS.bigram_xent,
         "unreg_l3_trigram_xent": TS.trigram_xent,
         "unreg_l2_knn_label_noise_ivf": LQ.knn_label_noise_ivf,
+        "unreg_e10_props_json_stats": A.props_json_stats,
     }
 
 

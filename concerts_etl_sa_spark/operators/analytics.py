@@ -660,3 +660,50 @@ GROUP BY GROUPING SETS (
 )
 ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus
 """
+
+
+# ------------------------- E10: semi-structured JSON extraction (round 11)
+
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction over ``events.props`` (round 11 — the
+    column no operator previously computed on): parse the JSON payload
+    with a declared schema (``from_json``, the typed fast path — the
+    parse runs once per row inside codegen and prunes to the single
+    field; ``get_json_object`` would re-scan the string per field),
+    bucket the extracted key, and aggregate per (event_type, bucket).
+
+    Semi-structured columns at 100 TB: the parse is a pure projection
+    (no shuffle), the aggregate partially combines map-side, and a
+    malformed payload yields NULL (from_json's PERMISSIVE default)
+    which flows to the dedicated null bucket rather than failing the
+    job — the K3 per-row-isolation convention. DuckDB twin extracts
+    with the JSON operator (``props->>'k'``) and the same bucket/agg
+    arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.col("value"),
+            (F.floor(k / 10)).cast("int").alias("k_bucket"),
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum("value", "total_value"),
+        )
+    )
+
+
+PROPS_JSON_STATS_SQL = """
+SELECT event_type,
+       CAST(floor(CAST(props->>'k' AS INT) / 10) AS INT) AS k_bucket,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type, k_bucket
+ORDER BY event_type, k_bucket
+"""

@@ -57,6 +57,7 @@ def _all_queries():
     # Oracle-backed ops NOT in the registry (the driver window holds 50
     # entries; these signature intermediates are consumed by their
     # *_pairs registry entries) still get pytest-level oracle parity.
+    from concerts_etl_sa_spark.operators import analytics as A
     from concerts_etl_sa_spark.operators import dedup as D
     from concerts_etl_sa_spark.operators import labelqa as LQ
     from concerts_etl_sa_spark.operators import multimodal as MM
@@ -112,6 +113,10 @@ def _all_queries():
         # pinned in tests/test_labelqa.py.
         ("unreg_l2_knn_label_noise", LQ.knn_label_noise,
          LQ.KNN_LABEL_NOISE_SQL),
+        # round-11: typed JSON extraction over events.props (from_json
+        # with a declared schema vs DuckDB's ->> operator)
+        ("unreg_e10_props_json_stats", A.props_json_stats,
+         A.PROPS_JSON_STATS_SQL),
         ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
         # rotated out of the driver window in round 8 (slot ceded to
         # l3_unigram_xent) — parity kept
