@@ -282,3 +282,31 @@ def test_components_long_chain_converges_in_log_rounds(spark):
     out = connected_components(edges, max_iters=14)
     assert out.filter(F.col("component") != 0).count() == 0
     assert out.count() == n + 1
+
+
+def test_star_anchor_is_membership_determined(spark):
+    """Round-11 flood fix: the star anchor must be a pure function of
+    bucket MEMBERSHIP (ordered by xxhash64(doc_id) alone), so two bands
+    whose heavy buckets hold the same docs elect the SAME anchor and
+    the multi-band dropDuplicates collapses their edges. The pre-fix
+    per-band seed elected a different anchor per band — ~N_BANDS x the
+    deduped pair volume at flood for zero extra connectivity."""
+    from concerts_etl_sa_spark.operators.util import capped_candidates
+
+    docs = list(range(40))
+    # the SAME membership under two different band fingerprints
+    rows = [(d, 111) for d in docs] + [(d, 222) for d in docs]
+    bands = spark.createDataFrame(rows, "doc_id LONG, band_fp LONG")
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in capped_candidates(bands, 10, "star").collect()
+    }
+    # identical membership -> identical star edges -> exactly |bucket|-1
+    # pairs after the multi-band dedup (not 2x)
+    assert len(pairs) == len(docs) - 1, len(pairs)
+    anchors = {a for a, _ in pairs} & {b for _, b in pairs}
+    # star shape: one endpoint is shared across all edges
+    from collections import Counter
+
+    ends = Counter([x for p in pairs for x in p])
+    assert ends.most_common(1)[0][1] == len(docs) - 1
