@@ -521,6 +521,53 @@ def kmeans_assign_two_level(
     )
 
 
+def kmeans_assign_two_level_multi(
+    emb: DataFrame,
+    index,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    n_keep: int = 2,
+    nprobe: int = 2,
+    metric: str = "sq_dist",
+    norm2_col: str | None = None,
+) -> DataFrame:
+    """Multi-keep coarse->fine assignment: like
+    :func:`kmeans_assign_two_level` but emits each row's ``n_keep``
+    BEST fine centroids (one output row per (vector, kept centroid) —
+    the ``_assign_buckets(n_keep>1)`` shape). The multi-probe query
+    side of an all-vectors kNN needs this: every vector probes its
+    n_keep nearest lists, and ranking all K flat is the N*K*dim term
+    the routing tiers exist to kill (round-11: the labelqa 125x probe
+    measured the flat double-assignment at ~10 minutes vs ~1 for the
+    routed form). ``nprobe`` coarse groups are searched; their fine
+    members are ranked and the best ``n_keep`` kept, so callers should
+    probe at least as many groups as they keep."""
+    coarse, groups = index
+    idx = emb.sparkSession.createDataFrame([(coarse, groups)], _TL_SCHEMA)
+    n2 = F.col(norm2_col) if norm2_col else None
+
+    def _ranked(c):
+        return F.named_struct(
+            F.lit("d"),
+            _tl_score(metric, F.col(vec_col), c, n2),
+            F.lit("j"),
+            c["j"],
+        )
+
+    probed = F.slice(
+        F.array_sort(F.transform("_coarse", _ranked)), 1, nprobe
+    )
+    cand = F.flatten(
+        F.transform(probed, lambda p: F.element_at(F.col("_groups"), p["j"]))
+    )
+    kept = F.slice(F.array_sort(F.transform(cand, _ranked)), 1, n_keep)
+    return (
+        emb.crossJoin(F.broadcast(idx))
+        .select(*emb.columns, F.explode(kept).alias("_b"))
+        .select(*emb.columns, F.col("_b.j").alias(out_col))
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,

@@ -41,7 +41,8 @@ from pyspark.sql.window import Window
 
 from ..sources.readers import load_table
 from .similarity import (
-    _assign_buckets,
+    _assign_multi_centroids,
+    _assign_two_level_centroids,
     _cosine_pre,
     _cosine_sql,
     _norm2,
@@ -171,7 +172,11 @@ def knn_label_noise_ivf(
             _norm2("embedding").alias("c_n2"),
         )
     )
-    qry = _assign_buckets(
+    # K-aware routing on BOTH N-sized assignment legs (round-11: the
+    # flat double-assignment at 125x/K=4166 ran ~10 minutes — the same
+    # N*K*dim term the semdedup paths route around; small-K results are
+    # bit-identical via the shared fallback)
+    qry = _assign_multi_centroids(
         emb.select("vec_id", "embedding", "norm2"), centroids, n_keep=nprobe
     ).join(emb.select("vec_id", "label"), "vec_id").select(
         F.col("vec_id").alias("a_id"),
@@ -180,8 +185,8 @@ def knn_label_noise_ivf(
         F.col("label").alias("a_label"),
         "centroid_id",
     )
-    cand = _assign_buckets(
-        emb.select("vec_id", "embedding", "norm2"), centroids, n_keep=1
+    cand = _assign_two_level_centroids(
+        emb.select("vec_id", "embedding", "norm2"), centroids, 2
     ).join(emb.select("vec_id", "label"), "vec_id").select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_vec"),

@@ -443,6 +443,40 @@ def _assign_two_level_centroids(
     ).select("vec_id", "embedding", "norm2", "centroid_id")
 
 
+def _assign_multi_centroids(
+    emb: DataFrame, centroids: DataFrame, n_keep: int
+) -> DataFrame:
+    """Multi-keep nearest-centroid assignment with the SAME K-aware
+    routing dispatch as :func:`_assign_two_level_centroids`: flat
+    ``_assign_buckets`` below TWO_LEVEL_MIN_K (bit-identical small-K
+    results), the two-level multi-keep ranking above it. The
+    all-vectors-as-queries kNN paths need this — their query side is
+    N-sized, so the flat N*K*dim ranking is exactly the term the
+    routing tiers kill (round-11 labelqa finding)."""
+    from .kmeans import (
+        TWO_LEVEL_MIN_K,
+        build_two_level_index,
+        kmeans_assign_two_level_multi,
+    )
+
+    rows = centroids.select("centroid_id", "centroid_vec").collect()
+    if len(rows) < TWO_LEVEL_MIN_K:
+        return _assign_buckets(emb, centroids, n_keep=n_keep)
+    idx = build_two_level_index(
+        [(r["centroid_id"], r["centroid_vec"]) for r in rows],
+        metric="cosine",
+    )
+    return kmeans_assign_two_level_multi(
+        emb,
+        idx,
+        out_col="centroid_id",
+        n_keep=n_keep,
+        nprobe=max(2, (n_keep + 1) // 2),
+        metric="cosine",
+        norm2_col="norm2",
+    ).select("vec_id", "embedding", "norm2", "centroid_id")
+
+
 def _ivf_topk(
     emb: DataFrame,
     centroids: DataFrame,
