@@ -697,9 +697,16 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Malformed payloads must reach the NULL bucket in BOTH engines: Spark's
+# PERMISSIVE from_json yields NULL on bad JSON / non-numeric k, so the
+# DuckDB twin guards extraction behind json_valid and uses TRY_CAST —
+# a plain CAST(props->>'k' AS INT) would RAISE where Spark nulls
+# (round-11 advisory; latent parity/crash divergence).
 PROPS_JSON_STATS_SQL = """
 SELECT event_type,
-       CAST(floor(CAST(props->>'k' AS INT) / 10) AS INT) AS k_bucket,
+       CAST(floor(TRY_CAST(
+         CASE WHEN json_valid(props) THEN props->>'k' END AS INT
+       ) / 10) AS INT) AS k_bucket,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

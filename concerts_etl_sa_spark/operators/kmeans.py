@@ -568,6 +568,63 @@ def kmeans_assign_two_level_multi(
     )
 
 
+def kmeans_assign_three_level_multi(
+    emb: DataFrame,
+    index,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    n_keep: int = 2,
+    nprobe: int = 2,
+    metric: str = "sq_dist",
+    norm2_col: str | None = None,
+) -> DataFrame:
+    """Multi-keep top -> mid -> fine assignment: like
+    :func:`kmeans_assign_three_level` but emits each row's ``n_keep``
+    BEST fine centroids (the ``_assign_buckets(n_keep>1)`` shape) —
+    the round-12 completion of the labelqa routing story: the QUERY
+    leg of an all-vectors kNN probes n_keep lists, and above
+    THREE_LEVEL_MIN_K even the sqrt(K) coarse ranking of the two-level
+    multi form dominates (the same N*sqrt(K)*dim term the single-keep
+    dispatcher already routes around). Probing semantics are identical
+    to the single-keep three-level form (nprobe tops -> nprobe mids ->
+    rank their fine members); callers should probe at least as many
+    groups per tier as they keep fine centroids."""
+    top, mids, groups = index
+    idx = emb.sparkSession.createDataFrame(
+        [(top, mids, groups)], _TL3_SCHEMA
+    )
+    n2 = F.col(norm2_col) if norm2_col else None
+
+    def _ranked(c):
+        return F.named_struct(
+            F.lit("d"),
+            _tl_score(metric, F.col(vec_col), c, n2),
+            F.lit("j"),
+            c["j"],
+        )
+
+    probed_top = F.slice(
+        F.array_sort(F.transform("_coarse", _ranked)), 1, nprobe
+    )
+    mid_cand = F.flatten(
+        F.transform(probed_top, lambda p: F.element_at(F.col("_mid"), p["j"]))
+    )
+    probed_mid = F.slice(
+        F.array_sort(F.transform(mid_cand, _ranked)), 1, nprobe
+    )
+    fine_cand = F.flatten(
+        F.transform(
+            probed_mid, lambda p: F.element_at(F.col("_groups"), p["j"])
+        )
+    )
+    kept = F.slice(F.array_sort(F.transform(fine_cand, _ranked)), 1, n_keep)
+    return (
+        emb.crossJoin(F.broadcast(idx))
+        .select(*emb.columns, F.explode(kept).alias("_b"))
+        .select(*emb.columns, F.col("_b.j").alias(out_col))
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,

@@ -444,24 +444,52 @@ def _assign_two_level_centroids(
 
 
 def _assign_multi_centroids(
-    emb: DataFrame, centroids: DataFrame, n_keep: int
+    emb: DataFrame,
+    centroids: DataFrame,
+    n_keep: int,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Multi-keep nearest-centroid assignment with the SAME K-aware
     routing dispatch as :func:`_assign_two_level_centroids`: flat
     ``_assign_buckets`` below TWO_LEVEL_MIN_K (bit-identical small-K
-    results), the two-level multi-keep ranking above it. The
-    all-vectors-as-queries kNN paths need this — their query side is
-    N-sized, so the flat N*K*dim ranking is exactly the term the
-    routing tiers kill (round-11 labelqa finding)."""
+    results), the two-level multi-keep ranking above it, and the
+    three-level tree at THREE_LEVEL_MIN_K (probe widened by one, the
+    single-keep dispatcher's own rule). The all-vectors-as-queries kNN
+    paths need this — their query side is N-sized, so the flat N*K*dim
+    ranking is exactly the term the routing tiers kill (round-11
+    labelqa finding). ``nprobe`` defaults to ``max(2, n_keep)``: the
+    fine ranking can only keep centroids from probed groups, so a
+    caller keeping n_keep fine centroids must search at least that
+    many groups (round-11 advisory — the old ``(n_keep+1)//2`` probed
+    just 2 groups for the labelqa default n_keep=4)."""
     from .kmeans import (
+        THREE_LEVEL_MIN_K,
         TWO_LEVEL_MIN_K,
+        build_three_level_index,
         build_two_level_index,
+        kmeans_assign_three_level_multi,
         kmeans_assign_two_level_multi,
     )
 
+    if nprobe is None:
+        nprobe = max(2, n_keep)
     rows = centroids.select("centroid_id", "centroid_vec").collect()
     if len(rows) < TWO_LEVEL_MIN_K:
         return _assign_buckets(emb, centroids, n_keep=n_keep)
+    if len(rows) >= THREE_LEVEL_MIN_K:
+        idx3 = build_three_level_index(
+            [(r["centroid_id"], r["centroid_vec"]) for r in rows],
+            metric="cosine",
+        )
+        return kmeans_assign_three_level_multi(
+            emb,
+            idx3,
+            out_col="centroid_id",
+            n_keep=n_keep,
+            nprobe=nprobe + 1,
+            metric="cosine",
+            norm2_col="norm2",
+        ).select("vec_id", "embedding", "norm2", "centroid_id")
     idx = build_two_level_index(
         [(r["centroid_id"], r["centroid_vec"]) for r in rows],
         metric="cosine",
@@ -471,7 +499,7 @@ def _assign_multi_centroids(
         idx,
         out_col="centroid_id",
         n_keep=n_keep,
-        nprobe=max(2, (n_keep + 1) // 2),
+        nprobe=nprobe,
         metric="cosine",
         norm2_col="norm2",
     ).select("vec_id", "embedding", "norm2", "centroid_id")
