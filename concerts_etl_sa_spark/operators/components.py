@@ -38,6 +38,32 @@ from ..sources.readers import load_table
 from .dedup import SIMHASH_NEAR_PAIRS_SQL, simhash_near_pairs
 
 
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of every RDD currently persisted in the JVM (the blocks
+    ``localCheckpoint`` pins — which ``DataFrame.unpersist`` does NOT
+    release: it is a cache-manager call, and checkpoint blocks are not
+    registered there; measured round 12 — the blocks survive both
+    ``df.unpersist(blocking=True)`` and a ``toRdd().unpersist()``)."""
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    ids: set[int] = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _drop_persistent_rdds(sc, ids: set[int]) -> None:
+    """Release the storage of the given persisted RDD ids (non-blocking).
+    ONLY safe for blocks this driver thread just created and no longer
+    needs — an unpersisted localCheckpoint cannot recompute, so dropping
+    a live generation would fail the next job loudly (the safe failure
+    direction; a leak is the silent one)."""
+    m = sc._jsc.sc().getPersistentRDDs()
+    for i in ids:
+        opt = m.get(i)
+        if opt.isDefined():
+            opt.get().unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a_id",
@@ -45,13 +71,44 @@ def connected_components(
     max_iters: int = 25,
 ) -> DataFrame:
     """(vertex, component) for every vertex in ``edges``; the component
-    id is the minimum vertex id of the connected component."""
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    id is the minimum vertex id of the connected component.
+
+    Round-12 memory-cliff fixes (the 25x->125x segment ran alpha 1.18
+    with GC-pressure warnings on one 8 GB heap):
+
+    - SYMMETRIZE IN ONE SCAN: the old two-leg union evaluated the
+      upstream pair pipeline (the operator's dominant stage — e.g. the
+      full simhash band join) TWICE to fill the edge cache; explode of a
+      two-struct array emits both directions from one pass.
+    - PERSIST THE PROPAGATED FRAME per round: the pointer-doubling
+      self-join consumes it on both legs, so unpersisted it re-ran the
+      edge-join + groupBy-min (the whole per-round work) twice.
+    - RELEASE PREVIOUS GENERATIONS: ``localCheckpoint`` blocks are not
+      freed by ``DataFrame.unpersist`` (not cache-manager-registered),
+      so every round's label snapshot stayed pinned for the life of the
+      run; the targeted drop below frees generation r-1 as soon as
+      generation r is materialized, keeping exactly one live snapshot.
+    """
+    sc = edges.sparkSession.sparkContext
     sym = (
-        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .cache()
     )
+    # materialize the edge cache with its OWN job before the loop: the
+    # round-1 join otherwise fills the 2|E|-row cache inside a job that
+    # is simultaneously shuffling it by v — the A/B (round 12, 125x /
+    # 367M symmetrized rows) measured the standalone fill consistently
+    # faster and it cleanly separates build cost from iteration cost
+    sym.count()
     labels = (
         sym.select("u").distinct().withColumn("label", F.col("u")).cache()
     )
@@ -66,6 +123,7 @@ def connected_components(
     # round still gets its confirming (no-op) comparison instead of a
     # spurious no-fixpoint error.
     prev_sum = None
+    prev_chk_ids: set[int] = set()
     for _ in range(max_iters + 1):
         nbr_min = (
             sym.join(
@@ -79,9 +137,10 @@ def connected_components(
             F.least(
                 F.col("label"), F.coalesce("nbr_label", "label")
             ).alias("label"),
-        )
+        ).persist()
         # pointer doubling: follow one indirection through the label map
         # (labels are always real vertex ids, so the self-join resolves)
+        before_ids = _persistent_rdd_ids(sc)
         new_labels = (
             propagated.join(
                 propagated.select(
@@ -96,8 +155,12 @@ def connected_components(
             )
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
+        chk_ids = _persistent_rdd_ids(sc) - before_ids
+        propagated.unpersist()
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
+        labels.unpersist()  # frees the round-0 cache; no-op afterwards
+        _drop_persistent_rdds(sc, prev_chk_ids)
+        prev_chk_ids = chk_ids
         labels = new_labels
         if new_sum == prev_sum:
             break

@@ -241,7 +241,14 @@ _JOINS_AND_ANALYTICS = [
     ("e7_daily_distinct_users", A.daily_distinct_users,
      A.DAILY_DISTINCT_USERS_SQL),
     ("f1_running_order_total", A.running_order_total, A.RUNNING_ORDER_TOTAL_SQL),
-    ("f2_order_ranks", A.order_ranks, A.ORDER_RANKS_SQL),
+    # round-12 rotation #9: f2_order_ranks (rank/dense_rank/ntile over
+    # the same orders window shape the retained f1/f3 rows already pin)
+    # cedes its slot to the JSON-function surface — e10 is the engine's
+    # only operator over the semi-structured events.props column, a
+    # plan family (from_json typed extraction) the window otherwise
+    # never exercises. f2 keeps pytest oracle parity as
+    # unreg_f2_order_ranks (rationale in SURVEY §8).
+    ("e10_props_json_stats", A.props_json_stats, A.PROPS_JSON_STATS_SQL),
     ("f3_event_lag_lead", A.event_lag_lead, A.EVENT_LAG_LEAD_SQL),
     ("g1_top_customers", A.top_customers, A.TOP_CUSTOMERS_SQL),
     ("g3_topk_parts_per_brand", A.topk_parts_per_brand, A.TOPK_PARTS_PER_BRAND_SQL),

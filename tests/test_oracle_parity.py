@@ -113,10 +113,10 @@ def _all_queries():
         # pinned in tests/test_labelqa.py.
         ("unreg_l2_knn_label_noise", LQ.knn_label_noise,
          LQ.KNN_LABEL_NOISE_SQL),
-        # round-11: typed JSON extraction over events.props (from_json
-        # with a declared schema vs DuckDB's ->> operator)
-        ("unreg_e10_props_json_stats", A.props_json_stats,
-         A.PROPS_JSON_STATS_SQL),
+        # round-12 rotation #9: f2 rotated out of the driver window
+        # (slot ceded to e10_props_json_stats — the JSON plan family) —
+        # parity kept; f1/f3 retain the orders/events window shapes
+        ("unreg_f2_order_ranks", A.order_ranks, A.ORDER_RANKS_SQL),
         ("unreg_l3_vocab_topk", TS.vocab_topk, TS.VOCAB_TOPK_SQL),
         # rotated out of the driver window in round 8 (slot ceded to
         # l3_unigram_xent) — parity kept

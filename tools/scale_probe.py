@@ -25,6 +25,16 @@ Replica construction (deterministic, no RNG):
 - embeddings: vec_id remapped the same way; the vector is cyclically
   rotated by r positions (norm-preserving, decorrelates sign-LSH /
   IVF bucket assignment from the original).
+- events (round 12): event_id remapped by +r*ID_STRIDE and user_id by
+  +r*1_000_000 — new users, same 30-day window, so per-DAY volume
+  grows r-fold (the regime a reference-shaped day-blocked join meets
+  on a bigger corpus) while per-USER event counts stay natural (a
+  user_id collision would instead inflate sessionization and the
+  legacy 30-min band join quadratically — flood, not growth). Columns
+  are shifted with pyarrow compute so the ts unit survives bit-exact
+  (TESTDATA gotcha: the parquet timestamp unit varies by driver round
+  and readers.load_table adapts to the footer — a pandas roundtrip
+  would silently rewrite it).
 Other tables are symlinked unscaled so every registry query still
 resolves its inputs.
 
@@ -190,24 +200,57 @@ def _rotate_words(text: str, r: int) -> str:
     return " ".join(words[k:] + words[:k])
 
 
+def _write_events_replica(evs, s: int, ev_path: str, pa, pc, pq) -> None:
+    """Materialize the s-fold events replica (see module docstring).
+    pyarrow-compute column shifts; ts passes through untouched so the
+    parquet timestamp unit is preserved bit-exact. Atomic swap so a
+    killed build never leaves a half-written table behind a reused
+    dir."""
+    i_ev = evs.schema.get_field_index("event_id")
+    i_us = evs.schema.get_field_index("user_id")
+    parts = []
+    for r in range(s):
+        t = evs.set_column(
+            i_ev, "event_id", pc.add(evs["event_id"], r * ID_STRIDE)
+        )
+        t = t.set_column(i_us, "user_id", pc.add(t["user_id"], r * 1_000_000))
+        parts.append(t)
+    tmp = ev_path + ".tmp"
+    pq.write_table(pa.concat_tables(parts), tmp)
+    if os.path.islink(ev_path):
+        os.unlink(ev_path)
+    os.replace(tmp, ev_path)
+
+
 def build_scaled(scales: list[int], flood: bool) -> dict[int, str]:
     import numpy as np
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import pyarrow.compute as pc
+
     docs = pq.read_table(os.path.join(BASE_SF, "documents.parquet")).to_pandas()
     embs = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet")).to_pandas()
+    evs = pq.read_table(os.path.join(BASE_SF, "events.parquet"))
     mode = "flood" if flood else "natural"
     dirs: dict[int, str] = {}
     for s in scales:
         out = os.path.join(WORK, f"{mode}_x{s}")
         dirs[s] = out
+        ev_path = os.path.join(out, "events.parquet")
         if os.path.isdir(out) and os.path.exists(
             os.path.join(out, "documents.parquet")
         ):
-            continue  # replica build is deterministic — reuse
+            # replica build is deterministic — reuse; but dirs built
+            # before round 12 symlinked events unscaled, so upgrade
+            # them in place (atomic: build beside, rename over)
+            if os.path.islink(ev_path) and s > 1:
+                _write_events_replica(evs, s, ev_path, pa, pc, pq)
+            continue
         os.makedirs(out, exist_ok=True)
+        if s > 1:
+            _write_events_replica(evs, s, ev_path, pa, pc, pq)
         d_parts, e_parts = [], []
         for r in range(s):
             d = docs.copy()
