@@ -36,6 +36,37 @@ def test_trained_row_baselines_ratcheted_to_fused_marks():
     assert prior["unreg_l2_topk_cosine_ivfpq_trained"][0] <= 9.80, prior
 
 
+NEW_ROWS = {
+    "l1_dedup_clusters",
+    "unreg_l2_knn_label_noise_ivf",
+    "unreg_l3_trigram_xent",
+    "unreg_e10_props_json_stats",
+}
+
+
+def test_new_row_baselines_at_driver_marks():
+    """Round-12 verdict #4: the four rows that joined the gate in r11
+    carry their first driver marks as baselines (dedup_clusters 7.17,
+    knn-ivf 5.16, trigram 1.37, props-json 0.67). The round-12 idle
+    10-run re-probe (BASELINE.md) measured medians 8.36 / 5.09 / — / —
+    with tight bands, so these marks are real floors, not contention
+    flukes. best_prior only decreases; the assertions stay valid as
+    future rounds ratchet down."""
+    prior = best_prior(NEW_ROWS)
+    assert prior["l1_dedup_clusters"][0] <= 7.17, prior
+    assert prior["unreg_l2_knn_label_noise_ivf"][0] <= 5.16, prior
+    assert prior["unreg_l3_trigram_xent"][0] <= 1.37, prior
+    assert prior["unreg_e10_props_json_stats"][0] <= 0.67, prior
+
+
+def test_gate_fails_an_unrouted_knn():
+    """A kNN label-noise form regressed to the flat double-assignment
+    (the exact form's 17.7 s at sf0.1 — the shape the round-11 125x
+    probe caught at 1372.9 s) must trip the gate."""
+    regs, _ = audit({"queries": {"unreg_l2_knn_label_noise_ivf": 17.7}})
+    assert regs, "flat-assignment kNN mark passed the gate"
+
+
 def test_gate_fails_a_slowed_trainer():
     """A trainer regressed back to the pre-fuse sequential form (23.2 s
     for pq_trained) must trip the gate — this is exactly the regression
