@@ -73,6 +73,41 @@ TWO_LEVEL_MIN_K = 64
 # one to hold the keep-rate/recall bars — tests/test_three_level.py).
 THREE_LEVEL_MIN_K = 2048
 
+# Training-set bound for FIXED-k trainers, as points per centroid —
+# the FAISS convention (ClusteringParameters.max_points_per_centroid,
+# default 256; Johnson, Douze & Jégou 2017 train billion-scale coarse
+# quantizers and PQ codebooks on bounded samples): beyond ~256 points
+# per centroid additional training data moves a k-means codebook by
+# noise, so a trainer that scans the full corpus every Lloyd iteration
+# is pure waste at 100 TB — 1 init + max_iters FULL scans where a
+# bounded sample gives the same codebook quality. Auto-K callers
+# (K ∝ N/per_list with per_list < 256) are structurally exempt: their
+# cap 256·K exceeds N, so sampling never engages there and the lever
+# stays where it belongs — constant-k codebooks/coarse quantizers.
+TRAIN_POINTS_PER_CENTROID = 256
+
+
+def train_sample(df: DataFrame, id_col: str, target: int | None) -> DataFrame:
+    """Deterministic hash-thinned training sample of ~``target`` rows
+    (between target and 2·target — integer stride): keeps the rows where
+    ``xxhash64(id) % stride == 0``. A pure narrow filter, so it pushes
+    into the scan and the trainer's persisted slim frame is
+    sample-sized; no shuffle, no RNG state (same determinism contract
+    as every other hash device in this repo). ``None`` or a target at
+    or above the row count returns ``df`` unchanged (callers' results
+    are bit-identical when the cap doesn't engage — the bench-scale /
+    oracle-path guarantee)."""
+    if target is None:
+        return df
+    n = df.select(id_col).count()
+    stride = n // max(int(target), 1)
+    if stride <= 1:
+        return df
+    return df.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+    )
+
+
 _TL_SCHEMA = (
     "_coarse ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>, "
     "_groups MAP<INT, ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>, n2: DOUBLE>>>"
@@ -633,11 +668,24 @@ def kmeans_fit(
     vec_col: str = "embedding",
     rel_tol: float = 1e-6,
     assign_nprobe: int | None = None,
+    train_sample_rows: int | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Returns (centroids, per-iteration inertia). Inertia is
     non-increasing across iterations (Lloyd's invariant — tested).
     Stops early on exactly-fixed centroids or when the relative inertia
     improvement falls below ``rel_tol``.
+
+    ``train_sample_rows`` bounds the TRAINING set via
+    :func:`train_sample` (the FAISS max-points-per-centroid device —
+    callers with constant k pass ``TRAIN_POINTS_PER_CENTROID * k``):
+    Lloyd then iterates over ~that many rows instead of the corpus, so
+    training costs 1 thin scan + max_iters sample-sized jobs rather
+    than max_iters corpus scans. The returned centroids are a sample
+    statistic — deterministic (hash-thinned, no RNG) but not identical
+    to full-corpus training; quality floors are pinned in
+    tests/test_train_sampling.py, and the default ``None`` keeps every
+    oracle/parity path exact. Below the cap the filter short-circuits
+    and results are bit-identical.
 
     ``assign_nprobe`` switches the per-iteration assignment to the
     two-level coarse->fine ranking (cuts the N*k*dim assign flops to
@@ -655,7 +703,14 @@ def kmeans_fit(
     the source — max_iters+1 scans of a 100 TB input instead of one.
     Released before returning; MEMORY_AND_DISK (the persist default)
     spills rather than evicts when the projection exceeds storage."""
-    slim = emb.select(id_col, vec_col).persist()
+    sample_target = (
+        None if train_sample_rows is None else max(train_sample_rows, k)
+    )
+    slim = (
+        train_sample(emb, id_col, sample_target)
+        .select(id_col, vec_col)
+        .persist()
+    )
     try:
         return _fit_loop(
             slim, k, max_iters, id_col, vec_col, rel_tol, assign_nprobe

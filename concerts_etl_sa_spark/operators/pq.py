@@ -348,6 +348,7 @@ def pq_train_fused(
     max_iters: int = 3,
     vec_col: str = "embedding",
     rel_tol: float = 1e-6,
+    train_sample_rows: int | None = None,
 ) -> list[list[list[float]]]:
     """All-subspace Lloyd's in ONE loop — the production trainer.
 
@@ -370,12 +371,26 @@ def pq_train_fused(
     subspaces — one collect seeds all m books. Results match
     :func:`pq_train` up to floating-point aggregation order (the fused
     job sums partials in a different partition order; parity is pinned
-    by test at 1e-9, determinism exactly)."""
+    by test at 1e-9, determinism exactly).
+
+    ``train_sample_rows`` bounds the training set via
+    :func:`kmeans.train_sample` (the FAISS max-points-per-centroid
+    device): a k-codes codebook needs ~256·k training vectors, not the
+    corpus, so at scale the trainer's 1+max_iters passes run over a
+    bounded sample while encode/score still see every row. Default
+    ``None`` trains exactly as before (the pq_train parity contract);
+    below the cap the thinning filter short-circuits bit-identically."""
+    from .kmeans import train_sample
+
     # _nrm is built as a real column in its own projection stage so the
     # divide lambdas see a per-row attribute (same device as
     # semdedup._assigned_frame)
+    sample_target = (
+        None if train_sample_rows is None else max(train_sample_rows, k)
+    )
     slim = (
-        emb.select("vec_id", vec_col, _nrm(emb, vec_col).alias("_nrm"))
+        train_sample(emb, "vec_id", sample_target)
+        .select("vec_id", vec_col, _nrm(emb, vec_col).alias("_nrm"))
         .select(
             "vec_id",
             F.array(
@@ -520,11 +535,21 @@ def topk_cosine_pq_trained(
     production index build. Deterministic for a given input but not a
     DuckDB one-shot (iterative trainer), hence pytest-pinned. Uses the
     FUSED trainer (one job per iteration for all m subspaces) — the
-    sequential :func:`pq_train` is the semantic reference."""
+    sequential :func:`pq_train` is the semantic reference — with the
+    training set bounded at 256·k_codes rows (the FAISS
+    max-points-per-centroid rule; below the cap, bit-identical to
+    unbounded training, which covers every in-repo test fixture)."""
     from ..sources.readers import load_table
+    from .kmeans import TRAIN_POINTS_PER_CENTROID
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_train_fused(emb, m=PQ_M, k=k_codes, max_iters=max_iters)
+    books = pq_train_fused(
+        emb,
+        m=PQ_M,
+        k=k_codes,
+        max_iters=max_iters,
+        train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_codes,
+    )
     return topk_cosine_pq_df(
         emb, pq_codebook_from_trained(spark, books)
     )
@@ -645,17 +670,32 @@ def topk_cosine_ivfpq_trained(
 ) -> DataFrame:
     """Fully-trained IVF-PQ: Lloyd's coarse centroids + per-subspace
     Lloyd's codebooks — the production index build (pytest-pinned;
-    iterative, not a DuckDB one-shot)."""
+    iterative, not a DuckDB one-shot). Both trainers bound their
+    training sets at 256 points per centroid (the FAISS rule —
+    constant k_coarse/k_codes make both caps constants, so index
+    training touches O(k) rows while encode/assign still see every
+    row; below the caps, bit-identical to unbounded training)."""
     from ..sources.readers import load_table
-    from .kmeans import centroids_df, kmeans_fit
+    from .kmeans import TRAIN_POINTS_PER_CENTROID, centroids_df, kmeans_fit
     from .similarity import _emb_normed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    fitted, _ = kmeans_fit(emb, k=k_coarse, max_iters=max_iters)
+    fitted, _ = kmeans_fit(
+        emb,
+        k=k_coarse,
+        max_iters=max_iters,
+        train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_coarse,
+    )
     coarse = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
     )
-    books = pq_train_fused(emb, m=PQ_M, k=k_codes, max_iters=max_iters)
+    books = pq_train_fused(
+        emb,
+        m=PQ_M,
+        k=k_codes,
+        max_iters=max_iters,
+        train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_codes,
+    )
     return topk_cosine_ivfpq_df(
         _emb_normed(spark, sf_dir),
         coarse,
