@@ -105,6 +105,12 @@ HEADLINE = R6_HEADLINE + [
     "unreg_l2_knn_label_noise_ivf",
     # round-11: typed JSON extraction over events.props
     "unreg_e10_props_json_stats",
+    # round-12: energy-gated residual IVF-PQ (full FAISS IVFADC with a
+    # measured fallback). On this fixture the gate selects the plain
+    # build, so the row pins the GATE pipeline cost (coarse fit +
+    # residual energy probe + plain composition) next to the
+    # ivfpq_trained row it must stay close to
+    "unreg_l2_topk_cosine_ivfpq_residual",
 ]
 
 
@@ -150,6 +156,7 @@ def _extra_queries():
         "unreg_l2_semdedup_trained_auto": _semdedup_trained_auto,
         "unreg_l2_topk_cosine_pq_trained": PQ.topk_cosine_pq_trained,
         "unreg_l2_topk_cosine_ivfpq_trained": PQ.topk_cosine_ivfpq_trained,
+        "unreg_l2_topk_cosine_ivfpq_residual": PQ.topk_cosine_ivfpq_residual,
         "unreg_l2_topk_cosine_ivf_trained_auto": _ivf_trained_auto,
         "unreg_l3_bigram_xent": TS.bigram_xent,
         "unreg_l3_trigram_xent": TS.trigram_xent,

@@ -87,7 +87,9 @@ THREE_LEVEL_MIN_K = 2048
 TRAIN_POINTS_PER_CENTROID = 256
 
 
-def train_sample(df: DataFrame, id_col: str, target: int | None) -> DataFrame:
+def train_sample(
+    df: DataFrame, id_col: str, target: int | None, n: int | None = None
+) -> DataFrame:
     """Deterministic hash-thinned training sample of ~``target`` rows
     (between target and 2·target — integer stride): keeps the rows where
     ``xxhash64(id) % stride == 0``. A pure narrow filter, so it pushes
@@ -96,10 +98,18 @@ def train_sample(df: DataFrame, id_col: str, target: int | None) -> DataFrame:
     as every other hash device in this repo). ``None`` or a target at
     or above the row count returns ``df`` unchanged (callers' results
     are bit-identical when the cap doesn't engage — the bench-scale /
-    oracle-path guarantee)."""
+    oracle-path guarantee).
+
+    ``n`` is the caller's known row count of ``df``: pass it when ``df``
+    is a DERIVED frame whose count would recompute real work (the
+    residual path's count would otherwise run the whole coarse
+    assignment just to size the stride). The stride is an approximation
+    knob, not a correctness input — a near-exact n is fine; ``None``
+    counts the (column-pruned) frame."""
     if target is None:
         return df
-    n = df.select(id_col).count()
+    if n is None:
+        n = df.select(id_col).count()
     stride = n // max(int(target), 1)
     if stride <= 1:
         return df
@@ -669,6 +679,7 @@ def kmeans_fit(
     rel_tol: float = 1e-6,
     assign_nprobe: int | None = None,
     train_sample_rows: int | None = None,
+    train_sample_n: int | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Returns (centroids, per-iteration inertia). Inertia is
     non-increasing across iterations (Lloyd's invariant — tested).
@@ -707,7 +718,7 @@ def kmeans_fit(
         None if train_sample_rows is None else max(train_sample_rows, k)
     )
     slim = (
-        train_sample(emb, id_col, sample_target)
+        train_sample(emb, id_col, sample_target, n=train_sample_n)
         .select(id_col, vec_col)
         .persist()
     )

@@ -257,26 +257,28 @@ def topk_cosine_pq_df(
     return _rank_topk(scored, top_k)
 
 
-def _adc_col():
-    """The per-pair asymmetric-distance score: m lookups into the flat
-    LUT, added in subspace order (left-associative — oracle lockstep).
-    The stride is size(lp)/m, never a caller-supplied k (see
-    :func:`topk_cosine_pq_df`)."""
+def _adc_raw():
+    """The per-pair asymmetric-distance fold BEFORE rounding: m lookups
+    into the flat LUT, added in subspace order (left-associative —
+    oracle lockstep). The stride is size(lp)/m, never a caller-supplied
+    k (see :func:`topk_cosine_pq_df`)."""
     stride = (F.size("lp") / F.lit(PQ_M)).cast("int")
-    return F.round(
-        F.aggregate(
-            F.zip_with(
-                "codes",
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda c, s: F.element_at(
-                    "lp", (s * stride + c + 1).cast("int")
-                ),
+    return F.aggregate(
+        F.zip_with(
+            "codes",
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda c, s: F.element_at(
+                "lp", (s * stride + c + 1).cast("int")
             ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
         ),
-        6,
+        F.lit(0.0),
+        lambda acc, t: acc + t,
     )
+
+
+def _adc_col():
+    """Rounded ADC score — the plain (non-residual) forms' ranking key."""
+    return F.round(_adc_raw(), 6)
 
 
 def _rank_topk(scored: DataFrame, top_k: int) -> DataFrame:
@@ -349,6 +351,7 @@ def pq_train_fused(
     vec_col: str = "embedding",
     rel_tol: float = 1e-6,
     train_sample_rows: int | None = None,
+    train_sample_n: int | None = None,
 ) -> list[list[list[float]]]:
     """All-subspace Lloyd's in ONE loop — the production trainer.
 
@@ -389,7 +392,7 @@ def pq_train_fused(
         None if train_sample_rows is None else max(train_sample_rows, k)
     )
     slim = (
-        train_sample(emb, "vec_id", sample_target)
+        train_sample(emb, "vec_id", sample_target, n=train_sample_n)
         .select("vec_id", vec_col, _nrm(emb, vec_col).alias("_nrm"))
         .select(
             "vec_id",
@@ -680,11 +683,14 @@ def topk_cosine_ivfpq_trained(
     from .similarity import _emb_normed
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # one pruned count sizes both trainers' thinning strides
+    n_total = emb.select("vec_id").count()
     fitted, _ = kmeans_fit(
         emb,
         k=k_coarse,
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_coarse,
+        train_sample_n=n_total,
     )
     coarse = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
@@ -695,12 +701,256 @@ def topk_cosine_ivfpq_trained(
         k=k_codes,
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_codes,
+        train_sample_n=n_total,
     )
     return topk_cosine_ivfpq_df(
         _emb_normed(spark, sf_dir),
         coarse,
         pq_codebook_from_trained(spark, books),
         nprobe=nprobe,
+    )
+
+
+def _unit_coarse(coarse: DataFrame) -> DataFrame:
+    """(centroid_id, _cbar): coarse centroids unit-normalized — the
+    decomposition anchor of the residual forms. Residuals are taken in
+    the UNIT sphere (x̂ − c̄), so the ADC identity
+    ``dot(q̂, x̂) = dot(q̂, c̄) + dot(q̂, x̂ − c̄)`` holds exactly and the
+    reconstruction error the codebook must absorb is the residual, not
+    the vector."""
+    return coarse.select(
+        "centroid_id",
+        F.transform(
+            "centroid_vec",
+            lambda x: x.cast("double") / F.sqrt(F.col("c_n2")),
+        ).alias("_cbar"),
+    )
+
+
+def _residual_frame(assigned: DataFrame, cbar: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, embedding=x̂ − c̄_list, norm2=1.0) from an
+    ``_assign_buckets(n_keep=1)`` frame. ``norm2`` is pinned to the
+    IDENTITY DIVISOR 1.0 on purpose: residuals must NOT be
+    re-normalized (they are already in scoring space — the unit sphere
+    the ADC dot lives on), and ``_nrm`` reuses a present norm2 column,
+    so the downstream trainer/encoder consume the residual bytes
+    untouched. The K-row ``cbar`` join is broadcast — the residual
+    transform stays inside the scan stage, shuffle-free like encode."""
+    return assigned.join(F.broadcast(cbar), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.zip_with(
+            "embedding",
+            "_cbar",
+            lambda x, y: x.cast("double") / F.sqrt(F.col("norm2")) - y,
+        ).alias("embedding"),
+        F.lit(1.0).alias("norm2"),
+    )
+
+
+def _probe_cdots(probes: DataFrame, cbar: DataFrame) -> DataFrame:
+    """(q_id, centroid_id, c_dot): the residual ADC's per-(query, list)
+    constant ``dot(q̂, c̄_list)`` — one 64-term fold per probed list per
+    query (Q·nprobe rows), the whole extra cost residual scoring adds
+    on the query side."""
+    return probes.join(F.broadcast(cbar), "centroid_id").select(
+        F.col("vec_id").alias("q_id"),
+        "centroid_id",
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "_cbar",
+                lambda x, y: (x.cast("double") / F.sqrt(F.col("norm2"))) * y,
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        ).alias("c_dot"),
+    )
+
+
+# Residual encoding pays only when residuals actually carry LESS
+# energy than the unit vectors they replace: reconstruction error at a
+# fixed code budget scales with the energy the codebook must absorb,
+# so mean ||x̂ − c̄||² < 1 (= the unit vectors' own energy) is the
+# break-even. Clustered corpora (real embedding spaces) sit well below
+# it; an isotropic corpus sits ABOVE it (vectors near-orthogonal to
+# any centroid: 2 − 2·cos ≈ 1.5 measured on the synthetic fixture,
+# where forcing residual coding measurably WORSENS ADC error 0.065 →
+# 0.167 mean). FAISS leaves this to the operator's judgment; at
+# 100 TB an automated, measured gate is the safer default.
+RESIDUAL_ENERGY_GATE = 1.0
+
+
+def _residual_energy(cand_res: DataFrame, cap: int, n: int) -> float:
+    """Mean residual norm² over the bounded training sample —
+    DETERMINISTIC: the ≤2·cap per-row energies are collected and
+    reduced driver-side in vec_id order (a distributed avg would sum
+    partials in partition order, and a run-to-run float wobble at the
+    gate threshold must not flip the index layout). ``n`` is the
+    caller-known candidate count — counting ``cand_res`` itself would
+    run the whole coarse assignment just to size the thinning stride."""
+    from .kmeans import train_sample
+
+    rows = (
+        train_sample(cand_res, "vec_id", cap, n=n)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            ).alias("e"),
+        )
+        .collect()
+    )
+    es = [r["e"] for r in sorted(rows, key=lambda r: r["vec_id"])]
+    return sum(es) / len(es)
+
+
+def topk_cosine_ivfpq_residual_df(
+    emb_raw: DataFrame,
+    k_coarse: int = 8,
+    k_codes: int = PQ_K,
+    nprobe: int = 2,
+    max_iters: int = 3,
+    force_residual: bool | None = None,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """IVF-PQ with energy-gated RESIDUAL encoding — full FAISS IVFADC
+    (Jégou 2011 §IV: quantize x − q_coarse(x), not x) with a measured
+    fallback. This closes :func:`topk_cosine_ivfpq_df`'s documented
+    divergence — kept there because residual coupling breaks the
+    DuckDB one-shot; this form is the iterative production build
+    (pytest-pinned, like the other trained paths).
+
+    Composition: trained coarse centroids (sample-bounded, 256·k rule)
+    -> every candidate's residual against its UNIT-normalized list
+    centroid (:func:`_residual_frame`, broadcast join, shuffle-free)
+    -> the GATE: mean residual energy on the bounded training sample
+    (:func:`_residual_energy`; one sample-sized job). Below
+    ``RESIDUAL_ENERGY_GATE`` the codebooks train ON RESIDUALS and the
+    index stores residual codes; at/above it residual coding would
+    only add error (measured on the isotropic fixture), so the build
+    falls back to the plain trained composition — bit-identical to
+    :func:`topk_cosine_ivfpq_trained` by construction (same trainer
+    calls, same args; pinned by test). ``force_residual`` overrides
+    the gate both ways (the tests' regime probe).
+
+    Residual query side: the LUT machinery is unchanged — the codebook
+    is shared across lists, so per-(query, list) scores differ only by
+    the additive constant dot(q̂, c̄_list) (:func:`_probe_cdots`,
+    Q·nprobe rows) and the score is ``round(c_dot + adc_raw, 6)``.
+    Same shuffle shape as the non-residual form: one equi-join on
+    centroid_id, codes never wider than 8 B + the list id."""
+    from ._cachescope import begin_scope, scoped_persist
+    from .kmeans import TRAIN_POINTS_PER_CENTROID, centroids_df, kmeans_fit
+    from .similarity import _assign_buckets
+
+    spark = emb_raw.sparkSession
+    # ONE pruned count of the raw table sizes every thinning stride in
+    # the build (coarse fit, energy probe, codebook fit) — the derived
+    # frames' own counts would re-run the coarse assignment
+    n_total = emb_raw.select("vec_id").count()
+    n_cand = n_total - N_QUERIES  # query ids < N_QUERIES by contract
+    fitted, _ = kmeans_fit(
+        emb_raw,
+        k=k_coarse,
+        max_iters=max_iters,
+        train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_coarse,
+        train_sample_n=n_total,
+    )
+    coarse = centroids_df(spark, fitted).withColumn(
+        "c_n2", _norm2("centroid_vec")
+    )
+    emb = (
+        emb_raw
+        if "norm2" in emb_raw.columns
+        else emb_raw.withColumn("norm2", _norm2("embedding"))
+    )
+
+    cbar = _unit_coarse(coarse)
+    cand_res = _residual_frame(
+        _assign_buckets(
+            emb.filter(F.col("vec_id") >= N_QUERIES), coarse, n_keep=1
+        ),
+        cbar,
+    )
+    cb_cap = TRAIN_POINTS_PER_CENTROID * k_codes
+    use_residual = (
+        _residual_energy(cand_res, cb_cap, n=n_cand) < RESIDUAL_ENERGY_GATE
+        if force_residual is None
+        else force_residual
+    )
+
+    if not use_residual:
+        books = pq_train_fused(
+            emb_raw,
+            m=PQ_M,
+            k=k_codes,
+            max_iters=max_iters,
+            train_sample_rows=cb_cap,
+            train_sample_n=n_total,
+        )
+        return topk_cosine_ivfpq_df(
+            emb,
+            coarse,
+            pq_codebook_from_trained(spark, books),
+            nprobe=nprobe,
+            top_k=top_k,
+        )
+
+    books = pq_train_fused(
+        cand_res,
+        m=PQ_M,
+        k=k_codes,
+        max_iters=max_iters,
+        train_sample_rows=cb_cap,
+        train_sample_n=n_cand,
+    )
+    codebook = pq_codebook_from_trained(spark, books)
+
+    begin_scope("ivfpq_res")
+    index = scoped_persist(
+        "ivfpq_res", pq_encode(cand_res, codebook, keep=("centroid_id",))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        _nrm(emb, "embedding").alias("_nrm"),
+    )
+    probes = _assign_buckets(
+        emb.filter(F.col("vec_id") < N_QUERIES), coarse, n_keep=nprobe
+    )
+    probe_luts = _probe_cdots(probes, cbar).join(
+        _query_luts(q, codebook), "q_id"
+    )
+    scored = index.join(F.broadcast(probe_luts), "centroid_id").withColumn(
+        "adc", F.round(F.col("c_dot") + _adc_raw(), 6)
+    )
+    return _rank_topk(scored, top_k)
+
+
+def topk_cosine_ivfpq_residual(
+    spark: SparkSession,
+    sf_dir: str,
+    k_coarse: int = 8,
+    k_codes: int = PQ_K,
+    nprobe: int = 2,
+    max_iters: int = 3,
+) -> DataFrame:
+    """Registry/bench wrapper of :func:`topk_cosine_ivfpq_residual_df`
+    over the embeddings table. On the isotropic synthetic fixture the
+    gate measures ~1.48 residual energy and selects the plain trained
+    build (equality with :func:`topk_cosine_ivfpq_trained` pinned by
+    test); on clustered corpora it selects residual codes."""
+    from ..sources.readers import load_table
+
+    return topk_cosine_ivfpq_residual_df(
+        load_table(spark, sf_dir, "embeddings"),
+        k_coarse=k_coarse,
+        k_codes=k_codes,
+        nprobe=nprobe,
+        max_iters=max_iters,
     )
 
 
