@@ -171,7 +171,11 @@ def _ivf_trained_auto(spark, sf_dir):
 
     n = load_table(spark, sf_dir, "embeddings", spread=False).count()
     return S.topk_cosine_ivf_trained(
-        spark, sf_dir, k_centroids=max(n // 60, 8), assign_nprobe=2
+        spark,
+        sf_dir,
+        k_centroids=max(n // 60, 8),
+        assign_nprobe=2,
+        train_sample_n=n,
     )
 
 

@@ -262,15 +262,21 @@ def knn_label_noise_ivf_trained(
     pytest-pinned. ``assign_nprobe`` engages two-level routing inside
     the per-iteration Lloyd assignment (the trainer's own N*K*dim
     term), the semdedup_trained convention."""
-    from .kmeans import centroids_df, kmeans_fit
+    from .kmeans import TRAIN_POINTS_PER_CENTROID, centroids_df, kmeans_fit
 
     emb = _labeled(spark, sf_dir)
     n = load_table(spark, sf_dir, "embeddings", spread=False).count()
+    # the 256-pts/centroid bound self-exempts at per_list < 256 (cap
+    # 256·K > N — the auto-K arithmetic); wired for uniformity with the
+    # other trained builds, n forwarded so no extra count job runs
+    k_lists = max(n // per_list, 8)
     fitted, _ = kmeans_fit(
         emb,
-        k=max(n // per_list, 8),
+        k=k_lists,
         max_iters=max_iters,
         assign_nprobe=assign_nprobe,
+        train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_lists,
+        train_sample_n=n,
     )
     centroids = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")

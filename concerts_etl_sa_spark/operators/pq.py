@@ -546,12 +546,20 @@ def topk_cosine_pq_trained(
     from .kmeans import TRAIN_POINTS_PER_CENTROID
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # stride-sizing count on the UNSPREAD bare scan — the cheapest
+    # count the source supports (no repartition, no projections)
+    n_total = (
+        load_table(spark, sf_dir, "embeddings", spread=False)
+        .select("vec_id")
+        .count()
+    )
     books = pq_train_fused(
         emb,
         m=PQ_M,
         k=k_codes,
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_codes,
+        train_sample_n=n_total,
     )
     return topk_cosine_pq_df(
         emb, pq_codebook_from_trained(spark, books)
@@ -683,8 +691,13 @@ def topk_cosine_ivfpq_trained(
     from .similarity import _emb_normed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # one pruned count sizes both trainers' thinning strides
-    n_total = emb.select("vec_id").count()
+    # one stride-sizing count, on the UNSPREAD bare scan, shared by
+    # both trainers
+    n_total = (
+        load_table(spark, sf_dir, "embeddings", spread=False)
+        .select("vec_id")
+        .count()
+    )
     fitted, _ = kmeans_fit(
         emb,
         k=k_coarse,
@@ -815,6 +828,7 @@ def topk_cosine_ivfpq_residual_df(
     max_iters: int = 3,
     force_residual: bool | None = None,
     top_k: int = TOP_K,
+    n_total: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with energy-gated RESIDUAL encoding — full FAISS IVFADC
     (Jégou 2011 §IV: quantize x − q_coarse(x), not x) with a measured
@@ -849,8 +863,10 @@ def topk_cosine_ivfpq_residual_df(
     spark = emb_raw.sparkSession
     # ONE pruned count of the raw table sizes every thinning stride in
     # the build (coarse fit, energy probe, codebook fit) — the derived
-    # frames' own counts would re-run the coarse assignment
-    n_total = emb_raw.select("vec_id").count()
+    # frames' own counts would re-run the coarse assignment. Callers
+    # holding a cheaper count (the wrapper's unspread bare scan) pass it.
+    if n_total is None:
+        n_total = emb_raw.select("vec_id").count()
     n_cand = n_total - N_QUERIES  # query ids < N_QUERIES by contract
     fitted, _ = kmeans_fit(
         emb_raw,
@@ -951,6 +967,11 @@ def topk_cosine_ivfpq_residual(
         k_codes=k_codes,
         nprobe=nprobe,
         max_iters=max_iters,
+        n_total=(
+            load_table(spark, sf_dir, "embeddings", spread=False)
+            .select("vec_id")
+            .count()
+        ),
     )
 
 

@@ -467,6 +467,7 @@ def semdedup_trained(
     max_iters: int = 3,
     max_cluster_size: int | None = None,
     assign_nprobe: int | None = None,
+    train_sample_n: int | None = None,
 ) -> DataFrame:
     """SemDeDup over kmeans-TRAINED centroids — the production index
     build (the paper trains k-means on the embedding space). Composes
@@ -476,12 +477,34 @@ def semdedup_trained(
     ``assign_nprobe`` engages the two-level coarse->fine ranking in BOTH
     per-iteration Lloyd's assignment and the final cluster routing —
     the N*K*dim term appears in each, and both self-select flat below
-    ``kmeans.TWO_LEVEL_MIN_K``."""
-    from .kmeans import centroids_df, kmeans_fit
+    ``kmeans.TWO_LEVEL_MIN_K``.
+
+    The Lloyd training set is bounded at 256·k_centroids rows (the
+    FAISS rule, ``kmeans.train_sample`` — round 12): bit-identical
+    below the cap (every fixture), a flat-in-N training cost above it.
+    Fixed-K callers engage at scale; the auto-K composition
+    (K = N/per_cluster, per_cluster < 256) self-exempts arithmetically
+    — its cap 256·K exceeds N, so the stride filter short-circuits.
+    ``train_sample_n`` forwards a row count the caller already paid
+    for (the auto path's own sizing count)."""
+    from .kmeans import TRAIN_POINTS_PER_CENTROID, centroids_df, kmeans_fit
 
     emb = _emb_normed(spark, sf_dir)
+    if train_sample_n is None:
+        # stride-sizing count on the UNSPREAD bare scan — cheaper than
+        # letting train_sample count the spread+norm2 projection
+        train_sample_n = (
+            load_table(spark, sf_dir, "embeddings", spread=False)
+            .select("vec_id")
+            .count()
+        )
     fitted, _ = kmeans_fit(
-        emb, k=k_centroids, max_iters=max_iters, assign_nprobe=assign_nprobe
+        emb,
+        k=k_centroids,
+        max_iters=max_iters,
+        assign_nprobe=assign_nprobe,
+        train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_centroids,
+        train_sample_n=train_sample_n,
     )
     centroids = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
@@ -529,6 +552,7 @@ def semdedup_trained_auto(
         max_iters=max_iters,
         max_cluster_size=max_cluster_size,
         assign_nprobe=assign_nprobe,
+        train_sample_n=n,
     )
 
 

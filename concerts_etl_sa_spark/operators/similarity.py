@@ -598,6 +598,7 @@ def topk_cosine_ivf_trained(
     nprobe: int = NPROBE,
     max_iters: int = 3,
     assign_nprobe: int | None = None,
+    train_sample_n: int | None = None,
 ) -> DataFrame:
     """IVF over k-means-TRAINED centroids — the production index build.
 
@@ -612,12 +613,31 @@ def topk_cosine_ivf_trained(
     assignment (each gated by kmeans.TWO_LEVEL_MIN_K) — the lever for
     production k_centroids in the thousands. The QUERY-side probe keeps
     the flat ranking: it is Q-sized and its nprobe slice defines the
-    search contract."""
-    from .kmeans import centroids_df, kmeans_fit
+    search contract.
+
+    The Lloyd training set is bounded at 256·k_centroids rows
+    (``kmeans.train_sample``, the FAISS rule — round 12): bit-identical
+    below the cap (every fixture), flat-in-N training cost above it;
+    auto-K callers (K = N/60) self-exempt arithmetically and may
+    forward their sizing count via ``train_sample_n``."""
+    from .kmeans import TRAIN_POINTS_PER_CENTROID, centroids_df, kmeans_fit
 
     emb = _emb_normed(spark, sf_dir)
+    if train_sample_n is None:
+        # stride-sizing count on the UNSPREAD bare scan — cheaper than
+        # letting train_sample count the spread+norm2 projection
+        train_sample_n = (
+            load_table(spark, sf_dir, "embeddings", spread=False)
+            .select("vec_id")
+            .count()
+        )
     fitted, _ = kmeans_fit(
-        emb, k=k_centroids, max_iters=max_iters, assign_nprobe=assign_nprobe
+        emb,
+        k=k_centroids,
+        max_iters=max_iters,
+        assign_nprobe=assign_nprobe,
+        train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_centroids,
+        train_sample_n=train_sample_n,
     )
     centroids = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")

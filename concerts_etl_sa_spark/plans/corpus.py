@@ -260,10 +260,21 @@ def curate_corpus_df(
         # trained-centroid path (kmeans cannot fit on an empty frame)
         if emb_sub.limit(1).count() > 0:
             if sem_centroids is None:
-                from ..operators.kmeans import centroids_df, kmeans_fit
+                from ..operators.kmeans import (
+                    TRAIN_POINTS_PER_CENTROID,
+                    centroids_df,
+                    kmeans_fit,
+                )
                 from ..operators.similarity import _norm2
 
-                fitted, _ = kmeans_fit(emb_sub, k=sem_k, max_iters=3)
+                # fixed sem_k: training bounded at 256 pts/centroid
+                # (round 12 — bit-identical below the cap)
+                fitted, _ = kmeans_fit(
+                    emb_sub,
+                    k=sem_k,
+                    max_iters=3,
+                    train_sample_rows=TRAIN_POINTS_PER_CENTROID * sem_k,
+                )
                 sem_centroids = centroids_df(
                     emb_sub.sparkSession, fitted
                 ).withColumn("c_n2", _norm2("centroid_vec"))

@@ -137,6 +137,42 @@ def test_residual_wins_its_regime_and_is_deterministic(spark):
     assert r_res >= 0.20, r_res
 
 
+def test_residual_index_build_is_shuffle_free(spark):
+    """The residual index (assign -> residual -> encode) must stay a
+    pure projection chain like the plain encode path: coarse
+    assignment is a broadcast-HOF ranking, the residual subtract is a
+    broadcast K-row join, encode is a broadcast codebook lookup — no
+    hash/range exchange on the data side at any step (the property
+    that makes the build corpus-scan-shaped at 100 TB)."""
+    from concerts_etl_sa_spark.operators.kmeans import (
+        centroids_df,
+        kmeans_fit,
+    )
+    from concerts_etl_sa_spark.operators.similarity import _assign_buckets
+
+    emb, _ = _clustered_emb(spark, n=200)
+    fitted, _hist = kmeans_fit(emb, k=4, max_iters=2)
+    coarse = centroids_df(spark, fitted).withColumn(
+        "c_n2", _norm2("centroid_vec")
+    )
+    cand_res = pq._residual_frame(
+        _assign_buckets(
+            emb.filter(F.col("vec_id") >= N_QUERIES), coarse, n_keep=1
+        ),
+        pq._unit_coarse(coarse),
+    )
+    books = pq.pq_train_fused(cand_res, k=4, max_iters=1)
+    enc = pq.pq_encode(
+        cand_res,
+        pq.pq_codebook_from_trained(spark, books),
+        keep=("centroid_id",),
+    )
+    enc.count()
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
 def test_forced_residual_on_isotropic_degrades_but_works(spark):
     """force_residual=True on the isotropic fixture: the regime the
     gate exists to avoid. Must still return a full valid top-k frame
