@@ -975,6 +975,173 @@ def topk_cosine_ivfpq_residual(
     )
 
 
+# ------------------------- SQ8 scalar quantization -------------------------
+
+SQ8_LEVELS = 255  # 8-bit codes: 256 levels, max code 255 (FAISS SQ8)
+
+
+def topk_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k cosine — the third compression
+    family member, filling the tradeoff gap between the exact index
+    (256 B/vector) and PQ (8 B/vector, 32x, modest recall): one
+    8-bit code PER DIMENSION (64 B/vector, 4x) quantized against
+    per-dim [min, max] over the candidate unit vectors — FAISS's
+    ScalarQuantizer QT_8bit. Unlike PQ the build is a ONE-SHOT
+    deterministic computation (per-dim min/max + a rounding
+    projection, no Lloyd's), so this form IS DuckDB-expressible and
+    oracle-checked (``TOPK_COSINE_SQ8_SQL``) — the family's only
+    trained-free high-recall compressed index.
+
+    Score decomposition keeps scoring LUT-free and never re-touches
+    the min/max arrays per pair::
+
+        dot(q̂, dequant(c)) = Σ q̂_d·(mn_d + c_d·step_d)
+                           = Σ q̂_d·mn_d  +  Σ (q̂_d·step_d)·c_d
+                             \\_ qconst _/    \\_ w_d (per query) _/
+
+    so a (query, candidate) pair costs one 64-term fold over int
+    codes — same shape as the PQ ADC fold, with the per-query
+    (qconst, w) row broadcast like the PQ LUT. FP-lockstep with the
+    oracle: min/max are EXACT (no accumulation), the encode rounding
+    is HALF_UP on non-negative values in both engines, and every
+    chain (qconst, w, w·c fold) is left-associated with
+    multiplications grouped identically.
+
+    Scale shape: one tiny exchange (64-group min/max partial agg,
+    64·2 doubles to the driver — a bounded sync point), then encode
+    and scoring are pure broadcast projections; the only corpus-sized
+    shuffle is the shared top-k rank window."""
+    from ..sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "embedding", _nrm(emb, "embedding").alias("_nrm")
+    )
+    cands = base.filter(F.col("vec_id") >= N_QUERIES)
+    mm_rows = (
+        cands.select(
+            F.col("_nrm"), F.posexplode("embedding").alias("pos", "x")
+        )
+        .select(
+            "pos", (F.col("x").cast("double") / F.col("_nrm")).alias("v")
+        )
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    )
+    mm = [(float(r["mn"]), float(r["mx"])) for r in
+          sorted(mm_rows, key=lambda r: r["pos"])]
+    mm_df = spark.createDataFrame(
+        [(mm,)], "_mm ARRAY<STRUCT<mn: DOUBLE, mx: DOUBLE>>"
+    )
+
+    # encode: per-dim CASE keeps a degenerate dim (mx == mn) at code 0
+    # instead of a 0/0 NaN; values are >= 0 so HALF_UP == half-away
+    # (the DuckDB round) by construction
+    enc = cands.crossJoin(F.broadcast(mm_df)).select(
+        "vec_id",
+        F.zip_with(
+            "embedding",
+            "_mm",
+            lambda x, m: F.when(
+                m["mx"] > m["mn"],
+                F.round(
+                    F.lit(255.0)
+                    * (x.cast("double") / F.col("_nrm") - m["mn"])
+                    / (m["mx"] - m["mn"]),
+                    0,
+                ).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).alias("codes"),
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).crossJoin(
+        F.broadcast(mm_df)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "_mm",
+                lambda x, m: (x.cast("double") / F.col("_nrm")) * m["mn"],
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("qconst"),
+        F.zip_with(
+            "embedding",
+            "_mm",
+            lambda x, m: (x.cast("double") / F.col("_nrm"))
+            * ((m["mx"] - m["mn"]) / F.lit(255.0)),
+        ).alias("w"),
+    )
+    scored = enc.crossJoin(F.broadcast(q)).withColumn(
+        "adc",
+        F.round(
+            F.col("qconst")
+            + F.aggregate(
+                F.zip_with("codes", "w", lambda c, wv: wv * c),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        ),
+    )
+    return _rank_topk(scored, TOP_K)
+
+
+def _topk_cosine_sq8_sql() -> str:
+    # every chain mirrors the Spark fold exactly: left-associated, the
+    # same multiplication grouping ((q̂·step)·c, not q̂·(step·c))
+    code_terms = ", ".join(
+        f"CASE WHEN mm.maxs[{i}] > mm.mins[{i}] THEN "
+        f"CAST(round(255.0 * (e.nemb[{i}] - mm.mins[{i}])"
+        f" / (mm.maxs[{i}] - mm.mins[{i}])) AS INT) ELSE 0 END"
+        for i in range(1, DIM + 1)
+    )
+    const_chain = " + ".join(
+        f"q.nemb[{i}] * mm.mins[{i}]" for i in range(1, DIM + 1)
+    )
+    w_terms = ", ".join(
+        f"q.nemb[{i}] * ((mm.maxs[{i}] - mm.mins[{i}]) / 255.0)"
+        for i in range(1, DIM + 1)
+    )
+    wc_chain = " + ".join(
+        f"qw.w[{i}] * e.codes[{i}]" for i in range(1, DIM + 1)
+    )
+    return f"""
+WITH enorm AS MATERIALIZED ({_unit_sql()}),
+dims AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, {DIM}) t(i)),
+mm AS MATERIALIZED (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM (
+    SELECT d.i AS i, min(e.nemb[d.i]) AS mn, max(e.nemb[d.i]) AS mx
+    FROM enorm e CROSS JOIN dims d
+    WHERE e.vec_id >= {N_QUERIES}
+    GROUP BY d.i
+  )
+),
+enc AS MATERIALIZED (
+  SELECT e.vec_id, [{code_terms}] AS codes
+  FROM enorm e CROSS JOIN mm WHERE e.vec_id >= {N_QUERIES}
+),
+qw AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, ({const_chain}) AS qconst, [{w_terms}] AS w
+  FROM enorm q CROSS JOIN mm WHERE q.vec_id < {N_QUERIES}
+)
+SELECT q_id, c_id, adc, rn FROM (
+  SELECT qw.q_id, e.vec_id AS c_id,
+         round(qw.qconst + ({wc_chain}), 6) AS adc,
+         row_number() OVER (
+           PARTITION BY qw.q_id
+           ORDER BY round(qw.qconst + ({wc_chain}), 6) DESC, e.vec_id
+         ) AS rn
+  FROM enc e CROSS JOIN qw
+) WHERE rn <= {TOP_K} ORDER BY q_id, rn
+"""
+
+
+TOPK_COSINE_SQ8_SQL = _topk_cosine_sq8_sql()
+
+
 def _sub_dot_sql(q: str, v: str, s: str) -> str:
     """Explicit 8-term left-associated chain: dot of the query's
     subspace-``s`` slice with an 8-dim codebook entry."""

@@ -141,6 +141,11 @@ def _all_queries():
         # parity-pinned here
         ("unreg_l2_topk_cosine_ivfpq", PQ.topk_cosine_ivfpq,
          PQ.TOPK_COSINE_IVFPQ_SQL),
+        # round-12: SQ8 scalar quantization — the one-shot (Lloyd-free)
+        # compressed index, hence the compression family's only fully
+        # DuckDB-expressible member beyond the fixed-codebook PQ forms
+        ("unreg_l2_topk_cosine_sq8", PQ.topk_cosine_sq8,
+         PQ.TOPK_COSINE_SQ8_SQL),
         ("unreg_l5_mixture_plan", SP.mixture_plan, SP.MIXTURE_PLAN_SQL),
         ("unreg_l5_mixture_sample_planned", SP.mixture_sample_planned,
          SP.MIXTURE_SAMPLE_PLANNED_SQL),
