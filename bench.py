@@ -114,6 +114,10 @@ HEADLINE = R6_HEADLINE + [
     # round-12: SQ8 scalar quantization — one-shot 4x-compression index
     # (recall 0.99 vs PQ's 0.18-0.29 at sf0.001), DuckDB-oracled
     "unreg_l2_topk_cosine_sq8",
+    # round-12: IVF lists + SQ8 codes — the pruned composition; recall
+    # EQUALS plain IVF at equal nprobe (0.72 at sf0.001: quantization
+    # noise costs nothing within probed lists), also DuckDB-oracled
+    "unreg_l2_topk_cosine_ivfsq8",
 ]
 
 
@@ -161,6 +165,7 @@ def _extra_queries():
         "unreg_l2_topk_cosine_ivfpq_trained": PQ.topk_cosine_ivfpq_trained,
         "unreg_l2_topk_cosine_ivfpq_residual": PQ.topk_cosine_ivfpq_residual,
         "unreg_l2_topk_cosine_sq8": PQ.topk_cosine_sq8,
+        "unreg_l2_topk_cosine_ivfsq8": PQ.topk_cosine_ivfsq8,
         "unreg_l2_topk_cosine_ivf_trained_auto": _ivf_trained_auto,
         "unreg_l3_bigram_xent": TS.bigram_xent,
         "unreg_l3_trigram_xent": TS.trigram_xent,

@@ -1018,6 +1018,23 @@ def topk_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", _nrm(emb, "embedding").alias("_nrm")
     )
     cands = base.filter(F.col("vec_id") >= N_QUERIES)
+    mm_df = _sq8_mm_df(cands)
+    enc = _sq8_encode(cands, mm_df)
+    q = _sq8_query_weights(
+        base.filter(F.col("vec_id") < N_QUERIES), mm_df
+    )
+    scored = enc.crossJoin(F.broadcast(q)).withColumn(
+        "adc", _sq8_adc_col()
+    )
+    return _rank_topk(scored, TOP_K)
+
+
+def _sq8_mm_df(cands: DataFrame) -> DataFrame:
+    """One-row (mn, mx)-per-dim frame over the candidate unit vectors
+    (``cands`` carries ``_nrm``). min/max are EXACT (no FP
+    accumulation), so the 64-group partial agg matches the oracle's
+    bit-for-bit; the 64·2 doubles land driver-side — a bounded sync
+    point like the k-means centroid collects."""
     mm_rows = (
         cands.select(
             F.col("_nrm"), F.posexplode("embedding").alias("pos", "x")
@@ -1031,15 +1048,21 @@ def topk_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mm = [(float(r["mn"]), float(r["mx"])) for r in
           sorted(mm_rows, key=lambda r: r["pos"])]
-    mm_df = spark.createDataFrame(
+    return cands.sparkSession.createDataFrame(
         [(mm,)], "_mm ARRAY<STRUCT<mn: DOUBLE, mx: DOUBLE>>"
     )
 
-    # encode: per-dim CASE keeps a degenerate dim (mx == mn) at code 0
-    # instead of a 0/0 NaN; values are >= 0 so HALF_UP == half-away
-    # (the DuckDB round) by construction
-    enc = cands.crossJoin(F.broadcast(mm_df)).select(
+
+def _sq8_encode(
+    cands: DataFrame, mm_df: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, *keep, codes): the SQ8 rounding projection. The
+    per-dim CASE keeps a degenerate dim (mx == mn) at code 0 instead
+    of a 0/0 NaN; values are >= 0 so HALF_UP == half-away (the DuckDB
+    round) by construction."""
+    return cands.crossJoin(F.broadcast(mm_df)).select(
         "vec_id",
+        *keep,
         F.zip_with(
             "embedding",
             "_mm",
@@ -1054,9 +1077,13 @@ def topk_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0)),
         ).alias("codes"),
     )
-    q = base.filter(F.col("vec_id") < N_QUERIES).crossJoin(
-        F.broadcast(mm_df)
-    ).select(
+
+
+def _sq8_query_weights(q_base: DataFrame, mm_df: DataFrame) -> DataFrame:
+    """(q_id, qconst, w): the per-query half of the score
+    decomposition (see :func:`topk_cosine_sq8`); ``q_base`` carries
+    ``_nrm``."""
+    return q_base.crossJoin(F.broadcast(mm_df)).select(
         F.col("vec_id").alias("q_id"),
         F.aggregate(
             F.zip_with(
@@ -1074,18 +1101,75 @@ def topk_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ((m["mx"] - m["mn"]) / F.lit(255.0)),
         ).alias("w"),
     )
-    scored = enc.crossJoin(F.broadcast(q)).withColumn(
-        "adc",
-        F.round(
-            F.col("qconst")
-            + F.aggregate(
-                F.zip_with("codes", "w", lambda c, wv: wv * c),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ),
-            6,
+
+
+def _sq8_adc_col():
+    """round(qconst + Σ w_d·c_d, 6) — the fold mirrors the oracle's
+    explicit left-associated chain."""
+    return F.round(
+        F.col("qconst")
+        + F.aggregate(
+            F.zip_with("codes", "w", lambda c, wv: wv * c),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
         ),
+        6,
     )
+
+
+def topk_cosine_ivfsq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted lists + SQ8 codes — the compression family's
+    high-recall PRUNED composition. Same shuffle shape as
+    :func:`topk_cosine_ivfpq` (broadcast-HOF list assignment, one
+    equi-join on centroid_id at query time), but the payload is SQ8's
+    64 one-byte codes instead of PQ's 8 — 4x compression at the flat
+    form's near-exact recall, with the scoring join touching only
+    ~N·nprobe/K code rows per query. Coarse centroids are the FIXED
+    deterministic ``similarity.IVF_CENTROID_IDS`` pick and the SQ8
+    build is one-shot, so unlike IVF+PQ-trained this composition is
+    fully DuckDB-expressible end-to-end and oracle-checked
+    (``TOPK_COSINE_IVFSQ8_SQL``, bit-exact)."""
+    from ..sources.readers import load_table
+    from .similarity import (
+        IVF_CENTROID_IDS,
+        NPROBE,
+        _assign_buckets,
+        _emb_normed,
+    )
+
+    emb = _emb_normed(spark, sf_dir)
+    coarse = (
+        load_table(spark, sf_dir, "embeddings", spread=False)
+        .filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+            _norm2("embedding").alias("c_n2"),
+        )
+    )
+    base = emb.select(
+        "vec_id", "embedding", _nrm(emb, "embedding").alias("_nrm")
+    )
+    cands = base.filter(F.col("vec_id") >= N_QUERIES)
+    mm_df = _sq8_mm_df(cands)
+    assigned = _assign_buckets(
+        emb.filter(F.col("vec_id") >= N_QUERIES), coarse, n_keep=1
+    ).select(
+        "vec_id",
+        "embedding",
+        F.sqrt("norm2").alias("_nrm"),
+        "centroid_id",
+    )
+    enc = _sq8_encode(assigned, mm_df, keep=("centroid_id",))
+    probes = _assign_buckets(
+        emb.filter(F.col("vec_id") < N_QUERIES), coarse, n_keep=NPROBE
+    ).select(F.col("vec_id").alias("q_id"), "centroid_id")
+    qw = _sq8_query_weights(
+        base.filter(F.col("vec_id") < N_QUERIES), mm_df
+    )
+    scored = enc.join(
+        F.broadcast(probes.join(qw, "q_id")), "centroid_id"
+    ).withColumn("adc", _sq8_adc_col())
     return _rank_topk(scored, TOP_K)
 
 
@@ -1140,6 +1224,84 @@ SELECT q_id, c_id, adc, rn FROM (
 
 
 TOPK_COSINE_SQ8_SQL = _topk_cosine_sq8_sql()
+
+
+def _topk_cosine_ivfsq8_sql() -> str:
+    """IVF cand/qprobe CTEs from the IVFPQ twin + the SQ8 scoring
+    CTEs — the coarse ranking is the same rounded cosine over raw
+    embeddings `_assign_buckets` computes."""
+    from .similarity import IVF_CENTROID_IDS, NPROBE, _cosine_sql
+
+    ivf_ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    cos_c = _cosine_sql("e.embedding", "c.embedding")
+    code_terms = ", ".join(
+        f"CASE WHEN mm.maxs[{i}] > mm.mins[{i}] THEN "
+        f"CAST(round(255.0 * (e.nemb[{i}] - mm.mins[{i}])"
+        f" / (mm.maxs[{i}] - mm.mins[{i}])) AS INT) ELSE 0 END"
+        for i in range(1, DIM + 1)
+    )
+    const_chain = " + ".join(
+        f"q.nemb[{i}] * mm.mins[{i}]" for i in range(1, DIM + 1)
+    )
+    w_terms = ", ".join(
+        f"q.nemb[{i}] * ((mm.maxs[{i}] - mm.mins[{i}]) / 255.0)"
+        for i in range(1, DIM + 1)
+    )
+    wc_chain = " + ".join(
+        f"qw.w[{i}] * e.codes[{i}]" for i in range(1, DIM + 1)
+    )
+    return f"""
+WITH enorm AS MATERIALIZED ({_unit_sql()}),
+coarse AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE vec_id IN ({ivf_ids})
+),
+dims AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, {DIM}) t(i)),
+mm AS MATERIALIZED (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM (
+    SELECT d.i AS i, min(e.nemb[d.i]) AS mn, max(e.nemb[d.i]) AS mx
+    FROM enorm e CROSS JOIN dims d
+    WHERE e.vec_id >= {N_QUERIES}
+    GROUP BY d.i
+  )
+),
+cand AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_c} DESC, c.centroid_id) AS crn
+    FROM embeddings e CROSS JOIN coarse c WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE crn = 1
+),
+enc AS MATERIALIZED (
+  SELECT e.vec_id, a.centroid_id, [{code_terms}] AS codes
+  FROM enorm e JOIN cand a ON a.vec_id = e.vec_id CROSS JOIN mm
+),
+qprobe AS (
+  SELECT vec_id AS q_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_c} DESC, c.centroid_id) AS crn
+    FROM embeddings e CROSS JOIN coarse c WHERE e.vec_id < {N_QUERIES}
+  ) WHERE crn <= {NPROBE}
+),
+qw AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, ({const_chain}) AS qconst, [{w_terms}] AS w
+  FROM enorm q CROSS JOIN mm WHERE q.vec_id < {N_QUERIES}
+)
+SELECT q_id, c_id, adc, rn FROM (
+  SELECT qw.q_id, e.vec_id AS c_id,
+         round(qw.qconst + ({wc_chain}), 6) AS adc,
+         row_number() OVER (
+           PARTITION BY qw.q_id
+           ORDER BY round(qw.qconst + ({wc_chain}), 6) DESC, e.vec_id
+         ) AS rn
+  FROM enc e JOIN qprobe p USING (centroid_id) JOIN qw ON qw.q_id = p.q_id
+) WHERE rn <= {TOP_K} ORDER BY q_id, rn
+"""
+
+
+TOPK_COSINE_IVFSQ8_SQL = _topk_cosine_ivfsq8_sql()
 
 
 def _sub_dot_sql(q: str, v: str, s: str) -> str:

@@ -146,6 +146,11 @@ def _all_queries():
         # DuckDB-expressible member beyond the fixed-codebook PQ forms
         ("unreg_l2_topk_cosine_sq8", PQ.topk_cosine_sq8,
          PQ.TOPK_COSINE_SQ8_SQL),
+        # round-12: IVF lists + SQ8 codes — the pruned high-recall
+        # composition; fixed coarse pick + one-shot SQ8 build keep it
+        # fully SQL-expressible (unlike IVF+PQ-trained)
+        ("unreg_l2_topk_cosine_ivfsq8", PQ.topk_cosine_ivfsq8,
+         PQ.TOPK_COSINE_IVFSQ8_SQL),
         ("unreg_l5_mixture_plan", SP.mixture_plan, SP.MIXTURE_PLAN_SQL),
         ("unreg_l5_mixture_sample_planned", SP.mixture_sample_planned,
          SP.MIXTURE_SAMPLE_PLANNED_SQL),
