@@ -59,6 +59,27 @@ def test_new_row_baselines_at_driver_marks():
     assert prior["unreg_e10_props_json_stats"][0] <= 0.67, prior
 
 
+def test_round12_rows_join_the_gate():
+    """The three ANN rows added in round 12 (residual IVF-PQ, SQ8,
+    IVF+SQ8) must be in the bench HEADLINE list so the next driver
+    bench records their first gate baselines (session first marks:
+    ~8.5-10.4 / 1.39-1.55 / 1.60 s at sf0.1; best_prior pins follow
+    once a BENCH_r*.json carries them)."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import HEADLINE, _extra_queries
+
+    extras = _extra_queries()
+    for q in (
+        "unreg_l2_topk_cosine_ivfpq_residual",
+        "unreg_l2_topk_cosine_sq8",
+        "unreg_l2_topk_cosine_ivfsq8",
+    ):
+        assert q in HEADLINE, q
+        assert q in extras, q
+
+
 def test_gate_fails_an_unrouted_knn():
     """A kNN label-noise form regressed to the flat double-assignment
     (the exact form's 17.7 s at sf0.1 — the shape the round-11 125x
