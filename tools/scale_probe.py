@@ -78,6 +78,10 @@ DEFAULT_OPS = [
     "l2_topk_cosine_bruteforce",
     "l2_topk_cosine_ivf",
     "l2_topk_cosine_pq",
+    # round-12: the SQ8 pair — one-shot builds like the other default
+    # rows (trained/residual forms stay behind --ops, like pq_trained)
+    "unreg_l2_topk_cosine_sq8",
+    "unreg_l2_topk_cosine_ivfsq8",
     # fixed-K control (documented super-linear: pair work ~ N^2/K) vs
     # the auto-K production form (K ~ N/60, pair work ~ linear)
     "l2_semdedup",
