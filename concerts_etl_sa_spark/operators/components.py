@@ -8,9 +8,12 @@ connected-components computation.
 
 Algorithm: iterative min-label propagation —
 ``label(v) <- min(label(v), min(label(n)) for n in neighbors(v))``
-until no label changes. Labels only ever decrease, so the global label
-sum is a strictly decreasing monotone; an unchanged sum IS the fixpoint
-(one cheap scalar action per round, no full-join diff).
+until no label changes. The round-start label rides through the round's
+select as ``label_prev``, so a per-round ``sum((label != label_prev))``
+counts changed vertices in the SAME one scalar action — zero changes IS
+the fixpoint (no full-join diff, and unlike the earlier sum-of-labels
+monotone, overflow-free at xxhash64-sized vertex ids: a sum of ~2^63
+labels over millions of vertices overflows long, the count never can).
 
 Scale design (100 TB):
 - Per round: one equi-join of the symmetrized edge list against the
@@ -112,17 +115,10 @@ def connected_components(
     labels = (
         sym.select("u").distinct().withColumn("label", F.col("u")).cache()
     )
-    # no initial label-sum job: the first iteration's new_sum simply has
-    # nothing to compare against (labels only decrease, so a first-round
-    # false "no change" is impossible unless the graph is already
-    # fixpoint — and an edge list always propagates at least one min in
-    # round 1 except when every vertex is its own min, in which case one
-    # extra no-op round is the only cost). One collect per round total.
-    # max_iters + 1: detection lags one comparison behind the missing
-    # initial sum, so a graph converging exactly at the max_iters-th
-    # round still gets its confirming (no-op) comparison instead of a
-    # spurious no-fixpoint error.
-    prev_sum = None
+    # max_iters + 1: a graph whose last label movement happens in the
+    # max_iters-th round still gets its confirming (zero-changes)
+    # round instead of a spurious no-fixpoint error. One collect per
+    # round total — the changed-vertex count IS the round's action.
     prev_chk_ids: set[int] = set()
     for _ in range(max_iters + 1):
         nbr_min = (
@@ -132,11 +128,15 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # label_prev carries the ROUND-START label through to the
+        # convergence check (both F.col("label") refs resolve against
+        # the input frame, so the aliased least() does not shadow it)
         propagated = labels.join(nbr_min, "u", "left").select(
             "u",
             F.least(
                 F.col("label"), F.coalesce("nbr_label", "label")
             ).alias("label"),
+            F.col("label").alias("label_prev"),
         ).persist()
         # pointer doubling: follow one indirection through the label map
         # (labels are always real vertex ids, so the self-join resolves)
@@ -151,20 +151,33 @@ def connected_components(
                 "left",
             )
             .select(
-                "u", F.coalesce("label2", "label").alias("label")
+                "u",
+                F.coalesce("label2", "label").alias("label"),
+                "label_prev",
             )
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
         chk_ids = _persistent_rdd_ids(sc) - before_ids
         propagated.unpersist()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        # overflow-free fixpoint check (round-13 hardening): count of
+        # vertices whose label moved this round, compared against the
+        # FINAL post-doubling label — pointer doubling can change a
+        # label the least() left alone. sum of 0/1 longs cannot
+        # overflow below 2^63 vertices; the old sum-of-labels monotone
+        # overflowed at production xxhash64 id widths (ANSI mode made
+        # that a loud crash, but a crash-free check is strictly better
+        # for the same one job per round).
+        n_changed = new_labels.agg(
+            F.sum(
+                (F.col("label") != F.col("label_prev")).cast("long")
+            ).alias("c")
+        ).collect()[0][0]
         labels.unpersist()  # frees the round-0 cache; no-op afterwards
         _drop_persistent_rdds(sc, prev_chk_ids)
         prev_chk_ids = chk_ids
         labels = new_labels
-        if new_sum == prev_sum:
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint in {max_iters + 1} rounds"

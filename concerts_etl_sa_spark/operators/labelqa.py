@@ -265,10 +265,17 @@ def knn_label_noise_ivf_trained(
     from .kmeans import TRAIN_POINTS_PER_CENTROID, centroids_df, kmeans_fit
 
     emb = _labeled(spark, sf_dir)
-    n = load_table(spark, sf_dir, "embeddings", spread=False).count()
+    # size EVERYTHING from the labeled subset (round-13 advisory): the
+    # trainer filters label IS NOT NULL, so sizing the stride from the
+    # full-table count on a sparsely-labeled corpus realizes
+    # ~per_list·(n_labeled/n) points per centroid — far below the FAISS
+    # 256-rule the cap implements (10% labeled → ~26 pts/centroid, the
+    # undertrained regime test_train_sampling.py pins as a measurable
+    # recall loss). One count of the column-pruned labeled projection
+    # replaces the old full-table count — same job count, right n.
+    n = emb.select("vec_id").count()
     # the 256-pts/centroid bound self-exempts at per_list < 256 (cap
-    # 256·K > N — the auto-K arithmetic); wired for uniformity with the
-    # other trained builds, n forwarded so no extra count job runs
+    # 256·K > N — the auto-K arithmetic)
     k_lists = max(n // per_list, 8)
     fitted, _ = kmeans_fit(
         emb,

@@ -781,17 +781,70 @@ def _probe_cdots(probes: DataFrame, cbar: DataFrame) -> DataFrame:
     )
 
 
-# Residual encoding pays only when residuals actually carry LESS
-# energy than the unit vectors they replace: reconstruction error at a
-# fixed code budget scales with the energy the codebook must absorb,
-# so mean ||x̂ − c̄||² < 1 (= the unit vectors' own energy) is the
-# break-even. Clustered corpora (real embedding spaces) sit well below
-# it; an isotropic corpus sits ABOVE it (vectors near-orthogonal to
-# any centroid: 2 − 2·cos ≈ 1.5 measured on the synthetic fixture,
-# where forcing residual coding measurably WORSENS ADC error 0.065 →
-# 0.167 mean). FAISS leaves this to the operator's judgment; at
-# 100 TB an automated, measured gate is the safer default.
-RESIDUAL_ENERGY_GATE = 1.0
+# Residual encoding pays only when the coarse centroids explain
+# variance the PLAIN codebook could not absorb anyway. The round-12
+# gate compared mean ||x̂ − c̄||² against the absolute 1.0 (= the unit
+# vectors' own energy); the round-13 realistic document-derived
+# fixture exposed its blind spot: an ANISOTROPIC SINGLE-BLOB corpus
+# (one dominant shared direction — the shape real text embeddings
+# have) measures residual energy ~0.32, far under 1.0, yet residual
+# coding LOSES there (recall 0.30 vs plain 0.33): a plain codebook's
+# per-subspace k-means absorbs the shared component for free, so
+# subtracting a centroid removes nothing plain couldn't. What
+# residual coding actually exploits is MULTI-MODALITY — centroids
+# far apart, where a plain codebook must span the modes. The
+# re-derived gate is therefore RELATIVE: residual codes ship only
+# when  E_res < RATIO · E_ctr,  where E_ctr = 1 − ||mean(x̂)||² is
+# the corpus' centered energy (what any mean-absorbing quantizer
+# faces). Measured ratios (sf0.001, k_coarse=8):
+#   isotropic table     1.48 / 1.00 = 1.48  -> plain  (residual
+#                                              degrades 0.22→0.13)
+#   realistic documents 0.32 / 0.37 = 0.88  -> plain  (plain wins
+#                                              0.33 vs 0.30)
+#   planted clusters    ~0.57 / 0.93 = 0.61 -> residual (wins
+#                                              0.27 vs 0.17)
+# 0.75 splits the plain side (≥0.88) from the residual side (≤0.61)
+# with margin both ways. FAISS leaves the choice to the operator's
+# judgment; at 100 TB an automated, measured gate is the safer
+# default.
+RESIDUAL_GATE_RATIO = 0.75
+
+
+def _centered_energy(cands: DataFrame, cap: int, n: int) -> float:
+    """E_ctr = 1 − ||mean(x̂)||² over the bounded training sample of
+    candidate UNIT vectors — the centered energy a mean-absorbing
+    quantizer must code (the gate's denominator). DETERMINISTIC like
+    :func:`_residual_energy`: the ≤2·cap sampled vectors are collected
+    and the mean is accumulated driver-side in vec_id order (a
+    distributed per-dim avg would sum partials in partition order and
+    a float wobble at the threshold must not flip the index layout).
+    Empty sample -> 0.0: the ratio gate then reads
+    ``anything < RATIO·0`` = False and deterministically selects the
+    plain build (same safe direction as the numerator's inf guard)."""
+    from .kmeans import train_sample
+
+    rows = (
+        train_sample(cands, "vec_id", cap, n=n)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") / F.sqrt(F.col("norm2")),
+            ).alias("u"),
+        )
+        .collect()
+    )
+    if not rows:
+        return 0.0
+    rows.sort(key=lambda r: r["vec_id"])
+    dim = len(rows[0]["u"])
+    acc = [0.0] * dim
+    for r in rows:
+        u = r["u"]
+        for i in range(dim):
+            acc[i] += u[i]
+    m = [a / len(rows) for a in acc]
+    return 1.0 - sum(x * x for x in m)
 
 
 def _residual_energy(cand_res: DataFrame, cap: int, n: int) -> float:
@@ -817,6 +870,14 @@ def _residual_energy(cand_res: DataFrame, cap: int, n: int) -> float:
         .collect()
     )
     es = [r["e"] for r in sorted(rows, key=lambda r: r["vec_id"])]
+    if not es:
+        # Empty probe (the caller-supplied n may overestimate the
+        # derived frame's true count — the train_sample API permits a
+        # near-exact n — or the candidate set is degenerate): fail to
+        # the SAFE branch deterministically. inf >= any gate, so the
+        # build selects the plain non-residual layout instead of
+        # crashing with ZeroDivisionError (round-13 advisory).
+        return float("inf")
     return sum(es) / len(es)
 
 
@@ -840,11 +901,14 @@ def topk_cosine_ivfpq_residual_df(
     Composition: trained coarse centroids (sample-bounded, 256·k rule)
     -> every candidate's residual against its UNIT-normalized list
     centroid (:func:`_residual_frame`, broadcast join, shuffle-free)
-    -> the GATE: mean residual energy on the bounded training sample
-    (:func:`_residual_energy`; one sample-sized job). Below
-    ``RESIDUAL_ENERGY_GATE`` the codebooks train ON RESIDUALS and the
-    index stores residual codes; at/above it residual coding would
-    only add error (measured on the isotropic fixture), so the build
+    -> the GATE: mean residual energy vs the corpus' centered energy
+    on the bounded training sample (:func:`_residual_energy` /
+    :func:`_centered_energy`; two sample-sized jobs). Below
+    ``RESIDUAL_GATE_RATIO`` of the centered energy the codebooks train
+    ON RESIDUALS and the index stores residual codes; at/above it
+    residual coding would only add error (measured on the isotropic
+    AND the realistic anisotropic-blob fixtures — see the constant's
+    derivation table), so the build
     falls back to the plain trained composition — bit-identical to
     :func:`topk_cosine_ivfpq_trained` by construction (same trainer
     calls, same args; pinned by test). ``force_residual`` overrides
@@ -892,11 +956,17 @@ def topk_cosine_ivfpq_residual_df(
         cbar,
     )
     cb_cap = TRAIN_POINTS_PER_CENTROID * k_codes
-    use_residual = (
-        _residual_energy(cand_res, cb_cap, n=n_cand) < RESIDUAL_ENERGY_GATE
-        if force_residual is None
-        else force_residual
-    )
+    if force_residual is None:
+        # relative gate (round 13, see RESIDUAL_GATE_RATIO): two
+        # sample-sized driver-side reductions — residual energy vs the
+        # corpus' centered energy
+        e_res = _residual_energy(cand_res, cb_cap, n=n_cand)
+        e_ctr = _centered_energy(
+            emb.filter(F.col("vec_id") >= N_QUERIES), cb_cap, n=n_cand
+        )
+        use_residual = e_res < RESIDUAL_GATE_RATIO * e_ctr
+    else:
+        use_residual = force_residual
 
     if not use_residual:
         books = pq_train_fused(
@@ -956,9 +1026,11 @@ def topk_cosine_ivfpq_residual(
 ) -> DataFrame:
     """Registry/bench wrapper of :func:`topk_cosine_ivfpq_residual_df`
     over the embeddings table. On the isotropic synthetic fixture the
-    gate measures ~1.48 residual energy and selects the plain trained
-    build (equality with :func:`topk_cosine_ivfpq_trained` pinned by
-    test); on clustered corpora it selects residual codes."""
+    gate measures residual/centered energy ~1.48/1.0 and selects the
+    plain trained build (equality with
+    :func:`topk_cosine_ivfpq_trained` pinned by test); on multi-modal
+    clustered corpora (ratio under ``RESIDUAL_GATE_RATIO``) it selects
+    residual codes."""
     from ..sources.readers import load_table
 
     return topk_cosine_ivfpq_residual_df(
@@ -1013,7 +1085,14 @@ def topk_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the shared top-k rank window."""
     from ..sources.readers import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_cosine_sq8_df(load_table(spark, sf_dir, "embeddings"))
+
+
+def topk_cosine_sq8_df(emb: DataFrame, top_k: int = TOP_K) -> DataFrame:
+    """DF-level SQ8 core over any (vec_id, embedding) frame — extracted
+    round 13 so the realistic-fixture quality tests drive the SAME
+    build/score path the table wrapper ships (the labelqa
+    ``knn_label_noise_df`` device)."""
     base = emb.select(
         "vec_id", "embedding", _nrm(emb, "embedding").alias("_nrm")
     )
@@ -1026,7 +1105,7 @@ def topk_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = enc.crossJoin(F.broadcast(q)).withColumn(
         "adc", _sq8_adc_col()
     )
-    return _rank_topk(scored, TOP_K)
+    return _rank_topk(scored, top_k)
 
 
 def _sq8_mm_df(cands: DataFrame) -> DataFrame:

@@ -269,11 +269,20 @@ def curate_corpus_df(
 
                 # fixed sem_k: training bounded at 256 pts/centroid
                 # (round 12 — bit-identical below the cap)
+                # train_sample_n: without it the stride-sizing count
+                # re-executes the whole upstream dedup DAG (minhash
+                # pairs, CC, joins) once more per curate run — the trap
+                # train_sample's own docstring warns about. The
+                # already-computed survivor count is a near-exact upper
+                # bound on emb_sub's rows (left-semi can only shrink
+                # it), and a near-exact n is all the stride needs
+                # (round-13 advisory).
                 fitted, _ = kmeans_fit(
                     emb_sub,
                     k=sem_k,
                     max_iters=3,
                     train_sample_rows=TRAIN_POINTS_PER_CENTROID * sem_k,
+                    train_sample_n=n_after_near_pre,
                 )
                 sem_centroids = centroids_df(
                     emb_sub.sparkSession, fitted

@@ -51,6 +51,41 @@ def test_connected_components_chain_converges(spark):
     assert all(r.component == 0 for r in out)
 
 
+def test_connected_components_xxhash64_width_ids(spark):
+    """Round-13 hardening: fixpoint detection must survive production
+    vertex-id widths. The old sum-of-labels monotone overflowed long on
+    near-Long.MaxValue ids (here even ONE component sums past 2^63 —
+    4 × ~2^63-range labels); the changed-label count cannot. Parity vs
+    the driver-side union-find on the same extreme ids."""
+    big = (1 << 63) - 1  # Long.MaxValue
+    edges = [
+        (big, big - 1),
+        (big - 1, big - 2),      # chain in the top id range
+        (big - 5, big - 4),      # second component
+        (7, big - 9),            # small id bridged to a huge one
+    ]
+    edges_df = spark.createDataFrame(edges, "a_id LONG, b_id LONG")
+    expected = _union_find(edges)
+    got = {
+        r.vertex: r.component
+        for r in CC.connected_components(edges_df).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_already_fixpoint_single_round(spark):
+    """A self-labeled graph (every vertex already the min of its
+    component... here: no edges propagate anything smaller) must
+    terminate on the first zero-changes round, not error."""
+    edges_df = spark.createDataFrame(
+        [(0, 1), (2, 3)], "a_id LONG, b_id LONG"
+    )
+    out = CC.connected_components(edges_df, max_iters=1).collect()
+    assert {r.vertex: r.component for r in out} == {
+        0: 0, 1: 0, 2: 2, 3: 2,
+    }
+
+
 def test_dedup_clusters_invariants(spark):
     rows = CC.dedup_clusters(spark, SF_DIR).collect()
     n_docs = load_table(spark, SF_DIR, "documents").count()

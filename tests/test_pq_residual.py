@@ -54,11 +54,9 @@ def _pairs(df) -> set[tuple[int, int]]:
     return {(r["q_id"], r["c_id"]) for r in df.select("q_id", "c_id").collect()}
 
 
-def test_gate_measures_both_regimes(spark):
-    """The gate statistic itself: isotropic fixture residuals carry
-    MORE energy than the unit vectors (measured ~1.48 — the break-even
-    argument's empirical anchor), clustered fixture residuals far less
-    (~0.4)."""
+def _gate_stats(spark, emb_raw):
+    """(E_res, E_ctr) exactly as the production gate computes them —
+    shared by the three-regime tests below."""
     from concerts_etl_sa_spark.operators.kmeans import (
         TRAIN_POINTS_PER_CENTROID,
         centroids_df,
@@ -66,32 +64,62 @@ def test_gate_measures_both_regimes(spark):
     )
     from concerts_etl_sa_spark.operators.similarity import _assign_buckets
 
-    def energy(emb_raw):
-        fitted, _ = kmeans_fit(
-            emb_raw, k=8, max_iters=3,
-            train_sample_rows=TRAIN_POINTS_PER_CENTROID * 8,
-        )
-        coarse = centroids_df(spark, fitted).withColumn(
-            "c_n2", _norm2("centroid_vec")
-        )
-        emb = (
-            emb_raw
-            if "norm2" in emb_raw.columns
-            else emb_raw.withColumn("norm2", _norm2("embedding"))
-        )
-        cand = _assign_buckets(
-            emb.filter(F.col("vec_id") >= N_QUERIES), coarse, n_keep=1
-        )
-        res = pq._residual_frame(cand, pq._unit_coarse(coarse))
-        n_cand = emb_raw.count() - N_QUERIES
-        return pq._residual_energy(res, 256 * pq.PQ_K, n=n_cand)
+    fitted, _ = kmeans_fit(
+        emb_raw, k=8, max_iters=3,
+        train_sample_rows=TRAIN_POINTS_PER_CENTROID * 8,
+    )
+    coarse = centroids_df(spark, fitted).withColumn(
+        "c_n2", _norm2("centroid_vec")
+    )
+    emb = (
+        emb_raw
+        if "norm2" in emb_raw.columns
+        else emb_raw.withColumn("norm2", _norm2("embedding"))
+    )
+    cands = emb.filter(F.col("vec_id") >= N_QUERIES)
+    res = pq._residual_frame(
+        _assign_buckets(cands, coarse, n_keep=1), pq._unit_coarse(coarse)
+    )
+    n_cand = emb_raw.count() - N_QUERIES
+    cap = 256 * pq.PQ_K
+    return (
+        pq._residual_energy(res, cap, n=n_cand),
+        pq._centered_energy(cands, cap, n=n_cand),
+    )
 
-    iso = energy(load_table(spark, SF_DIR, "embeddings"))
+
+def test_gate_measures_all_three_regimes(spark):
+    """The re-derived RELATIVE gate statistic (round 13): the ratio
+    E_res/E_ctr must put the two regimes where plain coding wins —
+    isotropic (measured 1.48/1.0 ≈ 1.48) and the realistic
+    anisotropic single-blob documents fixture (0.32/0.37 ≈ 0.88) —
+    ABOVE the 0.75 threshold, and the multi-modal planted-cluster
+    regime (where residual coding wins) BELOW it. The realistic row is
+    the round-13 find: the old absolute 1.0 gate read its 0.32 energy
+    as residual territory and shipped the losing layout."""
+    from .realistic_emb import realistic_embeddings
+
+    iso_res, iso_ctr = _gate_stats(
+        spark, load_table(spark, SF_DIR, "embeddings")
+    )
     clustered, _ = _clustered_emb(spark)
-    clu = energy(clustered)
-    assert iso >= pq.RESIDUAL_ENERGY_GATE, iso
-    assert clu < pq.RESIDUAL_ENERGY_GATE, clu
-    assert clu < 0.7 < 1.2 < iso, (clu, iso)
+    clu_res, clu_ctr = _gate_stats(spark, clustered)
+    real_df, _, _ = realistic_embeddings(spark, SF_DIR)
+    real_res, real_ctr = _gate_stats(
+        spark, real_df.select("vec_id", "embedding")
+    )
+
+    ratio = pq.RESIDUAL_GATE_RATIO
+    assert iso_res >= ratio * iso_ctr, (iso_res, iso_ctr)
+    assert real_res >= ratio * real_ctr, (real_res, real_ctr)
+    assert clu_res < ratio * clu_ctr, (clu_res, clu_ctr)
+    # the absolute anchors stay measured: isotropic residuals above
+    # the unit energy, both sub-unit regimes well under it
+    assert clu_res < 0.7 < 1.2 < iso_res, (clu_res, iso_res)
+    # the realistic blob is the regime the ratio exists for: absolute
+    # energy deep under 1.0 (the old gate's mistake) yet ratio-high
+    assert real_res < 0.7, real_res
+    assert real_res / real_ctr > ratio, (real_res, real_ctr)
 
 
 def test_gated_fallback_equals_plain_trained(spark):
@@ -171,6 +199,52 @@ def test_residual_index_build_is_shuffle_free(spark):
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_realistic_fixture_gate_selects_plain_and_plain_not_worse(spark):
+    """Round-13 re-pin on the realistic document-derived fixture: the
+    relative gate must select the PLAIN build (gated output exactly
+    equals the forced-plain build — same composition, bit-identical),
+    and that choice must be the right one: forced-residual recall may
+    not beat plain by the winning margin (measured plain 0.33 vs
+    residual 0.30 — residual LOSES here despite absolute energy 0.32,
+    the old gate's misclassification)."""
+    from .realistic_emb import (
+        np_truth_pairs,
+        realistic_embeddings,
+        recall_vs_truth,
+    )
+
+    emb, x, _ = realistic_embeddings(spark, SF_DIR)
+    emb = emb.select("vec_id", "embedding")
+    n = len(x)
+
+    gated = sorted(
+        map(tuple, pq.topk_cosine_ivfpq_residual_df(emb, n_total=n).collect())
+    )
+    plain = sorted(
+        map(
+            tuple,
+            pq.topk_cosine_ivfpq_residual_df(
+                emb, force_residual=False, n_total=n
+            ).collect(),
+        )
+    )
+    assert gated == plain
+
+    truth = np_truth_pairs(x)
+    r_plain = recall_vs_truth(
+        pq.topk_cosine_ivfpq_residual_df(emb, force_residual=False, n_total=n),
+        truth,
+    )
+    r_res = recall_vs_truth(
+        pq.topk_cosine_ivfpq_residual_df(emb, force_residual=True, n_total=n),
+        truth,
+    )
+    # plain must not be the losing choice (0.05 = the in-regime winning
+    # margin test_residual_wins_its_regime pins on the cluster fixture)
+    assert r_res < r_plain + 0.05, (r_res, r_plain)
+    assert r_plain >= 0.25, r_plain
 
 
 def test_forced_residual_on_isotropic_degrades_but_works(spark):
