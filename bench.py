@@ -118,6 +118,13 @@ HEADLINE = R6_HEADLINE + [
     # EQUALS plain IVF at equal nprobe (0.72 at sf0.001: quantization
     # noise costs nothing within probed lists), also DuckDB-oracled
     "unreg_l2_topk_cosine_ivfsq8",
+    # round-13 (verdict #3): the END-TO-END curation composition —
+    # annotate scan + rules + exact-dedup window + capped minhash
+    # near-dup + connected-components closure + report aggregation,
+    # i.e. what a production curation run actually executes (the
+    # per-stage rows above each pin one operator; this row pins the
+    # composition, including the report's eager count jobs)
+    "unreg_l5_curate_corpus",
 ]
 
 
@@ -171,7 +178,20 @@ def _extra_queries():
         "unreg_l3_trigram_xent": TS.trigram_xent,
         "unreg_l2_knn_label_noise_ivf": LQ.knn_label_noise_ivf,
         "unreg_e10_props_json_stats": A.props_json_stats,
+        "unreg_l5_curate_corpus": _curate_corpus_bench,
     }
+
+
+def _curate_corpus_bench(spark, sf_dir):
+    # production composition: skew-capped near-dup buckets (star mode)
+    # + transitive closure, per the curate_corpus docstring's own
+    # star->transitive pairing; no decontam/semdedup/budget so the row
+    # stays attributable to the core dedup pipeline
+    from concerts_etl_sa_spark.plans.corpus import curate_corpus
+
+    return curate_corpus(
+        spark, sf_dir, transitive_dedup=True, max_bucket_size=256
+    ).curated
 
 
 def _ivf_trained_auto(spark, sf_dir):

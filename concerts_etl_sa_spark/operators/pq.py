@@ -881,6 +881,67 @@ def _residual_energy(cand_res: DataFrame, cap: int, n: int) -> float:
     return sum(es) / len(es)
 
 
+def _gate_energies(
+    cands: DataFrame, coarse: DataFrame, cap: int, n: int
+) -> tuple[float, float]:
+    """(E_res, E_ctr) in ONE sample-sized job — the production gate
+    probe. Round-13 stage attribution measured the two separate
+    collects (:func:`_residual_energy` + :func:`_centered_energy`) at
+    ~1.6 s of the residual bench row's 10.9 s; each sampled row can
+    carry its residual energy AND its unit vector through the same
+    broadcast-join select, so one collect serves both statistics.
+    Values are identical to the separate jobs by construction — same
+    hash-thinned stride sample (assignment is per-row, so sampling
+    before assignment selects the same vec_ids as assigning then
+    sampling), same element expressions, same driver-side vec_id-order
+    accumulation — pinned by test_fused_gate_equals_separate_probes.
+    Empty sample -> (inf, 0.0): the ratio gate deterministically
+    selects the plain build (both safe directions)."""
+    from .kmeans import train_sample
+    from .similarity import _assign_buckets
+
+    cbar = _unit_coarse(coarse)
+    samp = _assign_buckets(
+        train_sample(cands, "vec_id", cap, n=n), coarse, n_keep=1
+    )
+
+    def _res_vec():
+        return F.zip_with(
+            "embedding",
+            "_cbar",
+            lambda x, y: x.cast("double") / F.sqrt(F.col("norm2")) - y,
+        )
+
+    rows = (
+        samp.join(F.broadcast(cbar), "centroid_id")
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(_res_vec(), _res_vec(), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            ).alias("e"),
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") / F.sqrt(F.col("norm2")),
+            ).alias("u"),
+        )
+        .collect()
+    )
+    if not rows:
+        return float("inf"), 0.0
+    rows.sort(key=lambda r: r["vec_id"])
+    e_res = sum(r["e"] for r in rows) / len(rows)
+    dim = len(rows[0]["u"])
+    acc = [0.0] * dim
+    for r in rows:
+        u = r["u"]
+        for i in range(dim):
+            acc[i] += u[i]
+    m = [a / len(rows) for a in acc]
+    return e_res, 1.0 - sum(x * x for x in m)
+
+
 def topk_cosine_ivfpq_residual_df(
     emb_raw: DataFrame,
     k_coarse: int = 8,
@@ -902,8 +963,8 @@ def topk_cosine_ivfpq_residual_df(
     -> every candidate's residual against its UNIT-normalized list
     centroid (:func:`_residual_frame`, broadcast join, shuffle-free)
     -> the GATE: mean residual energy vs the corpus' centered energy
-    on the bounded training sample (:func:`_residual_energy` /
-    :func:`_centered_energy`; two sample-sized jobs). Below
+    on the bounded training sample (:func:`_gate_energies`; ONE
+    sample-sized job serving both statistics). Below
     ``RESIDUAL_GATE_RATIO`` of the centered energy the codebooks train
     ON RESIDUALS and the index stores residual codes; at/above it
     residual coding would only add error (measured on the isotropic
@@ -948,21 +1009,16 @@ def topk_cosine_ivfpq_residual_df(
         else emb_raw.withColumn("norm2", _norm2("embedding"))
     )
 
-    cbar = _unit_coarse(coarse)
-    cand_res = _residual_frame(
-        _assign_buckets(
-            emb.filter(F.col("vec_id") >= N_QUERIES), coarse, n_keep=1
-        ),
-        cbar,
-    )
     cb_cap = TRAIN_POINTS_PER_CENTROID * k_codes
     if force_residual is None:
-        # relative gate (round 13, see RESIDUAL_GATE_RATIO): two
-        # sample-sized driver-side reductions — residual energy vs the
-        # corpus' centered energy
-        e_res = _residual_energy(cand_res, cb_cap, n=n_cand)
-        e_ctr = _centered_energy(
-            emb.filter(F.col("vec_id") >= N_QUERIES), cb_cap, n=n_cand
+        # relative gate (round 13, see RESIDUAL_GATE_RATIO): ONE
+        # sample-sized driver-side reduction serving both statistics —
+        # residual energy vs the corpus' centered energy
+        e_res, e_ctr = _gate_energies(
+            emb.filter(F.col("vec_id") >= N_QUERIES),
+            coarse,
+            cb_cap,
+            n=n_cand,
         )
         use_residual = e_res < RESIDUAL_GATE_RATIO * e_ctr
     else:
@@ -985,6 +1041,13 @@ def topk_cosine_ivfpq_residual_df(
             top_k=top_k,
         )
 
+    cbar = _unit_coarse(coarse)
+    cand_res = _residual_frame(
+        _assign_buckets(
+            emb.filter(F.col("vec_id") >= N_QUERIES), coarse, n_keep=1
+        ),
+        cbar,
+    )
     books = pq_train_fused(
         cand_res,
         m=PQ_M,

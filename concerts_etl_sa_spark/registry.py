@@ -238,8 +238,16 @@ _JOINS_AND_ANALYTICS = [
     ("e9_grouping_sets_order_stats", A.grouping_sets_order_stats,
      A.GROUPING_SETS_ORDER_STATS_SQL),
     ("e6_price_percentiles", A.price_percentiles, A.PRICE_PERCENTILES_SQL),
-    ("e7_daily_distinct_users", A.daily_distinct_users,
-     A.DAILY_DISTINCT_USERS_SQL),
+    # round-13 rotation #10: e7_daily_distinct_users (daily scan +
+    # distinct-count over events — the same daily-bucketed events scan
+    # shape the RETAINED e3 row already pins, plus a distinct the h1/e4
+    # rows cover) cedes its slot to the SQ8 scalar-quantized ANN index —
+    # BIT-EXACT DuckDB parity at three scale factors but no in-window
+    # slot until now, and the only compression-family member whose
+    # whole build (per-dim min/max + rounding projection + weight-fold
+    # scoring) is deterministic one-shot SQL. e7 keeps pytest oracle
+    # parity as unreg_e7_daily_distinct_users (rationale in SURVEY §8).
+    ("l2_topk_cosine_sq8", PQ.topk_cosine_sq8, PQ.TOPK_COSINE_SQ8_SQL),
     ("f1_running_order_total", A.running_order_total, A.RUNNING_ORDER_TOTAL_SQL),
     # round-12 rotation #9: f2_order_ranks (rank/dense_rank/ntile over
     # the same orders window shape the retained f1/f3 rows already pin)

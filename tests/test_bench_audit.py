@@ -80,6 +80,28 @@ def test_round12_rows_join_the_gate():
         assert q in extras, q
 
 
+R12_ANN_ROWS = {
+    "unreg_l2_topk_cosine_ivfpq_residual",
+    "unreg_l2_topk_cosine_sq8",
+    "unreg_l2_topk_cosine_ivfsq8",
+}
+
+
+def test_r12_ann_row_baselines_at_driver_marks():
+    """Round-13 verdict #4: the three ANN rows that joined the gate in
+    round 12 carry their first driver marks as ratchet baselines
+    (residual 9.854, sq8 1.215, ivfsq8 1.699 in BENCH_r12.json — all
+    inside their pre-registered idle bands 9.23-13.46 / 1.57-2.39 /
+    1.94-3.24, the sq8 pair BELOW band: driver marks are real floors).
+    best_prior only decreases, so these stay valid as future rounds
+    ratchet down (the round-13 fused gate probe should pull the
+    residual row under its mark)."""
+    prior = best_prior(R12_ANN_ROWS)
+    assert prior["unreg_l2_topk_cosine_ivfpq_residual"][0] <= 9.854, prior
+    assert prior["unreg_l2_topk_cosine_sq8"][0] <= 1.215, prior
+    assert prior["unreg_l2_topk_cosine_ivfsq8"][0] <= 1.699, prior
+
+
 def test_gate_fails_an_unrouted_knn():
     """A kNN label-noise form regressed to the flat double-assignment
     (the exact form's 17.7 s at sf0.1 — the shape the round-11 125x

@@ -141,11 +141,11 @@ def _all_queries():
         # parity-pinned here
         ("unreg_l2_topk_cosine_ivfpq", PQ.topk_cosine_ivfpq,
          PQ.TOPK_COSINE_IVFPQ_SQL),
-        # round-12: SQ8 scalar quantization — the one-shot (Lloyd-free)
-        # compressed index, hence the compression family's only fully
-        # DuckDB-expressible member beyond the fixed-codebook PQ forms
-        ("unreg_l2_topk_cosine_sq8", PQ.topk_cosine_sq8,
-         PQ.TOPK_COSINE_SQ8_SQL),
+        # round-13 rotation #10: sq8 rotated INTO the driver window
+        # (l2_topk_cosine_sq8); the slot's former occupant keeps parity
+        # here — e7's daily scan shape stays pinned by the retained e3
+        ("unreg_e7_daily_distinct_users", A.daily_distinct_users,
+         A.DAILY_DISTINCT_USERS_SQL),
         # round-12: IVF lists + SQ8 codes — the pruned high-recall
         # composition; fixed coarse pick + one-shot SQ8 build keep it
         # fully SQL-expressible (unlike IVF+PQ-trained)

@@ -35,7 +35,9 @@ TS_QUERIES = [
     "d5d6_legacy_candidates",
     "d8_legacy_merge",
     "e3_events_daily_stats",
-    "e7_daily_distinct_users",
+    # e7_daily_distinct_users rotated out of the window in round 13
+    # (rotation #10); its daily-bucketing timestamp semantics are the
+    # same to_date(ts) path e3 above pins under the plain session
     "f3_event_lag_lead",
 ]
 

@@ -201,6 +201,50 @@ def test_residual_index_build_is_shuffle_free(spark):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
+def test_fused_gate_equals_separate_probes(spark):
+    """The one-job production gate probe (_gate_energies, round-13
+    item #7) must reproduce the separate _residual_energy /
+    _centered_energy statistics exactly — same stride sample, same
+    element expressions, same driver-side accumulation order — on both
+    an isotropic and a clustered input."""
+    from concerts_etl_sa_spark.operators.kmeans import (
+        TRAIN_POINTS_PER_CENTROID,
+        centroids_df,
+        kmeans_fit,
+    )
+    from concerts_etl_sa_spark.operators.similarity import _assign_buckets
+
+    for emb_raw in (
+        load_table(spark, SF_DIR, "embeddings"),
+        _clustered_emb(spark, n=300)[0],
+    ):
+        fitted, _ = kmeans_fit(
+            emb_raw, k=8, max_iters=2,
+            train_sample_rows=TRAIN_POINTS_PER_CENTROID * 8,
+        )
+        coarse = centroids_df(spark, fitted).withColumn(
+            "c_n2", _norm2("centroid_vec")
+        )
+        emb = (
+            emb_raw
+            if "norm2" in emb_raw.columns
+            else emb_raw.withColumn("norm2", _norm2("embedding"))
+        )
+        cands = emb.filter(F.col("vec_id") >= N_QUERIES)
+        n_cand = emb_raw.count() - N_QUERIES
+        cap = 256 * pq.PQ_K
+        cand_res = pq._residual_frame(
+            _assign_buckets(cands, coarse, n_keep=1),
+            pq._unit_coarse(coarse),
+        )
+        sep = (
+            pq._residual_energy(cand_res, cap, n=n_cand),
+            pq._centered_energy(cands, cap, n=n_cand),
+        )
+        fused = pq._gate_energies(cands, coarse, cap, n=n_cand)
+        assert fused == sep, (fused, sep)
+
+
 def test_realistic_fixture_gate_selects_plain_and_plain_not_worse(spark):
     """Round-13 re-pin on the realistic document-derived fixture: the
     relative gate must select the PLAIN build (gated output exactly

@@ -172,6 +172,14 @@ def _capped_ops() -> dict:
         # components over simhash near-pairs + cluster representatives)
         # — the one plan family the static alpha table didn't cover
         "l1_dedup_clusters": _dedup_clusters,
+        # round-13 (verdict #3): the two families with no alpha rows —
+        # greedy sequence packing (hash-bucketed applyInPandas; the
+        # parallel unit is the bucket, so the curve should be ~linear)
+        # and the end-to-end curation composition (annotate + rules +
+        # exact window + capped near-dup + CC closure + report aggs —
+        # what a production run actually executes)
+        "l5_pack_sequences": _pack_sequences,
+        "l5_curate_corpus": _curate_corpus,
     }
 
 
@@ -187,6 +195,25 @@ def _dedup_clusters(spark, sf):
     from concerts_etl_sa_spark.operators.components import dedup_clusters
 
     return dedup_clusters(spark, sf)
+
+
+def _pack_sequences(spark, sf):
+    from pyspark.sql import functions as F
+
+    from concerts_etl_sa_spark.operators.packing import pack_sequences
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_sequences(docs, max_tokens=2048)
+
+
+def _curate_corpus(spark, sf):
+    # one definition with the bench gate's row (bench._curate_corpus_bench)
+    from bench import _curate_corpus_bench
+
+    return _curate_corpus_bench(spark, sf)
 
 
 def _ivf_trained_auto(spark, sf):
