@@ -167,11 +167,17 @@ def connected_components(
         # overflowed at production xxhash64 id widths (ANSI mode made
         # that a loud crash, but a crash-free check is strictly better
         # for the same one job per round).
-        n_changed = new_labels.agg(
-            F.sum(
-                (F.col("label") != F.col("label_prev")).cast("long")
-            ).alias("c")
-        ).collect()[0][0]
+        # sum over an EMPTY frame is NULL, not 0 (no-edge graphs:
+        # semdedup_groups on an empty corpus) — an empty label table is
+        # trivially at fixpoint, so None reads as zero changes
+        n_changed = (
+            new_labels.agg(
+                F.sum(
+                    (F.col("label") != F.col("label_prev")).cast("long")
+                ).alias("c")
+            ).collect()[0][0]
+            or 0
+        )
         labels.unpersist()  # frees the round-0 cache; no-op afterwards
         _drop_persistent_rdds(sc, prev_chk_ids)
         prev_chk_ids = chk_ids

@@ -86,6 +86,15 @@ def test_connected_components_already_fixpoint_single_round(spark):
     }
 
 
+def test_connected_components_empty_edges(spark):
+    """Zero edges -> zero vertices, terminating on the first round
+    (sum over an empty frame is NULL — the changed-count must read it
+    as zero changes, the regression the round-13 suite caught in
+    semdedup_groups on an empty corpus)."""
+    edges_df = spark.createDataFrame([], "a_id LONG, b_id LONG")
+    assert CC.connected_components(edges_df).count() == 0
+
+
 def test_dedup_clusters_invariants(spark):
     rows = CC.dedup_clusters(spark, SF_DIR).collect()
     n_docs = load_table(spark, SF_DIR, "documents").count()
