@@ -809,6 +809,21 @@ def _probe_cdots(probes: DataFrame, cbar: DataFrame) -> DataFrame:
 # default.
 RESIDUAL_GATE_RATIO = 0.75
 
+# The ratio is measured against a FIXED reference coarse fit, not the
+# build's k_coarse: more centroids always explain more variance, so
+# the build-k ratio drifts downward with k even when the corpus
+# geometry (the thing that decides the winner) is unchanged —
+# measured on the realistic 5000-doc fixture: ratio 0.91 at k=8 but
+# 0.68 at the auto-K k=83, while the recall winner stays PLAIN at
+# both (0.17 vs 0.16 and 0.23 vs 0.18 — the k=83 A/B in BASELINE.md).
+# A build-k gate would flip to the losing layout at production K on
+# every single-blob corpus. Known conservative direction: a corpus
+# with far more true modes than GATE_REF_K reads blob-like at the
+# reference fit and ships plain where residual might win — the SAFE
+# miss (plain is never catastrophically wrong; residual on blob/
+# isotropic geometry is the measured 0.22→0.13 degradation).
+GATE_REF_K = 8
+
 
 def _centered_energy(cands: DataFrame, cap: int, n: int) -> float:
     """E_ctr = 1 − ||mean(x̂)||² over the bounded training sample of
@@ -1013,10 +1028,28 @@ def topk_cosine_ivfpq_residual_df(
     if force_residual is None:
         # relative gate (round 13, see RESIDUAL_GATE_RATIO): ONE
         # sample-sized driver-side reduction serving both statistics —
-        # residual energy vs the corpus' centered energy
+        # residual energy vs the corpus' centered energy, ALWAYS
+        # measured against GATE_REF_K reference centroids (a corpus
+        # multi-modality statistic, decoupled from the build's
+        # k_coarse — see the constant's derivation). At the default
+        # k_coarse the build's own coarse fit IS the reference; a
+        # non-default build pays one extra sample-bounded fit.
+        if k_coarse == GATE_REF_K:
+            gate_coarse = coarse
+        else:
+            ref_fitted, _ = kmeans_fit(
+                emb_raw,
+                k=GATE_REF_K,
+                max_iters=max_iters,
+                train_sample_rows=TRAIN_POINTS_PER_CENTROID * GATE_REF_K,
+                train_sample_n=n_total,
+            )
+            gate_coarse = centroids_df(spark, ref_fitted).withColumn(
+                "c_n2", _norm2("centroid_vec")
+            )
         e_res, e_ctr = _gate_energies(
             emb.filter(F.col("vec_id") >= N_QUERIES),
-            coarse,
+            gate_coarse,
             cb_cap,
             n=n_cand,
         )
