@@ -796,17 +796,19 @@ def _probe_cdots(probes: DataFrame, cbar: DataFrame) -> DataFrame:
 # re-derived gate is therefore RELATIVE: residual codes ship only
 # when  E_res < RATIO · E_ctr,  where E_ctr = 1 − ||mean(x̂)||² is
 # the corpus' centered energy (what any mean-absorbing quantizer
-# faces). Measured ratios (sf0.001, k_coarse=8):
+# faces). Measured ratios (engine-computed at the reference k=8):
 #   isotropic table     1.48 / 1.00 = 1.48  -> plain  (residual
 #                                              degrades 0.22→0.13)
+#   50 planted modes    1.23 / 0.99 = 1.24  -> plain  (plain wins
+#                                              0.43 vs 0.37 at k=8)
 #   realistic documents 0.32 / 0.37 = 0.88  -> plain  (plain wins
 #                                              0.33 vs 0.30)
-#   planted clusters    ~0.57 / 0.93 = 0.61 -> residual (wins
+#   planted 6 clusters  0.43 / 0.93 = 0.46  -> residual (wins
 #                                              0.27 vs 0.17)
-# 0.75 splits the plain side (≥0.88) from the residual side (≤0.61)
-# with margin both ways. FAISS leaves the choice to the operator's
-# judgment; at 100 TB an automated, measured gate is the safer
-# default.
+# 0.75 splits the plain side (≥0.88) from the residual side (≤0.46)
+# with wide margin both ways. FAISS leaves the choice to the
+# operator's judgment; at 100 TB an automated, measured gate is the
+# safer default.
 RESIDUAL_GATE_RATIO = 0.75
 
 # The ratio is measured against a FIXED reference coarse fit, not the
@@ -817,11 +819,14 @@ RESIDUAL_GATE_RATIO = 0.75
 # 0.68 at the auto-K k=83, while the recall winner stays PLAIN at
 # both (0.17 vs 0.16 and 0.23 vs 0.18 — the k=83 A/B in BASELINE.md).
 # A build-k gate would flip to the losing layout at production K on
-# every single-blob corpus. Known conservative direction: a corpus
-# with far more true modes than GATE_REF_K reads blob-like at the
-# reference fit and ships plain where residual might win — the SAFE
-# miss (plain is never catastrophically wrong; residual on blob/
-# isotropic geometry is the measured 0.22→0.13 degradation).
+# every single-blob corpus. Known conservative direction, MEASURED on
+# a 50-mode fixture (modes >> GATE_REF_K, ratio 1.24 -> plain): at a
+# k=50 build residual would win by 0.04 (0.46 vs 0.42) and the gate
+# ships plain — a small safe miss; at the default k=8 build plain
+# genuinely wins there (0.43 vs 0.37), so the miss exists only when
+# k_coarse is raised to ~the true mode count. Plain is never
+# catastrophically wrong; residual on blob/isotropic geometry is the
+# measured 0.22→0.13 degradation.
 GATE_REF_K = 8
 
 
