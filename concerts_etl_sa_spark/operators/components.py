@@ -9,11 +9,12 @@ connected-components computation.
 Algorithm: iterative min-label propagation —
 ``label(v) <- min(label(v), min(label(n)) for n in neighbors(v))``
 until no label changes. The round-start label rides through the round's
-select as ``label_prev``, so a per-round ``sum((label != label_prev))``
-counts changed vertices in the SAME one scalar action — zero changes IS
-the fixpoint (no full-join diff, and unlike the earlier sum-of-labels
-monotone, overflow-free at xxhash64-sized vertex ids: a sum of ~2^63
-labels over millions of vertices overflows long, the count never can).
+selects and is reduced to a one-byte ``changed`` flag before the
+checkpoint, so a per-round ``sum(changed)`` counts changed vertices in
+the SAME one scalar action — zero changes IS the fixpoint (no full-join
+diff, and unlike the earlier sum-of-labels monotone, overflow-free at
+xxhash64-sized vertex ids: a sum of ~2^63 labels over millions of
+vertices overflows long, the count never can).
 
 Scale design (100 TB):
 - Per round: one equi-join of the symmetrized edge list against the
@@ -153,7 +154,15 @@ def connected_components(
             .select(
                 "u",
                 F.coalesce("label2", "label").alias("label"),
-                "label_prev",
+                # the change flag is REDUCED to one boolean before the
+                # checkpoint: carrying the full label_prev long widened
+                # every checkpoint snapshot by 50% (u+label+prev = 3
+                # longs); the flag costs one byte and the fixpoint
+                # check only ever consumes the comparison, never the
+                # previous value itself
+                (
+                    F.coalesce("label2", "label") != F.col("label_prev")
+                ).alias("changed"),
             )
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
@@ -172,9 +181,7 @@ def connected_components(
         # trivially at fixpoint, so None reads as zero changes
         n_changed = (
             new_labels.agg(
-                F.sum(
-                    (F.col("label") != F.col("label_prev")).cast("long")
-                ).alias("c")
+                F.sum(F.col("changed").cast("long")).alias("c")
             ).collect()[0][0]
             or 0
         )
