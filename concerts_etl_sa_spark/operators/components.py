@@ -91,7 +91,11 @@ def connected_components(
       freed by ``DataFrame.unpersist`` (not cache-manager-registered),
       so every round's label snapshot stayed pinned for the life of the
       run; the targeted drop below frees generation r-1 as soon as
-      generation r is materialized, keeping exactly one live snapshot.
+      generation r is materialized, keeping exactly one live snapshot —
+      and (round 13) the FINAL generation is copied into a normal
+      cache-manager persist and dropped before returning, so a
+      completed call pins nothing the caller cannot release with
+      standard ``unpersist()``/``clearCache()``.
     """
     sc = edges.sparkSession.sparkContext
     sym = (
@@ -196,7 +200,26 @@ def connected_components(
             f"connected_components: no fixpoint in {max_iters + 1} rounds"
         )
     sym.unpersist()
-    return labels.select(F.col("u").alias("vertex"), F.col("label").alias("component"))
+    # final-generation handoff (round 13): localCheckpoint blocks are
+    # NEVER released by the ContextCleaner — measured directly: an
+    # unreferenced eager localCheckpoint stays in getPersistentRDDs
+    # through 20 s of forced Python+JVM GC — so returning the
+    # checkpoint-rooted frame would leak one vertex-sized snapshot PER
+    # CALL for the application's lifetime (the r12 generation-leak
+    # class, surfacing at the API boundary; pinned by
+    # tests/test_storage_hygiene.py). Copy the fixpoint into a normal
+    # cache-manager persist (visible in the UI, released by
+    # unpersist()/clearCache()) and drop the last checkpoint
+    # generation explicitly. Reliability contract unchanged: a lost
+    # persisted partition cannot recompute (truncated lineage),
+    # exactly like the checkpoint blocks it replaces; MEMORY_AND_DISK
+    # (the persist default) spills rather than evicts.
+    result = labels.select(
+        F.col("u").alias("vertex"), F.col("label").alias("component")
+    ).persist()
+    result.count()
+    _drop_persistent_rdds(sc, prev_chk_ids)
+    return result
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
