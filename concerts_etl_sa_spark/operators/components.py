@@ -77,6 +77,18 @@ def connected_components(
     """(vertex, component) for every vertex in ``edges``; the component
     id is the minimum vertex id of the connected component.
 
+    Storage contract of the RESULT (round 13): the returned frame is a
+    normal cache-manager persist, already fully materialized, with
+    TRUNCATED lineage (its checkpoint ancestry is released before
+    returning). Standard consequences: ``result.unpersist()`` /
+    ``clearCache()`` free it, after which it cannot be recomputed —
+    re-run the operator instead. This replaces the previous
+    checkpoint-rooted return, which was the inverse contract
+    (impossible to free by ANY public lever, leaking one vertex-sized
+    snapshot per call for the application's lifetime — the
+    ContextCleaner never releases unreferenced localCheckpoint blocks;
+    measured round 13, guarded by tests/test_storage_hygiene.py).
+
     Round-12 memory-cliff fixes (the 25x->125x segment ran alpha 1.18
     with GC-pressure warnings on one 8 GB heap):
 
