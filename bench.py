@@ -118,6 +118,11 @@ HEADLINE = R6_HEADLINE + [
     # EQUALS plain IVF at equal nprobe (0.72 at sf0.001: quantization
     # noise costs nothing within probed lists), also DuckDB-oracled
     "unreg_l2_topk_cosine_ivfsq8",
+    # round-13: OPQ — PQ behind a trained orthogonal rotation (FAISS
+    # OPQMatrix; driver-side bounded-sample Procrustes loop + the
+    # fused distributed trainer on the rotated frame). Completes the
+    # quantization family; no-harm + recall floors pytest-pinned
+    "unreg_l2_topk_cosine_opq_trained",
     # round-13 (verdict #3): the END-TO-END curation composition —
     # annotate scan + rules + exact-dedup window + capped minhash
     # near-dup + connected-components closure + report aggregation,
@@ -179,6 +184,7 @@ def _extra_queries():
         "unreg_l2_knn_label_noise_ivf": LQ.knn_label_noise_ivf,
         "unreg_e10_props_json_stats": A.props_json_stats,
         "unreg_l5_curate_corpus": _curate_corpus_bench,
+        "unreg_l2_topk_cosine_opq_trained": PQ.topk_cosine_opq_trained,
     }
 
 
