@@ -1796,3 +1796,73 @@ def topk_cosine_opq_trained(
     return topk_cosine_pq_df(
         rotated, pq_codebook_from_trained(spark, books), top_k=top_k
     )
+
+
+def topk_cosine_opq_ivfpq_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    k_coarse: int = 8,
+    k_codes: int = PQ_K,
+    nprobe: int = 2,
+    opq_iters: int = OPQ_ITERS,
+    max_iters: int = 3,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """OPQ + IVF + PQ — FAISS's canonical production index string
+    (``OPQ{m},IVF{K},PQ{m}``): the trained rotation in front of the
+    fully-trained inverted-list PQ composition. Everything downstream
+    of the rotation IS the existing machinery on the rotated frame
+    (coarse Lloyd fit, fused codebooks, centroid_id-equi-join ADC
+    scoring), and the rotation is dot-preserving, so the composition's
+    plan shape and scale story are exactly
+    :func:`topk_cosine_ivfpq_trained`'s plus one broadcast projection.
+    Pytest-pinned (iterative) like every trained path
+    (tests/test_pq_opq.py: no-harm vs plain IVF+PQ-trained at equal
+    budget on both fixtures)."""
+    from ..sources.readers import load_table
+    from .kmeans import (
+        TRAIN_POINTS_PER_CENTROID,
+        centroids_df,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_total = (
+        load_table(spark, sf_dir, "embeddings", spread=False)
+        .select("vec_id")
+        .count()
+    )
+    cap = TRAIN_POINTS_PER_CENTROID * k_codes
+    base = emb.select(
+        "vec_id", "embedding", _nrm(emb, "embedding").alias("_nrm")
+    )
+    rot = opq_rotation(
+        base, cap, n_total, m=m, k=k_codes, opq_iters=opq_iters
+    )
+    rotated = _rotated_frame(emb, rot)
+    fitted, _ = kmeans_fit(
+        rotated,
+        k=k_coarse,
+        max_iters=max_iters,
+        train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_coarse,
+        train_sample_n=n_total,
+    )
+    coarse = centroids_df(spark, fitted).withColumn(
+        "c_n2", _norm2("centroid_vec")
+    )
+    books = pq_train_fused(
+        rotated,
+        m=m,
+        k=k_codes,
+        max_iters=max_iters,
+        train_sample_rows=cap,
+        train_sample_n=n_total,
+    )
+    return topk_cosine_ivfpq_df(
+        rotated,
+        coarse,
+        pq_codebook_from_trained(spark, books),
+        nprobe=nprobe,
+        top_k=top_k,
+    )

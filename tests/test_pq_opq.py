@@ -128,6 +128,30 @@ def test_opq_recall_floors_both_fixtures(spark):
     assert r_opq_real >= 0.30, r_opq_real
 
 
+def test_opq_ivfpq_no_harm_and_shape(spark):
+    """The full FAISS production string (OPQ+IVF+PQ): at equal budget
+    (k_coarse/k_codes/nprobe) the rotated composition must not rank
+    worse than plain IVF+PQ-trained on the isotropic table, and must
+    return the full valid top-k frame."""
+    from concerts_etl_sa_spark.operators.similarity import N_QUERIES, TOP_K
+
+    rows = sorted(
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    truth = np_truth_pairs(x)
+    opq_df = pq.topk_cosine_opq_ivfpq_trained(spark, SF_DIR)
+    out = opq_df.collect()
+    assert len(out) == N_QUERIES * TOP_K
+    r_opq = recall_vs_truth(opq_df, truth)
+    r_plain = recall_vs_truth(
+        pq.topk_cosine_ivfpq_trained(spark, SF_DIR), truth
+    )
+    assert r_opq >= r_plain - 1e-9, (r_opq, r_plain)
+
+
 def test_opq_shape_invariants(spark):
     from concerts_etl_sa_spark.operators.similarity import N_QUERIES, TOP_K
 
