@@ -1633,6 +1633,7 @@ def opq_rotation(
     m: int = PQ_M,
     k: int = PQ_K,
     opq_iters: int = OPQ_ITERS,
+    dim: int = DIM,
 ) -> list[list[float]]:
     """Train the OPQ orthogonal rotation R (Ge et al., CVPR 2013 — the
     construction behind FAISS's OPQMatrix) on the bounded training
@@ -1663,11 +1664,13 @@ def opq_rotation(
         )
         .collect()
     )
-    dim_default = DIM
     if not rows:
+        # ``dim`` sizes the identity no-op; callers with a non-DIM
+        # corpus must pass their dimension or the rotation would be
+        # shape-mismatched in _rotated_frame (round-13 advisory)
         return [
-            [1.0 if i == j else 0.0 for j in range(dim_default)]
-            for i in range(dim_default)
+            [1.0 if i == j else 0.0 for j in range(dim)]
+            for i in range(dim)
         ]
     rows.sort(key=lambda r: r["vec_id"])
     x = np.array([r["u"] for r in rows], dtype=np.float64)
@@ -1691,7 +1694,13 @@ def opq_rotation(
     r = np.eye(d)
     for _ in range(opq_iters):
         xr = x @ r
-        y = np.empty_like(xr)
+        # start from xr, not empty: when d % m != 0 the tail columns
+        # beyond m·sub are never quantized below — copying keeps them
+        # "perfectly reconstructed" (deterministic, biases R to leave
+        # them alone) instead of feeding uninitialized memory to the
+        # SVD (round-13 advisory; unreachable at the shipped DIM=64,
+        # m=8, but the determinism contract must not depend on that)
+        y = xr.copy()
         for s in range(m):
             xs = xr[:, s * sub:(s + 1) * sub]
             c = _lloyd(xs)

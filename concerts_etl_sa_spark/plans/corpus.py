@@ -276,7 +276,14 @@ def curate_corpus_df(
                 # already-computed survivor count is a near-exact upper
                 # bound on emb_sub's rows (left-semi can only shrink
                 # it), and a near-exact n is all the stride needs
-                # (round-13 advisory).
+                # (round-13 advisory). VALID WHILE embeddings are 1:1
+                # with documents (they are, in every shipped testdata
+                # sf): if embeddings ever cover far fewer docs than the
+                # survivor set, the stride oversizes and k-means trains
+                # on fewer than 256 pts/centroid — then pass a count of
+                # the semi-joined frame here instead (one cheap
+                # vec_id-projection count) rather than reverting to the
+                # full-DAG recount.
                 fitted, _ = kmeans_fit(
                     emb_sub,
                     k=sem_k,

@@ -14,6 +14,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # pytest-timeout plugin is preferred when installed (same flag name,
 # richer reporting); this container cannot pip install, so provide a
 # SIGALRM-based stand-in — per-test, main-thread, cancelled on exit.
+#
+# SHARED-SESSION CAVEAT (round-13 advisory): the alarm fires at an
+# arbitrary point in the runtest protocol — possibly mid-py4j socket
+# call or during teardown — and the Spark fixture is session-scoped, so
+# a timeout in one test can leave the shared gateway connection in a
+# state that cascades failures into later tests. This flag is a
+# CI-abort device ("fail loudly instead of hanging forever"), not a
+# precision per-test budget: after any timeout fires, treat subsequent
+# failures in the same run as suspect and re-run without --timeout (or
+# install pytest-timeout, whose thread-based method has the same
+# limitation but reports it).
 _HAVE_PYTEST_TIMEOUT = importlib.util.find_spec("pytest_timeout") is not None
 
 

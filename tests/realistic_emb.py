@@ -19,10 +19,17 @@ quality tests one shared fixture whose geometry comes from real text:
   shares a strong common component: the corpus is ANISOTROPIC — one
   dominant direction plus frequency-noise spread, which is exactly
   the shape real sentence-embedding corpora have (and the opposite
-  of the isotropic table). Measured mean residual energy after a
-  k=8 coarse fit is ~0.29 — deep inside the residual-coding regime —
-  vs ~1.48 on the isotropic table; the 1.0 gate separates the two
-  corpora cleanly (pinned in tests/test_pq_residual.py).
+  of the isotropic table). This fixture is what REFUTED the old
+  absolute gate (E_res < 1.0): its raw residual energy ~0.29 looks
+  "deep inside the residual regime", yet plain coding WINS here
+  (0.33 vs 0.30 recall@5) because a plain codebook absorbs the one
+  shared direction for free. The shipped gate is therefore RELATIVE
+  (E_res < 0.75·E_ctr, operators/pq.py) and reads this fixture as
+  plain territory: measured E_res/E_ctr ratios are isotropic 1.48 /
+  realistic 0.88 / planted clusters 0.61 vs the 0.75 threshold —
+  only genuinely multi-modal geometry selects residual coding
+  (regime table in BASELINE.md; both failure directions pinned in
+  tests/test_pq_residual.py).
 - Labels for the labelqa agreement re-pin are the document ``lang``
   codes mapped to ints — real metadata, same join shape as the
   embeddings table's label column.
