@@ -123,6 +123,15 @@ HEADLINE = R6_HEADLINE + [
     # fused distributed trainer on the rotated frame). Completes the
     # quantization family; no-harm + recall floors pytest-pinned
     "unreg_l2_topk_cosine_opq_trained",
+    # round-14 (verdict #6): the real production LIFECYCLE entry —
+    # landing-zone files (harvested card dump JSONL + dice GraphQL
+    # JSONL, derived from events.parquet by sources/landing_gen.py) ->
+    # scan -> A6 dedup -> full parse cascade -> consolidate -> snapshot
+    # parquet + JSON preview + per-source counts. The one path a
+    # production user actually runs end-to-end; was pytest-only
+    # through r13. Landing files are generated once per process
+    # (outside the median window) — the timed work is the lifecycle.
+    "unreg_pipeline_landing",
     # round-13 (verdict #3): the END-TO-END curation composition —
     # annotate scan + rules + exact-dedup window + capped minhash
     # near-dup + connected-components closure + report aggregation,
@@ -185,7 +194,109 @@ def _extra_queries():
         "unreg_e10_props_json_stats": A.props_json_stats,
         "unreg_l5_curate_corpus": _curate_corpus_bench,
         "unreg_l2_topk_cosine_opq_trained": PQ.topk_cosine_opq_trained,
+        "unreg_pipeline_landing": _pipeline_landing_bench,
     }
+
+
+_LANDING_CACHE: dict[str, tuple[str, str, str]] = {}
+
+
+def _pipeline_landing_bench(spark, sf_dir):
+    """§3.1 lifecycle over generated landing files (run_all_from_landing:
+    JSONL scans + dedup + parse cascade + consolidate + snapshot +
+    preview + counts — all eager inside the call, so the timed window
+    covers the whole lifecycle; the returned consolidated frame is
+    cached and its noop write replays the cache)."""
+    import tempfile
+
+    from concerts_etl_sa_spark.plans.pipeline import run_all_from_landing
+    from concerts_etl_sa_spark.sources.landing_gen import (
+        AS_OF_LANDING,
+        generate_landing,
+    )
+
+    if sf_dir not in _LANDING_CACHE:
+        base = tempfile.mkdtemp(prefix="bench_landing_")
+        cards, dice = generate_landing(spark, sf_dir, base)
+        _LANDING_CACHE[sf_dir] = (cards, dice, base)
+    cards, dice, base = _LANDING_CACHE[sf_dir]
+    res = run_all_from_landing(
+        spark, cards, dice, f"{base}/out", as_of=AS_OF_LANDING
+    )
+    return res.consolidated
+
+
+# ---------------------------------------------------------------------------
+# Canary normalization (round-14 verdict #1). The absolute-seconds gate
+# stopped measuring code in round 13: identical binaries swung ±30-100%
+# with host-neighbor contention, guest loadavg does not proxy host
+# state, and adjudicating each advisory took a multi-sitting forensic
+# ledger (BASELINE.md). Per the repo's own measurement protocol, only
+# interleaved A/B on one host is comparable — so the bench now BRACKETS
+# every timed run with a fixed CONSTANT-WORK canary and reports, per
+# row, the min over runs of run_seconds ÷ bracketing-canary mean
+# ("queries_norm", see _norm_mark). tools/bench_audit.py gates on the
+# normalized series; the absolute series stays in the JSON for history.
+#
+# Canary design: CPU-throughput-bound with zero I/O and zero data
+# dependence — a depth-8 chained xxhash64 over range(100M), 32
+# partitions (matching local[32]), one tiny partial-agg shuffle. Sized
+# so per-task work (~3.1M rows × 8 hashes) dominates scheduler
+# overhead: measured 0.50 s at 20M/40M/80M the stage-launch floor
+# (~0.18 s) still dominated; at 100M×8 the time scales linearly with
+# rows (1.0 s at 200M, 1.8 s at 400M), i.e. it actually measures the
+# host's deliverable CPU. The hash is bounded (% 1000003) before the
+# sum because the session runs ANSI mode (raw xxhash64 sums overflow).
+CANARY_N = 100_000_000
+CANARY_DEPTH = 8
+CANARY_PARTS = 32
+
+
+def _canary_df(spark):
+    from pyspark.sql import functions as F
+
+    c = F.col("id")
+    for i in range(CANARY_DEPTH):
+        c = F.xxhash64(c, F.lit(i))
+    return spark.range(0, CANARY_N, 1, CANARY_PARTS).select(
+        F.sum((c % 1000003).cast("double")).alias("h")
+    )
+
+
+def _time_noop(make_df) -> float:
+    """Time thunk -> DataFrame -> noop sink. The thunk is invoked INSIDE
+    the window: many operators do eager driver-side work in the builder
+    itself (trainer collects, fixpoint iterations, count jobs, the whole
+    landing lifecycle) — timing a pre-built frame would clock only the
+    final action and report e.g. curate_corpus at 0.04 s (measured
+    mistake, this round)."""
+    t0 = time.time()
+    make_df().write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def _norm_mark(tsamples: list[float], csamples: list[float]) -> float | None:
+    """The normalized gate mark for one row: MIN over runs of
+    run_seconds ÷ mean(bracketing canary seconds). csamples has
+    len(tsamples)+1 entries — a canary runs before every timed run and
+    once after the last, so each run is BRACKETED and a contention
+    burst overlapping either edge shows up in the divisor. Min-of-runs
+    (not median): the gate wants the cleanest observed run — a burst
+    landing entirely inside one run's window is invisible to its
+    brackets, but a burst can't hit all runs of a row while sparing
+    the brackets, whereas a real plan regression slows every run.
+    Measured (registration sittings, this round): median-of-runs
+    normalization still drifted up to 1.45x on identical code for
+    5-9 s rows; min-of-bracketed-runs is the stable series."""
+    if len(csamples) != len(tsamples) + 1 or not tsamples:
+        return None
+    marks = []
+    for i, t in enumerate(tsamples):
+        bracket = (csamples[i] + csamples[i + 1]) / 2.0
+        if bracket <= 0:
+            return None
+        marks.append(t / bracket)
+    return round(min(marks), 4)
 
 
 def _curate_corpus_bench(spark, sf_dir):
@@ -248,22 +359,36 @@ def main() -> None:
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    _canary_df(spark).write.format("noop").mode("overwrite").save()  # JIT
 
     # p50 of N runs per query: single-shot timings swing with GC/codegen
     # noise, making round-over-round regressions unattributable. The
     # total (the driver metric) is the sum of per-query medians.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    canary_med: dict[str, float] = {}
+    norm_marks: dict[str, float] = {}
+    canary_all: list[float] = []
     spark.catalog.clearCache()  # drop warmup-era cached indexes
     for name in HEADLINE:
         fn = qs[name]
         samples = []
+        csamples = []
         for _ in range(runs):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
+            # canary IMMEDIATELY before each timed run (and once after
+            # the last): every run is bracketed by constant-work probes
+            # sharing its contention window, so mark ÷ bracket cancels
+            # host speed (the interleaved-A/B protocol applied to the
+            # gate itself — round-14 verdict #1)
+            csamples.append(_time_noop(lambda: _canary_df(spark)))
+            samples.append(_time_noop(lambda: fn(spark, sf_dir)))
+        csamples.append(_time_noop(lambda: _canary_df(spark)))
         timings[name] = round(statistics.median(samples), 3)
+        canary_med[name] = round(statistics.median(csamples), 3)
+        nm = _norm_mark(samples, csamples)
+        if nm is not None:
+            norm_marks[name] = nm
+        canary_all.extend(csamples)
         # index-building queries (minhash/simhash) cache per invocation;
         # without an unpersist the heap accumulates every run's indexes
         # and later queries pay the GC bill
@@ -286,6 +411,16 @@ def main() -> None:
         ),
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # canary-normalized series (round-14): the gated numbers —
+        # per row, min over runs of run_seconds / bracketing-canary
+        # mean (see _norm_mark). canary_median is the whole-sitting
+        # host-speed stamp (compare to canary_ref in
+        # tools/norm_baseline.json); canary_per_query are the per-row
+        # canary medians, kept for attribution.
+        "canary_median": round(statistics.median(canary_all), 3),
+        "canary_per_query": canary_med,
+        "queries_norm": norm_marks,
+        "canary_n": CANARY_N,
     }
     if load1 is not None:
         result["loadavg_start"] = load1

@@ -129,7 +129,18 @@ _L_FAMILY = [
     ("l1_dedup_clusters", CC.dedup_clusters, CC.DEDUP_CLUSTERS_SQL),
     ("l2_topk_cosine_bruteforce", S.topk_cosine_bruteforce,
      S.TOPK_COSINE_BRUTEFORCE_SQL),
-    ("l2_topk_cosine_lsh", S.topk_cosine_lsh, S.TOPK_COSINE_LSH_SQL),
+    # round-14 rotation #11: l2_topk_cosine_lsh rotated OUT — its
+    # sign-LSH banding family (random-hyperplane signs, band keys,
+    # bucket equi-join) stays in-window via the RETAINED
+    # l2_embedding_near_dup, the same near-redundancy criterion as
+    # rotations #9/#10 — in favor of the IVF+SQ8 composition: bit-exact
+    # DuckDB parity at three scale factors since round 12 but never
+    # in-window, and the pruned plan family (IVF inverted-list equi-join
+    # + SQ8 ADC decode-and-rank) was otherwise unexercised by the gate
+    # (the in-window sq8 row is a single-scan projection+rank). lsh
+    # keeps pytest oracle parity as unreg_* (rationale in SURVEY §8).
+    ("l2_topk_cosine_ivfsq8", PQ.topk_cosine_ivfsq8,
+     PQ.TOPK_COSINE_IVFSQ8_SQL),
     ("l2_topk_cosine_ivf", S.topk_cosine_ivf, S.TOPK_COSINE_IVF_SQL),
     ("l2_embedding_near_dup", S.embedding_near_dup_pairs,
      S.EMBEDDING_NEAR_DUP_SQL),

@@ -105,6 +105,71 @@ def realistic_embeddings(spark, sf_dir: str):
     return _CACHE[sf_dir]
 
 
+# ---------------------------------------------------------------------------
+# Near-threshold fixture (round-14 verdict #5). The relative gate's
+# decision boundary (E_res < 0.75·E_ctr) was validated at ratios 0.61 /
+# 0.88 / 1.48 — nothing between 0.61 and 0.88 exercised the band the
+# boundary actually lives in. This variant adds ONE weighted feature —
+# the document's real ``lang`` code, hashed like any other token — to
+# the same signed hashed-BoW projection. The weight makes the corpus
+# MULTI-BLOB (one blob per language: exactly the geometry of a
+# multi-domain/multi-lingual embedding corpus) with blob separation
+# dialed by LANG_WEIGHT. Prototyped sweep (numpy twin of the gate's
+# k=8 Lloyd, sf0.001): w=2 → 0.88, w=4 → 0.79, w=4.5 → 0.74, w=5 →
+# 0.70, w=6 → 0.62, w=8 → 0.49. w=5 targets the 0.65-0.80 band just
+# UNDER the threshold; the engine-measured ratio and the gate's choice
+# are pinned in tests/test_pq_residual.py. Still zero RNG: md5 token
+# hashing + real metadata only.
+
+LANG_WEIGHT = 5.0
+
+
+def embed_text_lang(
+    text: str, lang: str, dim: int = DIM, w: float = LANG_WEIGHT
+) -> np.ndarray:
+    """Signed hashed BoW + one w-weighted lang feature, L2-normalized."""
+    v = np.zeros(dim)
+    for tok in text.split():
+        h = _tok_hash(tok)
+        v[h % dim] += 1.0 if (h >> 7) % 2 == 0 else -1.0
+    h = _tok_hash("lang:" + lang)
+    v[h % dim] += w * (1.0 if (h >> 7) % 2 == 0 else -1.0)
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def langblob_embeddings(spark, sf_dir: str):
+    """(df, X, labels) like :func:`realistic_embeddings`, but with the
+    near-threshold multi-blob geometry (one blob per lang code)."""
+    key = ("langblob", sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    langs = sorted({r[2] for r in rows})
+    lang_id = {lg: i for i, lg in enumerate(langs)}
+    X = np.stack([embed_text_lang(t, lg) for _, t, lg in rows])
+    labels = [lang_id[lg] for _, _, lg in rows]
+    df = (
+        spark.createDataFrame(
+            [
+                (int(r[0]), [float(x) for x in X[i]], labels[i])
+                for i, r in enumerate(rows)
+            ],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT",
+        )
+        .withColumn("norm2", _norm2("embedding"))
+        .persist()
+    )
+    df.count()
+    _CACHE[key] = (df, X, labels)
+    return _CACHE[key]
+
+
 def np_truth_pairs(X: np.ndarray, top_k: int = TOP_K) -> set[tuple[int, int]]:
     """Exact top-k cosine pairs (queries = ids < N_QUERIES, candidates
     = the rest), numpy-computed — the recall denominator. Ties broken

@@ -102,6 +102,131 @@ def test_r12_ann_row_baselines_at_driver_marks():
     assert prior["unreg_l2_topk_cosine_ivfsq8"][0] <= 1.699, prior
 
 
+R13_NEW_ROWS = {
+    "unreg_l2_topk_cosine_opq_trained",
+    "unreg_l5_curate_corpus",
+}
+
+
+def test_r13_new_row_baselines_at_driver_marks():
+    """Round-14 verdict #2: the two rows that joined the gate in round
+    13 carry their first driver marks as ratchet baselines (opq_trained
+    9.57, curate_corpus 7.206 in BENCH_r13.json — both inside their
+    pre-registered idle bands 7.80-11.12 and 5.70-7.22 mini). best_prior
+    only decreases, so these stay valid as future rounds ratchet down."""
+    prior = best_prior(R13_NEW_ROWS)
+    assert prior["unreg_l2_topk_cosine_opq_trained"][0] <= 9.57, prior
+    assert prior["unreg_l5_curate_corpus"][0] <= 7.206, prior
+
+
+# ---------------------------------------------------------------------------
+# Round-14 verdict #1: canary-normalized gate. The r13 driver bench ran
+# at loadavg 9.19 and flagged two advisories that took a four-sitting
+# weather ledger to adjudicate; the gate now divides each row's mark by
+# an interleaved constant-work canary so host speed cancels. These
+# tests pin the normalization math and the two behaviors the switch
+# exists for: a host slowdown that inflates everything uniformly must
+# PASS, and a genuine normalized regression must FAIL.
+
+from bench_audit import canary_ref, norm_prior  # noqa: E402
+
+
+def test_normalize_math():
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import _norm_mark
+
+    # one run bracketed by two canaries: 1.0 / mean(0.4, 0.6) = 2.0
+    assert _norm_mark([1.0], [0.4, 0.6]) == 2.0
+    # min over runs: run 2 is the cleanest (2.0/0.5=4.0 vs 3.0/0.5=6.0)
+    assert _norm_mark([3.0, 2.0], [0.5, 0.5, 0.5]) == 4.0
+    # a burst hitting run 1 AND its brackets cancels (4.0/mean(1,1) =
+    # 4.0); run 2's half-loaded bracket gives 2.0/mean(1.0,0.5) =
+    # 2.6667 and min picks it
+    assert _norm_mark([4.0, 2.0], [1.0, 1.0, 0.5]) == 2.6667
+    # malformed windows never divide — the row drops out of the series
+    assert _norm_mark([1.0], [0.5]) is None          # missing bracket
+    assert _norm_mark([], [0.5]) is None             # no runs
+    assert _norm_mark([1.0], [0.0, 0.0]) is None     # zero divisor
+
+
+def test_norm_baseline_registered_and_covers_headline():
+    """The one-time band registration at the switch: canary_ref > 0 and
+    a normalized mark for every current HEADLINE row, so the driver's
+    first normalized bench (BENCH_r14) is gated, not free."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import HEADLINE
+
+    cref = canary_ref()
+    assert cref and 0.1 < cref < 5.0, cref
+    prior = norm_prior(set(HEADLINE))
+    missing = [q for q in HEADLINE if q not in prior]
+    assert not missing, f"HEADLINE rows without a norm baseline: {missing}"
+
+
+def test_norm_gate_weather_immune():
+    """THE switch's raison d'être: a host running 3x slow inflates every
+    absolute mark 3x (far beyond the legacy gate's 1.3x+0.35s limit) but
+    the canary inflates identically, so the normalized marks are
+    unchanged and the gate passes."""
+    from bench_audit import best_prior as abs_prior
+
+    prior = norm_prior({"l1_dedup_clusters"})
+    assert "l1_dedup_clusters" in prior, "needs the registered baseline"
+    mark, _src = prior["l1_dedup_clusters"]
+    abs_best = abs_prior({"l1_dedup_clusters"})["l1_dedup_clusters"][0]
+    cref = canary_ref()
+    slow = {
+        "queries": {"l1_dedup_clusters": abs_best * 3.0},
+        "queries_norm": {"l1_dedup_clusters": mark},  # unchanged ratio
+        "canary_median": cref * 3.0,
+    }
+    regs, lines = audit(slow)
+    assert not regs, (regs, lines)
+    # sanity: the same absolute mark WOULD have tripped the legacy gate
+    legacy_regs, _ = audit({"queries": {"l1_dedup_clusters": abs_best * 3.0}})
+    assert legacy_regs
+
+
+def test_norm_gate_fires_on_real_regression():
+    """A 2.5x normalized regression on a heavyweight row (where the
+    converted noise floor is small relative to the mark) must fail."""
+    prior = norm_prior({"unreg_l2_topk_cosine_ivfpq_residual"})
+    assert "unreg_l2_topk_cosine_ivfpq_residual" in prior
+    mark, _ = prior["unreg_l2_topk_cosine_ivfpq_residual"]
+    bad = {
+        "queries_norm": {"unreg_l2_topk_cosine_ivfpq_residual": mark * 2.5},
+        "canary_median": canary_ref(),
+    }
+    regs, _ = audit(bad)
+    assert regs, "2.5x normalized regression passed the gate"
+
+
+def test_norm_floor_protects_subsecond_rows():
+    """Sub-second rows keep their documented ±0.35 s jitter allowance in
+    normalized units (0.35 / canary_ref): a tiny row whose norm doubles
+    but stays inside the converted floor must NOT fire."""
+    from bench_audit import ABS_FLOOR as _AF
+
+    prior = norm_prior({"unreg_e10_props_json_stats"})
+    assert "unreg_e10_props_json_stats" in prior
+    mark, _ = prior["unreg_e10_props_json_stats"]
+    floor = _AF / canary_ref()
+    inside = {
+        "queries_norm": {
+            "unreg_e10_props_json_stats": mark * (1.0 + REL_BAND)
+            + floor
+            - 0.01
+        },
+        "canary_median": canary_ref(),
+    }
+    regs, _ = audit(inside)
+    assert not regs, regs
+
+
 def test_gate_fails_an_unrouted_knn():
     """A kNN label-noise form regressed to the flat double-assignment
     (the exact form's 17.7 s at sf0.1 — the shape the round-11 125x

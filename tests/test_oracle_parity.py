@@ -146,11 +146,12 @@ def _all_queries():
         # here — e7's daily scan shape stays pinned by the retained e3
         ("unreg_e7_daily_distinct_users", A.daily_distinct_users,
          A.DAILY_DISTINCT_USERS_SQL),
-        # round-12: IVF lists + SQ8 codes — the pruned high-recall
-        # composition; fixed coarse pick + one-shot SQ8 build keep it
-        # fully SQL-expressible (unlike IVF+PQ-trained)
-        ("unreg_l2_topk_cosine_ivfsq8", PQ.topk_cosine_ivfsq8,
-         PQ.TOPK_COSINE_IVFSQ8_SQL),
+        # round-14 rotation #11: ivfsq8 rotated INTO the driver window
+        # (l2_topk_cosine_ivfsq8); the slot's former occupant keeps
+        # parity here — the sign-LSH banding family stays in-window via
+        # the retained l2_embedding_near_dup
+        ("unreg_l2_topk_cosine_lsh", S.topk_cosine_lsh,
+         S.TOPK_COSINE_LSH_SQL),
         ("unreg_l5_mixture_plan", SP.mixture_plan, SP.MIXTURE_PLAN_SQL),
         ("unreg_l5_mixture_sample_planned", SP.mixture_sample_planned,
          SP.MIXTURE_SAMPLE_PLANNED_SQL),
