@@ -805,11 +805,23 @@ def _probe_cdots(probes: DataFrame, cbar: DataFrame) -> DataFrame:
 #                                              0.33 vs 0.30)
 #   planted 6 clusters  0.43 / 0.93 = 0.46  -> residual (wins
 #                                              0.27 vs 0.17)
-# 0.75 splits the plain side (≥0.88) from the residual side (≤0.46)
-# with wide margin both ways. FAISS leaves the choice to the
-# operator's judgment; at 100 TB an automated, measured gate is the
-# safer default.
-RESIDUAL_GATE_RATIO = 0.75
+# Round 13 set the threshold at 0.75 — splitting 0.88 from 0.46 with
+# margin, but with NOTHING measured in between. Round 14 mapped the
+# band with the lang-weighted document fixture (one blob per language
+# — multi-blob geometry from real metadata, tests/realistic_emb.py),
+# recall margin = residual − plain at equal budget:
+#   ratio 0.894 -> +0.03   ratio 0.879 -> +0.01   (ties, ≤ noise)
+#   ratio 0.841 -> +0.05   ratio 0.805 -> +0.05   (residual wins)
+#   ratio 0.770 -> +0.13                          (residual wins big)
+# Under 0.75 the 0.770 corpus shipped the 0.13-losing layout — the
+# exact failure the gate exists to prevent, in the opposite
+# direction from round 13's find. Every measured point below ~0.85
+# wins-or-ties for residual; every plain-winning point sits at ≥0.88.
+# 0.85 classifies ALL measured corpora within the ±0.05 noise floor
+# (worst miss: the 0.879/0.894 ties cost ≤0.03). FAISS leaves the
+# choice to the operator's judgment; at 100 TB an automated, measured
+# gate is the safer default.
+RESIDUAL_GATE_RATIO = 0.85
 
 # The ratio is measured against a FIXED reference coarse fit, not the
 # build's k_coarse: more centroids always explain more variance, so

@@ -24,11 +24,12 @@ quality tests one shared fixture whose geometry comes from real text:
   "deep inside the residual regime", yet plain coding WINS here
   (0.33 vs 0.30 recall@5) because a plain codebook absorbs the one
   shared direction for free. The shipped gate is therefore RELATIVE
-  (E_res < 0.75·E_ctr, operators/pq.py) and reads this fixture as
-  plain territory: measured E_res/E_ctr ratios are isotropic 1.48 /
-  realistic 0.88 / planted clusters 0.61 vs the 0.75 threshold —
-  only genuinely multi-modal geometry selects residual coding
-  (regime table in BASELINE.md; both failure directions pinned in
+  (E_res < RESIDUAL_GATE_RATIO·E_ctr, operators/pq.py — 0.85 since
+  the round-14 boundary mapping) and reads this fixture as plain
+  territory: measured E_res/E_ctr ratios are isotropic 1.48 /
+  realistic 0.88 / planted clusters 0.61 — only genuinely
+  multi-modal geometry selects residual coding (regime + boundary
+  tables in BASELINE.md; both failure directions pinned in
   tests/test_pq_residual.py).
 - Labels for the labelqa agreement re-pin are the document ``lang``
   codes mapped to ints — real metadata, same join shape as the
@@ -107,19 +108,21 @@ def realistic_embeddings(spark, sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # Near-threshold fixture (round-14 verdict #5). The relative gate's
-# decision boundary (E_res < 0.75·E_ctr) was validated at ratios 0.61 /
-# 0.88 / 1.48 — nothing between 0.61 and 0.88 exercised the band the
-# boundary actually lives in. This variant adds ONE weighted feature —
-# the document's real ``lang`` code, hashed like any other token — to
-# the same signed hashed-BoW projection. The weight makes the corpus
+# round-13 boundary (0.75) was validated at ratios 0.61 / 0.88 / 1.48
+# — nothing between 0.61 and 0.88 exercised the band the boundary
+# actually lives in. This variant adds ONE weighted feature — the
+# document's real ``lang`` code, hashed like any other token — to the
+# same signed hashed-BoW projection. The weight makes the corpus
 # MULTI-BLOB (one blob per language: exactly the geometry of a
 # multi-domain/multi-lingual embedding corpus) with blob separation
-# dialed by LANG_WEIGHT. Prototyped sweep (numpy twin of the gate's
-# k=8 Lloyd, sf0.001): w=2 → 0.88, w=4 → 0.79, w=4.5 → 0.74, w=5 →
-# 0.70, w=6 → 0.62, w=8 → 0.49. w=5 targets the 0.65-0.80 band just
-# UNDER the threshold; the engine-measured ratio and the gate's choice
-# are pinned in tests/test_pq_residual.py. Still zero RNG: md5 token
-# hashing + real metadata only.
+# dialed by LANG_WEIGHT. Engine-measured sweep (gate ratio → recall
+# margin residual−plain): w=3 0.894→+0.03, w=3.5 0.879→+0.01,
+# w=4 0.841→+0.05, w=4.5 0.805→+0.05, w=5 0.770→+0.13. The w=5 point
+# REFUTED the 0.75 threshold (the gate shipped the 0.13-losing plain
+# layout there) and drove the round-14 re-derivation to 0.85; the
+# engine-measured ratio, the gate's choice, and its
+# recall-consistency are pinned in tests/test_pq_residual.py. Still
+# zero RNG: md5 token hashing + real metadata only.
 
 LANG_WEIGHT = 5.0
 

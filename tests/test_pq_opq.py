@@ -128,6 +128,45 @@ def test_opq_recall_floors_both_fixtures(spark):
     assert r_opq_real >= 0.30, r_opq_real
 
 
+def test_opq_recall_floor_langblob(spark):
+    """Round-14 (verdict #5): OPQ >= plain PQ on the near-threshold
+    multi-blob fixture too — the prior margins (0.30-vs-0.29 /
+    0.32-vs-0.29) were one flipped neighbor from inverting; here the
+    measured gap is OPQ 0.39 vs PQ 0.32 (multi-blob covariance is
+    exactly what the rotation redistributes), so the floor has real
+    margin."""
+    from .realistic_emb import langblob_embeddings
+
+    df, xr, _ = langblob_embeddings(spark, SF_DIR)
+    emb = df.select("vec_id", "embedding")
+    n = len(xr)
+    truth = np_truth_pairs(xr)
+    rot = opq_rotation(_base(emb), 256 * PQ_K, n)
+    rotated = _rotated_frame(emb, rot)
+    books = pq.pq_train_fused(
+        rotated, m=PQ_M, k=PQ_K, max_iters=3,
+        train_sample_rows=256 * PQ_K, train_sample_n=n,
+    )
+    r_opq = recall_vs_truth(
+        pq.topk_cosine_pq_df(
+            rotated, pq.pq_codebook_from_trained(spark, books)
+        ),
+        truth,
+    )
+    books_p = pq.pq_train_fused(
+        emb, m=PQ_M, k=PQ_K, max_iters=3,
+        train_sample_rows=256 * PQ_K, train_sample_n=n,
+    )
+    r_pq = recall_vs_truth(
+        pq.topk_cosine_pq_df(
+            emb, pq.pq_codebook_from_trained(spark, books_p)
+        ),
+        truth,
+    )
+    assert r_opq >= r_pq - 1e-9, (r_opq, r_pq)
+    assert r_opq >= 0.35, r_opq  # measured 0.39; floor at minus-noise
+
+
 def test_opq_ivfpq_no_harm_and_shape(spark):
     """The full FAISS production string (OPQ+IVF+PQ): at equal budget
     (k_coarse/k_codes/nprobe) the rotated composition must not rank

@@ -93,7 +93,7 @@ def test_gate_measures_all_three_regimes(spark):
     E_res/E_ctr must put the two regimes where plain coding wins —
     isotropic (measured 1.48/1.0 ≈ 1.48) and the realistic
     anisotropic single-blob documents fixture (0.32/0.37 ≈ 0.88) —
-    ABOVE the 0.75 threshold, and the multi-modal planted-cluster
+    ABOVE the threshold, and the multi-modal planted-cluster
     regime (where residual coding wins) BELOW it. The realistic row is
     the round-13 find: the old absolute 1.0 gate read its 0.32 energy
     as residual territory and shipped the losing layout."""
@@ -289,6 +289,57 @@ def test_realistic_fixture_gate_selects_plain_and_plain_not_worse(spark):
     # margin test_residual_wins_its_regime pins on the cluster fixture)
     assert r_res < r_plain + 0.05, (r_res, r_plain)
     assert r_plain >= 0.25, r_plain
+
+
+def test_langblob_near_threshold_regime(spark):
+    """Round-14 boundary-band pin (the fixture that REFUTED the 0.75
+    threshold): the lang-weighted multi-blob fixture measures
+    engine ratio 0.770 — inside the 0.65-0.85 band, UNDER the
+    re-derived 0.85 threshold — so the gate must select RESIDUAL
+    (gated output exactly equals the forced-residual build), and that
+    choice must be the winning one by at least the 0.05 noise floor
+    (measured: residual 0.40 vs plain 0.27 — under the old 0.75 gate
+    this corpus shipped the 0.13-losing plain layout)."""
+    from .realistic_emb import (
+        langblob_embeddings,
+        np_truth_pairs,
+        recall_vs_truth,
+    )
+
+    emb_df, x, _ = langblob_embeddings(spark, SF_DIR)
+    emb = emb_df.select("vec_id", "embedding")
+    n = len(x)
+
+    e_res, e_ctr = _gate_stats(spark, emb)
+    ratio = e_res / e_ctr
+    assert 0.65 < ratio < pq.RESIDUAL_GATE_RATIO, (e_res, e_ctr, ratio)
+
+    gated = sorted(
+        map(tuple, pq.topk_cosine_ivfpq_residual_df(emb, n_total=n).collect())
+    )
+    resid = sorted(
+        map(
+            tuple,
+            pq.topk_cosine_ivfpq_residual_df(
+                emb, force_residual=True, n_total=n
+            ).collect(),
+        )
+    )
+    assert gated == resid
+
+    truth = np_truth_pairs(x)
+    r_res = recall_vs_truth(
+        pq.topk_cosine_ivfpq_residual_df(emb, force_residual=True, n_total=n),
+        truth,
+    )
+    r_plain = recall_vs_truth(
+        pq.topk_cosine_ivfpq_residual_df(
+            emb, force_residual=False, n_total=n
+        ),
+        truth,
+    )
+    assert r_res >= r_plain + 0.05, (r_res, r_plain)
+    assert r_res >= 0.30, r_res  # measured 0.40; floor at minus-noise
 
 
 def test_gate_decoupled_from_build_k(spark):

@@ -141,19 +141,42 @@ def main():
         if ONLY and name not in ONLY:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, SF_DIR)
-            srows = sdf.collect()
-            scols = sdf.columns
-            # index-building queries scope-persist signature frames that
-            # only release when the SAME query runs again; across 50
-            # distinct queries at sf0.1 the dead caches overflow the
-            # plain session's default 1g heap (same hygiene as bench.py)
-            spark.catalog.clearCache()
-        except Exception as ex:
-            print(f"FAIL  {name}: spark error: {ex}")
-            failed.append(name)
+        first_err = None
+        for attempt in (1, 2):
+            try:
+                sdf = fn(spark, SF_DIR)
+                srows = sdf.collect()
+                scols = sdf.columns
+                # index-building queries scope-persist signature frames
+                # that only release when the SAME query runs again;
+                # across 50 distinct queries at sf0.1 the dead caches
+                # overflow the plain session's default 1g heap (same
+                # hygiene as bench.py)
+                spark.catalog.clearCache()
+                break
+            except Exception as ex:
+                # one retry, with the first error recorded: a TRANSIENT
+                # session event (GC stall, py4j hiccup) passes on retry
+                # and is logged as such; a deterministic bug fails both
+                # attempts. Round-14: a full batch failed the two
+                # CONSECUTIVE registry entries (ivfsq8, ivf) once, then
+                # 50/50 on every rerun — without the retry+log the
+                # event was unattributable (round-10 watch item (b), a
+                # recurrence).
+                if first_err is None:
+                    first_err = ex
+                    spark.catalog.clearCache()
+                    continue
+                print(f"FAIL  {name}: spark error (both attempts): {ex}")
+                failed.append(name)
+                break
+        if name in failed:
             continue
+        if first_err is not None:
+            print(
+                f"note  {name}: attempt 1 raised a TRANSIENT spark error "
+                f"(passed on retry): {str(first_err)[:300]}"
+            )
         if name not in oracles:
             print(f"ok?   {name}: rows={len(srows)} (no oracle, rows-only)")
             continue
