@@ -75,17 +75,29 @@ def _norm2(a: str):
 
 
 def _dot_sql(a: str, b: str) -> str:
-    return " + ".join(
-        f"CAST({a}[{i+1}] AS DOUBLE) * CAST({b}[{i+1}] AS DOUBLE)"
-        for i in range(DIM)
+    # list_inner_product, NOT an unrolled 64-term chain. Two reasons,
+    # both measured (round 14): (1) bit-exactness — DuckDB's
+    # list_inner_product accumulates left-to-right, verified equal to
+    # the explicit left-associated chain on 2000 adversarial
+    # mixed-exponent trials AND by the full oracle batch staying green,
+    # so parity with Spark's zip_with fold is unchanged; (2) the
+    # unrolled form built ~300-node expression trees per cosine which
+    # made DuckDB 1.0 allocate TENS OF THOUSANDS of transient mmaps per
+    # cross-join execute (measured +53k maps during one IVF oracle) —
+    # crossing the kernel's vm.max_map_count (65530) after ~126
+    # executes on one connection and failing with a spurious
+    # "Out of Memory ... 16384 bytes" then a segfault INSIDE duckdb.
+    # That was the round-10 "unreproduced ivf one-off" and this round's
+    # two-consecutive-row verify flake. The driver's own gate runs
+    # these oracle strings on one connection too, so the fix must live
+    # in the SQL, not the harness.
+    return (
+        f"list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     )
 
 
 def _norm2_sql(a: str) -> str:
-    return " + ".join(
-        f"CAST({a}[{i+1}] AS DOUBLE) * CAST({a}[{i+1}] AS DOUBLE)"
-        for i in range(DIM)
-    )
+    return _dot_sql(a, a)
 
 
 def _cosine(a: str, b: str):
