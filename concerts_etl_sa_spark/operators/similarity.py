@@ -79,8 +79,9 @@ def _dot_sql(a: str, b: str) -> str:
     # both measured (round 14): (1) bit-exactness — DuckDB's
     # list_inner_product accumulates left-to-right, verified equal to
     # the explicit left-associated chain on 2000 adversarial
-    # mixed-exponent trials AND by the full oracle batch staying green,
-    # so parity with Spark's zip_with fold is unchanged; (2) the
+    # mixed-exponent trials at derivation (200 re-run as a permanent
+    # pin, tests/test_oracle_sql_form.py) AND by the full oracle batch
+    # staying green, so parity with Spark's fold is unchanged; (2) the
     # unrolled form built ~300-node expression trees per cosine which
     # made DuckDB 1.0 allocate TENS OF THOUSANDS of transient mmaps per
     # cross-join execute (measured +53k maps during one IVF oracle) —

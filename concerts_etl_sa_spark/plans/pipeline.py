@@ -109,12 +109,18 @@ def run_all_from_landing(
     dice_jsonl_path: str,
     out_dir: str,
     as_of: str = AS_OF,
+    dice_lookback_days: int = 90,
 ) -> RunResult:
     """§3.1 lifecycle over REAL landing-zone inputs: harvested shotgun
     card dumps + landed Dice GraphQL JSONL (sources.shotgun_cards /
     sources.dice_json), then the same consolidate -> load tail as
     ``run_all``. Per-source degradation applies: a missing/corrupt
-    landing path degrades to an empty side, the other continues."""
+    landing path degrades to an empty side, the other continues.
+    ``dice_lookback_days`` passes through to the dice source's bounded
+    lookback (A2 — the reference's 90-day default); fixture-driven
+    callers whose landed dates are pinned (deterministic bench/test
+    files) pass a wide window so the run's shape does not depend on
+    the wall clock."""
     from ..sources.dice_json import load_dice_events
     from ..sources.shotgun_cards import load_shotgun_events
 
@@ -122,7 +128,9 @@ def run_all_from_landing(
         return load_shotgun_events(spark, shotgun_cards_path)
 
     def _dc(_):
-        return load_dice_events(spark, dice_jsonl_path)
+        return load_dice_events(
+            spark, dice_jsonl_path, lookback_days=dice_lookback_days
+        )
 
     sg = _safe_source(spark, _sg, None)
     dc = _safe_source(spark, _dc, None)

@@ -205,6 +205,30 @@ def test_norm_gate_fires_on_real_regression():
     assert regs, "2.5x normalized regression passed the gate"
 
 
+def test_missing_norm_prior_falls_back_to_absolute_gate():
+    """A degraded norm baseline must DEGRADE the gate, never disarm it
+    (round-14 review finding): a normalized-format result whose
+    queries_norm omits a row (or whose norm_baseline.json is gone)
+    still gates that row on the ABSOLUTE best-prior series."""
+    from bench_audit import best_prior as abs_prior
+
+    abs_best = abs_prior({"e1_pricing_summary"})["e1_pricing_summary"][0]
+    clusters_mark = norm_prior({"l1_dedup_clusters"})["l1_dedup_clusters"][0]
+    new = {
+        # e1 regressed 10x in absolute seconds and carries NO norm mark
+        "queries": {
+            "e1_pricing_summary": abs_best * 10.0,
+            "l1_dedup_clusters": 5.0,
+        },
+        "queries_norm": {"l1_dedup_clusters": clusters_mark},
+        "canary_median": canary_ref(),
+    }
+    regs, lines = audit(new)
+    assert any("e1_pricing_summary" in r and "absolute fallback" in r
+               for r in regs), (regs, lines)
+    assert not any("l1_dedup_clusters" in r for r in regs), regs
+
+
 def test_norm_floor_protects_subsecond_rows():
     """Sub-second rows keep their documented ±0.35 s jitter allowance in
     normalized units (0.35 / canary_ref): a tiny row whose norm doubles

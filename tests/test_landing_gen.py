@@ -45,13 +45,22 @@ def test_cards_exercise_dedup_and_cascade(spark):
     parsed = out.filter(F.col("event_datetime_local").isNotNull()).count()
     nulls = out.filter(F.col("event_datetime_local").isNull()).count()
     assert parsed > 0 and nulls > 0
-    # FR cascade actually fires: cards with NO time_attr but a parsed
-    # datetime exist (event_id % 11 slice)
-    raw_noattr = deduped.filter(
+    # FR cascade actually FIRES (not merely: FR-formatted input rows
+    # exist): normalize ONLY the no-time_attr FR-text slice and require
+    # parsed datetimes — a generator/parser format drift that nulled
+    # every stage-3 parse would otherwise hide behind the ISO rows
+    # (round-14 review finding)
+    fr_slice = deduped.filter(
         F.col("time_attr").isNull() & (F.trim("name_text") != "")
         & (F.col("card_text").rlike(r"\d{4} \d{1,2}:\d{2}"))
-    ).count()
-    assert raw_noattr > 0
+    )
+    assert fr_slice.count() > 0
+    fr_parsed = (
+        normalize_shotgun(fr_slice)
+        .filter(F.col("event_datetime_local").isNotNull())
+        .count()
+    )
+    assert fr_parsed == fr_slice.count()  # every FR row parses
     # money + stats + status parse
     assert out.filter(F.col("gross_total").isNotNull()).count() > 0
     assert out.filter(F.col("tickets_sold_total").isNotNull()).count() > 0
@@ -79,8 +88,12 @@ def test_lifecycle_consolidates_all_three_legs(spark, tmp_path):
     from concerts_etl_sa_spark.plans.pipeline import run_all_from_landing
 
     cards, dice = generate_landing(spark, SF_DIR, str(tmp_path / "landing"))
+    # wide dice lookback: fixture dates are pinned at 2030, and the
+    # test's shape must not depend on the wall clock (same contract as
+    # bench.LANDING_LOOKBACK_DAYS)
     res = run_all_from_landing(
-        spark, cards, dice, str(tmp_path / "out"), as_of=AS_OF_LANDING
+        spark, cards, dice, str(tmp_path / "out"), as_of=AS_OF_LANDING,
+        dice_lookback_days=36500,
     )
     assert res.shotgun_count > 0 and res.dice_count > 0
     assert res.consolidated_count > 0

@@ -121,7 +121,8 @@ def canary_ref() -> float | None:
 def _audit_normalized(new: dict) -> tuple[list[str], list[str]]:
     newn = {q: float(m) for q, m in (new.get("queries_norm") or {}).items()}
     newq = {q: float(s) for q, s in (new.get("queries") or {}).items()}
-    prior = norm_prior(set(newn))
+    prior = norm_prior(set(newn) | set(newq))
+    abs_prior = best_prior(set(newq))
     cref = canary_ref() or float(new.get("canary_median") or 1.0)
     norm_floor = ABS_FLOOR / cref
     regressions: list[str] = []
@@ -134,27 +135,50 @@ def _audit_normalized(new: dict) -> tuple[list[str], list[str]]:
             f"{canary_ref():.2f}s (host-speed ratio {ratio:.2f}x — "
             "normalization cancels this)"
         )
-    for q, mark in newn.items():
+    # every row in EITHER series is audited: rows with a normalized
+    # prior gate on the normalized mark; rows WITHOUT one (new row
+    # before band registration, or a missing/corrupt
+    # norm_baseline.json) FALL BACK to the legacy absolute gate — a
+    # degraded baseline file must degrade the gate, never disarm it
+    # (round-14 review finding).
+    for q in sorted(set(newq) | set(newn)):
+        mark = newn.get(q)
         abs_s = newq.get(q)
         abs_note = f", abs {abs_s:.2f}s" if abs_s is not None else ""
-        if q not in prior:
+        if mark is not None and q in prior:
+            ref, src = prior[q]
+            limit = ref * (1.0 + REL_BAND) + norm_floor
+            verdict = "ok" if mark <= limit else "REGRESSION"
             lines.append(
-                f"  {q}: norm {mark:.2f}{abs_note} (no prior norm mark"
-                " — baseline)"
+                f"  {q}: norm {mark:.2f} vs best {ref:.2f} ({src}), "
+                f"limit {limit:.2f}{abs_note} -> {verdict}"
             )
+            if mark > limit:
+                regressions.append(
+                    f"{q}: norm {mark:.2f} > {limit:.2f} "
+                    f"(best prior {ref:.2f} in {src}{abs_note})"
+                )
             continue
-        ref, src = prior[q]
-        limit = ref * (1.0 + REL_BAND) + norm_floor
-        verdict = "ok" if mark <= limit else "REGRESSION"
-        lines.append(
-            f"  {q}: norm {mark:.2f} vs best {ref:.2f} ({src}), "
-            f"limit {limit:.2f}{abs_note} -> {verdict}"
-        )
-        if mark > limit:
-            regressions.append(
-                f"{q}: norm {mark:.2f} > {limit:.2f} "
-                f"(best prior {ref:.2f} in {src}{abs_note})"
+        if abs_s is not None and q in abs_prior:
+            ref, src = abs_prior[q]
+            limit = ref * (1.0 + REL_BAND) + ABS_FLOOR
+            verdict = "ok" if abs_s <= limit else "REGRESSION"
+            lines.append(
+                f"  {q}: {abs_s:.2f}s vs best {ref:.2f}s ({src}), "
+                f"limit {limit:.2f}s -> {verdict} "
+                "[no norm prior — absolute fallback]"
             )
+            if abs_s > limit:
+                regressions.append(
+                    f"{q}: {abs_s:.2f}s > {limit:.2f}s "
+                    f"(best prior {ref:.2f}s in {src}; absolute "
+                    "fallback — no norm prior)"
+                )
+            continue
+        lines.append(
+            f"  {q}: norm {mark if mark is not None else '—'}{abs_note}"
+            " (no prior mark — baseline)"
+        )
     return regressions, lines
 
 

@@ -17,7 +17,9 @@ a spurious OOM, load-timing-dependent, hence "unreproducible".
 
 Fix: similarity._dot_sql/_norm2_sql now emit ``list_inner_product``
 (verified bit-exact vs the left-associated chain on 2000 adversarial
-mixed-exponent trials AND by full 50/50 verify at sf0.001/0.01/0.1);
+mixed-exponent trials at derivation — 200 re-run as a permanent pin in
+tests/test_oracle_sql_form.py — and by full 50/50 verify at
+sf0.001/0.01/0.1);
 peak transient maps dropped to ~12k. This probe re-measures per-oracle
 map growth so a future oracle that regresses toward the ceiling is
 visible before it flakes.
@@ -31,16 +33,14 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb  # noqa: E402
 
+from verify_local import TABLES  # noqa: E402 — ONE table list, not a copy
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ROUNDS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
 
 
 def nmaps() -> int:

@@ -137,6 +137,7 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failed = []
+    transients = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -173,6 +174,7 @@ def main():
         if name in failed:
             continue
         if first_err is not None:
+            transients.append(name)
             print(
                 f"note  {name}: attempt 1 raised a TRANSIENT spark error "
                 f"(passed on retry): {str(first_err)[:300]}"
@@ -241,6 +243,14 @@ def main():
     print()
     total = len([n for n in qs if not ONLY or n in ONLY])
     print(f"{total - len(failed)}/{total} queries pass vs oracle @ {SF_DIR}")
+    if transients:
+        # a retried pass is still a pass, but it must be LOUD in the
+        # summary: one transient is infra weather; the same query
+        # transient across runs is a flaky bug hiding behind the retry
+        print(
+            f"TRANSIENT retries: {len(transients)} "
+            f"({', '.join(transients)}) — investigate if recurring"
+        )
     if failed:
         # name the failures in the summary: a truncated log (tail -n) must
         # still identify WHAT failed, not just how many
