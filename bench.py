@@ -158,9 +158,14 @@ def _extra_queries():
         return SEM.semdedup_trained_auto(spark, sf_dir, assign_nprobe=2)
 
     from concerts_etl_sa_spark.operators import pq as PQ
+    from concerts_etl_sa_spark.operators import similarity as S
 
     return {
         "unreg_l2_topk_cosine_ivfpq": PQ.topk_cosine_ivfpq,
+        # round-15 rotation #13: ivf rotated out of the driver window
+        # (slot ceded to l2_knn_label_noise); benched under its
+        # historical name so the ratchet history stays one series
+        "l2_topk_cosine_ivf": S.topk_cosine_ivf,
         # rotated out of the driver window in round 9 (rotation #6:
         # fixed-K -> auto-K); benched under the historical name so the
         # ratchet history stays one series

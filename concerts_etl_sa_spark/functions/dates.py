@@ -152,6 +152,38 @@ def parse_event_datetime(c: Column) -> Column:
     return F.coalesce(iso, fr)
 
 
+_FR_PAT_SQL = (
+    r"(?:lun|mar|mer|jeu|ven|sam|dim)?\.?\s*"
+    r"(\d{1,2})\s+([a-zéû]+)\.?\s+(\d{4})\s+(\d{1,2}):(\d{2})"
+)
+
+
+def parse_event_datetime_sql(card: str) -> str:
+    """DuckDB twin of :func:`parse_event_datetime` (B10/B11 cascade).
+
+    Lived in operators/scalar_suite.py through round 14; moved beside
+    its Spark form in round 15 so the landing-lifecycle oracle
+    (rotation #12) and the b10 suite share ONE twin."""
+    iso = (
+        "try_cast(regexp_extract("
+        + card
+        + r", '(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(?::\d{2})?)', 1) AS TIMESTAMP)"
+    )
+    low = f"lower(coalesce({card}, ''))"
+    g = lambda n: f"regexp_extract({low}, '{_FR_PAT_SQL}', {n})"  # noqa: E731
+    mon_cases = " ".join(
+        f"WHEN starts_with({g(2)}, '{name}') THEN '{num}'"
+        for name, num in FR_MONTHS.items()
+    )
+    mon = f"(CASE {mon_cases} ELSE {g(2)} END)"
+    fr = (
+        f"CASE WHEN {g(1)} <> '' AND regexp_matches({mon}, '^\\d{{2}}$') THEN "
+        f"try_cast(concat_ws(' ', concat_ws('-', {g(3)}, {mon}, lpad({g(1)}, 2, '0')), "
+        f"concat_ws(':', lpad({g(4)}, 2, '0'), {g(5)}, '00')) AS TIMESTAMP) END"
+    )
+    return f"coalesce({iso}, {fr})"
+
+
 def parse_event_datetime_nl(c: Column) -> Column:
     """B10 full natural-language fallback (shotgun.py:56-84).
 

@@ -70,10 +70,9 @@ FROM (
 
 # ------------------------------------- B10/B11 FR datetime parse cascade
 
-_FR_PAT_SQL = (
-    r"(?:lun|mar|mer|jeu|ven|sam|dim)?\.?\s*"
-    r"(\d{1,2})\s+([a-zéû]+)\.?\s+(\d{4})\s+(\d{1,2}):(\d{2})"
-)
+# cascade SQL twin moved to functions/dates.py in round 15 (shared with
+# the landing-lifecycle oracle); re-exported here for back-compat
+_fr_cascade_sql = Fd.parse_event_datetime_sql
 
 
 def _card_text_col():
@@ -131,27 +130,6 @@ def fr_datetime_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         Fd.parse_event_datetime(_card_text_col()).alias("parsed_dt"),
     )
-
-
-def _fr_cascade_sql(card: str) -> str:
-    iso = (
-        "try_cast(regexp_extract("
-        + card
-        + r", '(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}(?::\d{2})?)', 1) AS TIMESTAMP)"
-    )
-    low = f"lower(coalesce({card}, ''))"
-    g = lambda n: f"regexp_extract({low}, '{_FR_PAT_SQL}', {n})"  # noqa: E731
-    mon_cases = " ".join(
-        f"WHEN starts_with({g(2)}, '{name}') THEN '{num}'"
-        for name, num in Fd.FR_MONTHS.items()
-    )
-    mon = f"(CASE {mon_cases} ELSE {g(2)} END)"
-    fr = (
-        f"CASE WHEN {g(1)} <> '' AND regexp_matches({mon}, '^\\d{{2}}$') THEN "
-        f"try_cast(concat_ws(' ', concat_ws('-', {g(3)}, {mon}, lpad({g(1)}, 2, '0')), "
-        f"concat_ws(':', lpad({g(4)}, 2, '0'), {g(5)}, '00')) AS TIMESTAMP) END"
-    )
-    return f"coalesce({iso}, {fr})"
 
 
 FR_DATETIME_CASCADE_SQL = f"""

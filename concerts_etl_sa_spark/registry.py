@@ -93,6 +93,7 @@ def q_consolidate(spark, sf_dir):
 from .operators import components as CC  # noqa: E402
 from .operators import decontam as DC  # noqa: E402
 from .operators import dedup as D  # noqa: E402
+from .operators import labelqa as LQ  # noqa: E402
 from .operators import multimodal as MM  # noqa: E402
 from .operators import pq as PQ  # noqa: E402
 from .operators import sampling as SMP  # noqa: E402
@@ -141,7 +142,17 @@ _L_FAMILY = [
     # keeps pytest oracle parity as unreg_* (rationale in SURVEY §8).
     ("l2_topk_cosine_ivfsq8", PQ.topk_cosine_ivfsq8,
      PQ.TOPK_COSINE_IVFSQ8_SQL),
-    ("l2_topk_cosine_ivf", S.topk_cosine_ivf, S.TOPK_COSINE_IVF_SQL),
+    # round-15 rotation #13: l2_topk_cosine_ivf rotated OUT — its plain
+    # list-prune family was in-window TWICE after rotation #11 (ivf and
+    # ivfsq8 share the inverted-list equi-join prune; ivfsq8 adds the
+    # SQ8 decode on top) — in favor of kNN label-noise detection
+    # (Confident Learning neighborhood disagreement): the only operator
+    # computing on embeddings.label and a genuinely multi-stage plan
+    # (kNN rank window -> per-vector vote -> majority/tie-break
+    # aggregation) the window otherwise never exercised. ivf keeps
+    # pytest oracle parity as unreg_* and its bench name (rationale in
+    # SURVEY §8).
+    ("l2_knn_label_noise", LQ.knn_label_noise, LQ.KNN_LABEL_NOISE_SQL),
     ("l2_embedding_near_dup", S.embedding_near_dup_pairs,
      S.EMBEDDING_NEAR_DUP_SQL),
     ("l2_ann_recall", S.ann_recall, S.ANN_RECALL_SQL),

@@ -59,7 +59,6 @@ def _all_queries():
     # *_pairs registry entries) still get pytest-level oracle parity.
     from concerts_etl_sa_spark.operators import analytics as A
     from concerts_etl_sa_spark.operators import dedup as D
-    from concerts_etl_sa_spark.operators import labelqa as LQ
     from concerts_etl_sa_spark.operators import multimodal as MM
     from concerts_etl_sa_spark.operators import pq as PQ
     from concerts_etl_sa_spark.operators import semdedup as SEM
@@ -106,13 +105,12 @@ def _all_queries():
         # tables — trigram + bigram-context — row-side composed-zip_with
         # trigram build, logp clamped <= 0)
         ("unreg_l3_trigram_xent", TS.trigram_xent, TS.TRIGRAM_XENT_SQL),
-        # round-11: kNN label-noise detection (Confident-Learning-style
-        # neighborhood disagreement over embeddings.label — the column
-        # no operator previously computed on). Exact form is the
-        # DuckDB-one-shot oracle; the IVF-pruned production form is
-        # pinned in tests/test_labelqa.py.
-        ("unreg_l2_knn_label_noise", LQ.knn_label_noise,
-         LQ.KNN_LABEL_NOISE_SQL),
+        # round-15 rotation #13: knn_label_noise rotated INTO the driver
+        # window (l2_knn_label_noise); the slot's former occupant keeps
+        # parity here — the inverted-list prune family stays in-window
+        # via the retained l2_topk_cosine_ivfsq8
+        ("unreg_l2_topk_cosine_ivf", S.topk_cosine_ivf,
+         S.TOPK_COSINE_IVF_SQL),
         # round-12 rotation #9: f2 rotated out of the driver window
         # (slot ceded to e10_props_json_stats — the JSON plan family) —
         # parity kept; f1/f3 retain the orders/events window shapes
