@@ -41,7 +41,10 @@ def parse_money_eur_sql(e: str) -> str:
 
 
 def parse_money_eur_decimal(c: Column) -> Column:
-    """DecimalType(18,2) variant for at-rest storage."""
+    """DecimalType(18,2) variant for at-rest storage (§7.3.5) — the
+    landing-path normalization (sources/shotgun_cards.py) stores money
+    through this; the plain double form above is for oracle-compared
+    expressions only."""
     return parse_money_eur(c).cast("decimal(18,2)")
 
 

@@ -270,13 +270,23 @@ def consolidate(
     )
 
 
-def consolidate_oracle_sql(as_of: str = AS_OF, df_cap: int = DF_CAP) -> str:
+def consolidate_oracle_sql(
+    as_of: str = AS_OF,
+    df_cap: int = DF_CAP,
+    sg_sql: str | None = None,
+    dc_sql: str | None = None,
+) -> str:
     """DuckDB oracle: identical semantics over the same derived inputs,
-    including the DF_CAP heavy-hitter token exclusion."""
+    including the DF_CAP heavy-hitter token exclusion. ``sg_sql`` /
+    ``dc_sql`` override the source subqueries (default: the flagship's
+    fixture derivations) — the landing-lifecycle oracle (rotation #12)
+    passes the landing-JSONL parse twins instead; each must yield
+    event_id_provider, event_name, city, venue_name, artist_name,
+    tickets_sold_total, event_datetime_local."""
     toks = artist_tokens_sql("artist_name", "event_name")
     return f"""
-WITH sg_src AS ({shotgun_events_sql()}),
-dc_src AS ({dice_events_sql()}),
+WITH sg_src AS ({sg_sql or shotgun_events_sql()}),
+dc_src AS ({dc_sql or dice_events_sql()}),
 sgt AS (
   SELECT event_id_provider AS sg_id, event_name AS sg_event_name,
          city AS sg_city, venue_name AS sg_venue_name,

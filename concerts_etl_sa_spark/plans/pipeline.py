@@ -145,3 +145,61 @@ def run_all_from_landing(
         consolidated_count=consolidated.count(),
         consolidated=consolidated,
     )
+
+
+# --------------------------- driver-window form (round-15 rotation #12)
+
+# Fixed path shared by the Spark query and its DuckDB oracle: the query
+# fn (re)generates the landing files here EAGERLY before returning its
+# frame, and the driver/verify loop always executes the Spark side
+# before the oracle SQL, so the oracle's read_json sees exactly the
+# files this process derived for its sf. Single-writer by contract (the
+# driver runs queries sequentially); bench uses its own tempdir.
+LANDING_WINDOW_DIR = "/tmp/spark_graft_landing_window"
+
+# fixture dates are pinned (2030, landing_gen's +6y shift) — pass a
+# wide dice lookback so the run's shape never depends on the wall clock
+LANDING_LOOKBACK_DAYS = 36500
+
+
+def pipeline_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 lifecycle under the driver correctness gate (rotation #12):
+    derive deterministic landing files from events.parquet
+    (sources/landing_gen.py, zero RNG), then the FULL production entry
+    — JSONL scans with pinned schemas, A6 content-hash dedup, C5
+    nameless skip, 3-stage datetime cascade, B17/B19/B6/B7/C4 parses,
+    consolidate, snapshot + preview sinks, per-source counts — and
+    return the consolidated frame. The DuckDB twin
+    (:data:`PIPELINE_LANDING_SQL`) reads the SAME JSONL files and
+    recomputes scan→dedup→parse→consolidate end-to-end.
+
+    Reference anchor: concerts_etl/cli.py:20-41 (run_all — the active
+    production path this row proves end-to-end)."""
+    from ..sources.landing_gen import AS_OF_LANDING, generate_landing
+
+    cards, dice = generate_landing(spark, sf_dir, LANDING_WINDOW_DIR)
+    res = run_all_from_landing(
+        spark,
+        cards,
+        dice,
+        f"{LANDING_WINDOW_DIR}/out",
+        as_of=AS_OF_LANDING,
+        dice_lookback_days=LANDING_LOOKBACK_DAYS,
+    )
+    return res.consolidated
+
+
+def pipeline_landing_sql() -> str:
+    from ..operators.consolidate import consolidate_oracle_sql
+    from ..sources.dice_json import dice_landing_sql
+    from ..sources.landing_gen import AS_OF_LANDING
+    from ..sources.shotgun_cards import shotgun_landing_sql
+
+    return consolidate_oracle_sql(
+        as_of=AS_OF_LANDING,
+        sg_sql=shotgun_landing_sql(f"{LANDING_WINDOW_DIR}/cards_jsonl"),
+        dc_sql=dice_landing_sql(f"{LANDING_WINDOW_DIR}/dice_jsonl"),
+    )
+
+
+PIPELINE_LANDING_SQL = pipeline_landing_sql()

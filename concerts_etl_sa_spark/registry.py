@@ -216,6 +216,7 @@ for _name, _fn, _sql in _L_FAMILY:
 
 from .operators import asof as AS  # noqa: E402
 from .operators import legacy_match as L  # noqa: E402
+from .plans import pipeline as PL  # noqa: E402
 
 
 @register(
@@ -244,8 +245,17 @@ from .operators import analytics as A  # noqa: E402
 _JOINS_AND_ANALYTICS = [
     ("d7_customers_without_urgent_orders", A.customers_without_urgent_orders,
      A.CUSTOMERS_WITHOUT_URGENT_ORDERS_SQL),
-    ("d7_suppliers_with_returns", A.suppliers_with_returns,
-     A.SUPPLIERS_WITH_RETURNS_SQL),
+    # round-15 rotation #12: d7_suppliers_with_returns rotated OUT (the
+    # second of two same-plan-family anti-join rows — the retained
+    # d7_customers_without_urgent_orders keeps the left-anti family
+    # in-window) in favor of the §3.1 LIFECYCLE end-to-end: deterministic
+    # landing JSONL (card dump + dice GraphQL) -> scan -> A6 dedup ->
+    # full parse cascade -> consolidate, with the DuckDB twin reading
+    # the SAME landing files via read_json and recomputing the whole
+    # path. The one query a production user actually runs, pytest+bench
+    # only through r14. suppliers_with_returns keeps pytest oracle
+    # parity as unreg_* (rationale in SURVEY §8).
+    ("pipeline_landing", PL.pipeline_landing, PL.PIPELINE_LANDING_SQL),
     # 26-27: sessionization pair (f4 regressed under the driver in r1 —
     # keep it early in the window)
     ("f4_user_sessions", A.user_sessions, A.USER_SESSIONS_SQL),

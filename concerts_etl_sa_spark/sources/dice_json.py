@@ -116,3 +116,32 @@ def load_dice_events(
             >= F.date_sub(F.current_date(), lookback_days)
         )
     )
+
+
+def dice_landing_sql(path: str) -> str:
+    """DuckDB twin of :func:`load_dice_events`, projected to the columns
+    consolidation consumes (rotation #12, the landing-lifecycle oracle):
+    read_json with the SAME pinned nested schema, B18 first-of-array
+    extraction, B12 ISO-Z parse, B21 safe int cast. The A2 lookback is
+    omitted: oracle callers pass a wide ``lookback_days`` so the run's
+    shape never depends on the wall clock (landing_gen's pinned 2030
+    dates), making the Spark-side filter a keep-everything no-op."""
+    first_city = "CASE WHEN venues[1].city IS NOT NULL THEN trim(venues[1].city) END"
+    first_vname = "CASE WHEN venues[1].name IS NOT NULL THEN trim(venues[1].name) END"
+    first_artist = "CASE WHEN artists[1].name IS NOT NULL THEN trim(artists[1].name) END"
+    return f"""
+SELECT
+  id AS event_id_provider,
+  coalesce(trim(name), '') AS event_name,
+  {first_city} AS city,
+  try_cast(startDatetime AS TIMESTAMP) AS event_datetime_local,
+  try_cast(tickets.totalCount AS BIGINT) AS tickets_sold_total,
+  coalesce({first_artist}, trim(name)) AS artist_name,
+  {first_vname} AS venue_name
+FROM read_json('{path}/*.json', format='newline_delimited',
+  columns={{id:'VARCHAR', name:'VARCHAR', startDatetime:'VARCHAR',
+           artists:'STRUCT(name VARCHAR)[]',
+           venues:'STRUCT(name VARCHAR, city VARCHAR, country VARCHAR,
+                          timezoneName VARCHAR)[]',
+           tickets:'STRUCT(totalCount VARCHAR)', currency:'VARCHAR'}})
+"""

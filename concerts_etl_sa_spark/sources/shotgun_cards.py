@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from ..functions.dates import parse_event_datetime
 from ..functions.ids import stable_event_id
-from ..functions.money import parse_int, parse_money_eur
+from ..functions.money import parse_int, parse_money_eur_decimal
 from ..functions.text import derive_status, split_artist, split_venue
 
 # harvested-card dump shape (the DOM harvest's output, shotgun.py:210-258)
@@ -99,9 +99,10 @@ def normalize_shotgun(cards: DataFrame, run_id: str = "shotgun-scrape") -> DataF
             F.lit("Europe/Paris").alias("timezone"),
             derive_status(F.col("card_text")).alias("status"),  # B19
             tickets.alias("tickets_sold_total"),                # B7 + C4
-            parse_money_eur(F.col("gross_text"))
-            .cast("decimal(18,2)")
-            .alias("gross_total"),                              # B6
+            # B6 — SURVEY §7.3.5: DecimalType(18,2) at rest; oracle-
+            # compared expressions cast to double at the comparison
+            # boundary, never at rest
+            parse_money_eur_decimal(F.col("gross_text")).alias("gross_total"),
             F.lit(None).cast("decimal(18,2)").alias("net_total"),
             F.lit("EUR").alias("currency"),
             F.lit(None).cast("double").alias("sell_through_pct"),
@@ -118,3 +119,57 @@ def load_shotgun_events(
 ) -> DataFrame:
     """Full source: scan -> dedup -> parse (the reference's steps 1c-1d)."""
     return normalize_shotgun(dedup_cards(read_cards_jsonl(spark, path)), run_id)
+
+
+def shotgun_landing_sql(path: str) -> str:
+    """DuckDB twin of :func:`load_shotgun_events`, projected to the
+    columns consolidation consumes (rotation #12, the landing-lifecycle
+    oracle): read_json over the SAME landing files the Spark side
+    scans, then the same A6 dedup-by-content-hash, C5 nameless skip and
+    parse cascade, all from the package's shared ``*_sql`` twins.
+    Lineage columns (scrape_ts_utc, run id) are per-run stamps with no
+    oracle meaning and are not projected."""
+    from ..functions.dates import parse_event_datetime_sql
+    from ..functions.ids import stable_event_id_sql
+    from ..functions.money import parse_int_sql
+    from ..functions.text import split_artist_sql, split_venue_sql
+
+    name = r"trim(regexp_replace(coalesce(name_text, ''), '\s+', ' ', 'g'))"
+    dt = (
+        "coalesce(try_cast(time_attr AS TIMESTAMP), "
+        + parse_event_datetime_sql("card_text")
+        + ")"
+    )
+    # C4 total-stat pick (_pick_total_stat): first value whose suffix
+    # is not a daily counter — same 1-based lambda indexing both engines
+    pick = (
+        "stat_values[list_filter("
+        "generate_series(1, greatest(len(stat_values), 1)), "
+        "i -> NOT contains(lower(coalesce(stat_suffixes[i], '')), "
+        "'aujourd'))[1]]"
+    )
+    return f"""
+SELECT
+  {stable_event_id_sql("nm", "strftime(dt, '%Y-%m-%dT%H:%M:%S')")}
+    AS event_id_provider,
+  nm AS event_name,
+  trim(coalesce(city_text, '')) AS city,
+  dt AS event_datetime_local,
+  {parse_int_sql(pick)} AS tickets_sold_total,
+  {split_artist_sql("nm")} AS artist_name,
+  {split_venue_sql("nm")} AS venue_name
+FROM (
+  SELECT *, {name} AS nm, {dt} AS dt FROM (
+    SELECT * EXCLUDE (rn) FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY md5(substring(coalesce(outer_html, ''), 1, 512))
+        ORDER BY outer_html) AS rn
+      FROM read_json('{path}/*.json', format='newline_delimited',
+        columns={{outer_html:'VARCHAR', name_text:'VARCHAR',
+                 time_attr:'VARCHAR', card_text:'VARCHAR',
+                 gross_text:'VARCHAR', stat_values:'VARCHAR[]',
+                 stat_suffixes:'VARCHAR[]', city_text:'VARCHAR'}})
+    ) WHERE rn = 1
+  ) WHERE {name} <> ''
+)
+"""

@@ -105,6 +105,12 @@ def _all_queries():
         # tables — trigram + bigram-context — row-side composed-zip_with
         # trigram build, logp clamped <= 0)
         ("unreg_l3_trigram_xent", TS.trigram_xent, TS.TRIGRAM_XENT_SQL),
+        # round-15 rotation #12: suppliers_with_returns rotated OUT of
+        # the driver window (slot ceded to pipeline_landing — the §3.1
+        # lifecycle end-to-end); parity kept — the left-anti plan family
+        # stays in-window via the retained d7_customers_without_urgent_orders
+        ("unreg_d7_suppliers_with_returns", A.suppliers_with_returns,
+         A.SUPPLIERS_WITH_RETURNS_SQL),
         # round-15 rotation #13: knn_label_noise rotated INTO the driver
         # window (l2_knn_label_noise); the slot's former occupant keeps
         # parity here — the inverted-list prune family stays in-window

@@ -74,6 +74,10 @@ def test_dedup_and_parse_cascade(spark, tmp_path):
     assert a["venue_name"] == "Olympia"
     assert a["event_datetime_local"].isoformat() == "2025-10-10T19:30:00"
     assert float(a["gross_total"]) == 12345.67          # B6 fr-FR money
+    # §7.3.5: money is DecimalType(18,2) AT REST on the landing path
+    assert dict(load_shotgun_events(spark, path).dtypes)["gross_total"] == (
+        "decimal(18,2)"
+    )
     assert a["tickets_sold_total"] == 845               # C4 skips 'aujourd'
     assert a["status"] == "on sale"
     assert a["city"] == "Paris"
