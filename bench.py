@@ -390,26 +390,27 @@ def main() -> None:
     norm_marks: dict[str, float] = {}
     canary_all: list[float] = []
     spark.catalog.clearCache()  # drop warmup-era cached indexes
-    prev_tail: float | None = None
     for name in HEADLINE:
         fn = qs[name]
         samples = []
         # every run is bracketed by constant-work probes sharing its
         # contention window, so mark ÷ bracket cancels host speed (the
         # interleaved-A/B protocol applied to the gate itself —
-        # round-14 verdict #1). The previous row's trailing canary IS
-        # this row's leading bracket — two back-to-back probes would
-        # measure the same instant twice (~20 s/sitting of duplicated
-        # work, review finding).
-        csamples = [
-            prev_tail
-            if prev_tail is not None
-            else _time_noop(lambda: _canary_df(spark))
-        ]
+        # round-14 verdict #1). The LEADING canary runs right after the
+        # previous row's clearCache(), so it is always a clean-cache
+        # probe: reusing the previous row's trailing canary (the r14
+        # protocol) let a heavy row's resident caches/GC pressure
+        # inflate the next row's leading bracket and deflate its mark
+        # in the regression-masking direction — and the min-ratchet
+        # would then tighten baselines off one lucky dirty bracket
+        # (round-14 advisory). Costs one extra ~0.5 s probe per row.
+        # The intra-row brackets (between runs / trailing) keep the r14
+        # protocol — clearing mid-row would break cross-run cache reuse
+        # and shift the whole registered absolute+normalized history.
+        csamples = [_time_noop(lambda: _canary_df(spark))]
         for _ in range(runs):
             samples.append(_time_noop(lambda: fn(spark, sf_dir)))
             csamples.append(_time_noop(lambda: _canary_df(spark)))
-        prev_tail = csamples[-1]
         timings[name] = round(statistics.median(samples), 3)
         canary_med[name] = round(statistics.median(csamples), 3)
         nm = _norm_mark(samples, csamples)

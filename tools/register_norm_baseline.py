@@ -9,8 +9,12 @@ tools/norm_baseline.json:
                   canary medians: the truest measure of deliverable host
                   CPU, and the divisor that converts the ±0.35 s noise
                   floor into normalized units)
-  queries_norm  — per query, the MIN of the sittings' normalized
-                  medians (best-prior semantics, same as the ratchet)
+  queries_norm  — per query, the MIN of the sittings' marks, where a
+                  sitting's mark is itself bench.py's min-of-bracketed-
+                  runs statistic (_norm_mark) — i.e. min-of-mins, NOT a
+                  median (best-prior semantics, same as the ratchet;
+                  round-14 advisory: re-registrations must recompute
+                  this exact statistic)
 
 Usage:
   python tools/register_norm_baseline.py s1.json s2.json [...]

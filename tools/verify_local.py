@@ -21,8 +21,10 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-ONLY = set(sys.argv[2:])
+# argv is parsed in main(), NOT at import (round-14 advisory: importers
+# — tools/duck_maps_probe.py pulls TABLES from here — must not have
+# their own argv silently interpreted as SF_DIR/ONLY)
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -124,8 +126,12 @@ def _build_spark():
     )
 
 
-def main():
+def main(argv: list[str] | None = None):
     import __spark_entry__ as E
+
+    argv = sys.argv[1:] if argv is None else argv
+    SF_DIR = argv[0] if argv else DEFAULT_SF_DIR
+    ONLY = set(argv[1:])
 
     spark = _build_spark()
     con = duckdb.connect()
@@ -175,9 +181,14 @@ def main():
             continue
         if first_err is not None:
             transients.append(name)
+            # the retry path clearCache()s before attempt 2, so a pass
+            # here may be ORDER-DEPENDENT (cache/heap accumulation from
+            # earlier queries), not weather — label it as the suspect
+            # class it is (round-14 advisory)
             print(
                 f"note  {name}: attempt 1 raised a TRANSIENT spark error "
-                f"(passed on retry): {str(first_err)[:300]}"
+                f"(passed on retry AFTER clearCache — order-dependent "
+                f"suspect): {str(first_err)[:300]}"
             )
         if name not in oracles:
             print(f"ok?   {name}: rows={len(srows)} (no oracle, rows-only)")
@@ -240,13 +251,40 @@ def main():
             for line in list(oset - sset)[:3]:
                 print(f"   duck-only : {line[:220]!r}")
             failed.append(name)
+    # Cross-sitting transient memory (round-14 advisory): one transient
+    # is infra weather, but the SAME query transient in two consecutive
+    # sittings at the same sf is a flaky bug hiding behind the retry —
+    # promote it to a hard failure instead of trusting the manual log
+    # line. State lives outside the repo (one line of JSON per sf).
+    state_path = f"/tmp/spark_graft_verify_transients_{SF_DIR.replace('/', '_')}.json"
+    prior_transients: set[str] = set()
+    try:
+        import json as _json
+
+        with open(state_path) as f:
+            prior_transients = set(_json.load(f))
+    except Exception:
+        pass
+    repeat = [n for n in transients if n in prior_transients]
+    for n in repeat:
+        print(
+            f"FAIL  {n}: TRANSIENT in two consecutive sittings — "
+            "flaky bug, not weather (retry no longer forgives it)"
+        )
+        failed.append(n)
+    try:
+        import json as _json
+
+        with open(state_path, "w") as f:
+            _json.dump(sorted(transients), f)
+    except Exception:
+        pass
     print()
     total = len([n for n in qs if not ONLY or n in ONLY])
     print(f"{total - len(failed)}/{total} queries pass vs oracle @ {SF_DIR}")
     if transients:
-        # a retried pass is still a pass, but it must be LOUD in the
-        # summary: one transient is infra weather; the same query
-        # transient across runs is a flaky bug hiding behind the retry
+        # a retried pass is still a pass (unless repeated, above), but
+        # it must be LOUD in the summary
         print(
             f"TRANSIENT retries: {len(transients)} "
             f"({', '.join(transients)}) — investigate if recurring"
