@@ -414,12 +414,63 @@ def pq_train_fused(
         slim.unpersist(blocking=False)
 
 
-def _fused_loop(
-    slim: DataFrame, m: int, k: int, max_iters: int, rel_tol: float
-) -> list[list[list[float]]]:
+def _fused_stats(slim: DataFrame, books, sub_dim: int):
+    """One fused Lloyd iteration's assignment/update job — shared by
+    the production loop and the oracle-form loop (round-15) so the
+    assignment semantics (broadcast books row, array_min over (d, j)
+    structs = argmin with lowest-j tie-break, posexplode partial sums)
+    cannot drift between them. Returns the collected
+    (s, cluster, pos, sum_x, n, d) rows."""
     from .kmeans import _sq_dist_lambda
 
     spark = slim.sparkSession
+    schema = "_books ARRAY<ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>>>>"
+    bdf = spark.createDataFrame(
+        [([[(j, v) for j, v in enumerate(book)] for book in books],)],
+        schema,
+    )
+    best = F.zip_with(
+        "subs",
+        "_books",
+        lambda subv, book: F.named_struct(
+            F.lit("b"),
+            F.array_min(
+                F.transform(
+                    book,
+                    lambda c: F.named_struct(
+                        F.lit("d"),
+                        _sq_dist_lambda(subv, c["v"]),
+                        F.lit("j"),
+                        c["j"],
+                    ),
+                )
+            ),
+            F.lit("subv"),
+            subv,
+        ),
+    )
+    return (
+        slim.crossJoin(F.broadcast(bdf))
+        .select(F.posexplode(best).alias("s", "info"))
+        .select(
+            "s",
+            F.col("info.b.j").alias("cluster"),
+            F.col("info.b.d").alias("_sq_dist"),
+            F.posexplode("info.subv").alias("pos", "x"),
+        )
+        .groupBy("s", "cluster", "pos")
+        .agg(
+            F.sum("x").alias("sum_x"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_sq_dist") / sub_dim).alias("d"),
+        )
+        .collect()
+    )
+
+
+def _fused_loop(
+    slim: DataFrame, m: int, k: int, max_iters: int, rel_tol: float
+) -> list[list[list[float]]]:
     # init: the hash-bucket min-id pick is id-derived, so every subspace
     # seeds from the SAME rows — one collect slices all m books
     # (identical ids, and identical subvector values, to what m separate
@@ -443,51 +494,10 @@ def _fused_loop(
     sub_dim = len(books[0][0])
     hists: list[list[float]] = [[] for _ in range(m)]
     frozen = [False] * m
-    schema = "_books ARRAY<ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>>>>"
     for _ in range(max_iters):
         if all(frozen):
             break
-        bdf = spark.createDataFrame(
-            [([[(j, v) for j, v in enumerate(book)] for book in books],)],
-            schema,
-        )
-        best = F.zip_with(
-            "subs",
-            "_books",
-            lambda subv, book: F.named_struct(
-                F.lit("b"),
-                F.array_min(
-                    F.transform(
-                        book,
-                        lambda c: F.named_struct(
-                            F.lit("d"),
-                            _sq_dist_lambda(subv, c["v"]),
-                            F.lit("j"),
-                            c["j"],
-                        ),
-                    )
-                ),
-                F.lit("subv"),
-                subv,
-            ),
-        )
-        stats = (
-            slim.crossJoin(F.broadcast(bdf))
-            .select(F.posexplode(best).alias("s", "info"))
-            .select(
-                "s",
-                F.col("info.b.j").alias("cluster"),
-                F.col("info.b.d").alias("_sq_dist"),
-                F.posexplode("info.subv").alias("pos", "x"),
-            )
-            .groupBy("s", "cluster", "pos")
-            .agg(
-                F.sum("x").alias("sum_x"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("_sq_dist") / sub_dim).alias("d"),
-            )
-            .collect()
-        )
+        stats = _fused_stats(slim, books, sub_dim)
         new_books = [[list(c) for c in book] for book in books]
         inertia = [0.0] * m
         for r in stats:
@@ -564,6 +574,221 @@ def topk_cosine_pq_trained(
     return topk_cosine_pq_df(
         emb, pq_codebook_from_trained(spark, books)
     )
+
+
+# ------------- oracle-form trained codebooks (round-15 verdict #7) --------
+#
+# The production trainer above is deterministic but was never DuckDB-
+# oracled: its hash-bucket init uses Spark's murmur hash (no DuckDB
+# twin), its rel-tol early stop compares float inertias (cross-engine
+# ulp differences could flip the iteration COUNT), and its centroid
+# means carry raw float-aggregation-order noise that a mid-iteration
+# Voronoi boundary could amplify into different memberships. The
+# ORACLE FORM below closes each hole with a contract change that is
+# part of the operator's definition (mirrored exactly in the SQL twin):
+#
+# - init = the k smallest candidate vec_ids (ORDER BY vec_id LIMIT k);
+# - fixed iteration count (PQ_ORACLE_ITERS), no inertia early stop
+#   (an exact fixpoint freeze stays: iterating past one is a no-op in
+#   BOTH engines, so it cannot diverge);
+# - every centroid coordinate is rounded to PQ_ORACLE_ROUND_DP after
+#   each update, in DuckDB's round semantics (round half away from
+#   zero — pinned bit-exact against duckdb round() in
+#   tests/test_oracle_sql_form.py). Cross-engine float-sum-order
+#   differences in a mean are ~1e-13; the 5e-7 rounding grid absorbs
+#   them, so both engines enter every iteration with IDENTICAL books
+#   and the assignment argmin (lowest-j tie-break both sides) cannot
+#   flip off an ulp.
+#
+# The Spark side still runs the REAL distributed machinery — the same
+# _fused_stats job per iteration as the production loop — so a hash
+# match proves the fused broadcast-assign/posexplode-update pipeline
+# computes Lloyd's, not that two copies of numpy agree. DuckDB runs the
+# iterations as UNROLLED chained CTEs (fixed count, so no recursive CTE
+# single-reference contortions).
+
+PQ_ORACLE_ITERS = 3
+PQ_ORACLE_ROUND_DP = 6
+
+
+def _round_away(x: float, dp: int) -> float:
+    """DuckDB ``round(DOUBLE, dp)`` twin: half away from zero on the
+    scaled double (bit-parity pinned in tests/test_oracle_sql_form.py)."""
+    import math
+
+    s = 10.0 ** dp
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+
+def pq_train_books_oracle(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ORACLE_ITERS,
+    round_dp: int = PQ_ORACLE_ROUND_DP,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Oracle-form fused Lloyd's (see the block comment above): min-id
+    init, fixed ``iters``, centroids rounded to ``round_dp`` per
+    iteration. Each iteration runs the production :func:`_fused_stats`
+    job; only init/stop/rounding differ, and each difference exists to
+    make the trainer a DuckDB one-shot."""
+    slim = (
+        emb.select("vec_id", vec_col, _nrm(emb, vec_col).alias("_nrm"))
+        .select(
+            "vec_id",
+            F.array(
+                *[
+                    F.transform(
+                        F.slice(vec_col, s * PQ_SUB + 1, PQ_SUB),
+                        lambda x: x.cast("double") / F.col("_nrm"),
+                    )
+                    for s in range(m)
+                ]
+            ).alias("subs"),
+        )
+        .persist()
+    )
+    try:
+        picked = slim.orderBy("vec_id").limit(k).collect()
+        books = [
+            [[float(x) for x in r["subs"][s]] for r in picked]
+            for s in range(m)
+        ]
+        sub_dim = len(books[0][0])
+        for _ in range(iters):
+            stats = _fused_stats(slim, books, sub_dim)
+            new_books = [[list(c) for c in book] for book in books]
+            for r in stats:
+                new_books[r["s"]][r["cluster"]][r["pos"]] = _round_away(
+                    r["sum_x"] / r["n"], round_dp
+                )
+            if new_books == books:  # exact fixpoint: further iters no-op
+                break
+            books = new_books
+        return books
+    finally:
+        slim.unpersist(blocking=False)
+
+
+def topk_cosine_pq_trained_oracle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PQ top-k over ORACLE-FORM trained codebooks — the iterative
+    trained-codebook class under a DuckDB oracle (round-15 verdict #7):
+    train on the candidate set (vec_id >= N_QUERIES, so no query vector
+    leaks into its own codebook), then the standard encode/ADC/rank.
+
+    Reference anchor: the trained path a production PQ deployment runs
+    (FAISS ProductQuantizer.train, Jégou 2011 §II) — the production
+    twin is :func:`topk_cosine_pq_trained` (hash init, early stop,
+    sample-bounded), whose quality/determinism is pytest-pinned."""
+    from ..sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_books_oracle(emb.filter(F.col("vec_id") >= N_QUERIES))
+    return topk_cosine_pq_df(emb, pq_codebook_from_trained(spark, books))
+
+
+def _lloyd_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration: assign every training subvector to
+    its nearest cb{i-1} codeword (lowest-j tie-break, the Spark
+    array_min struct order), then per-(s, j, pos) rounded means with
+    empty codewords keeping their previous entry."""
+    prev = f"cb{i - 1}"
+    return f"""
+asg{i} AS (
+  SELECT vec_id, s, j FROM (
+    SELECT e.vec_id, t.s, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id, t.s
+             ORDER BY {_sub_sqdist_sql('e.nemb', 'c.v', 't.s')}, c.j
+           ) AS rn
+    FROM samp e CROSS JOIN sub t JOIN {prev} c ON c.s = t.s
+  ) WHERE rn = 1
+),
+upd{i} AS (
+  SELECT s, j, list(mv ORDER BY pos) AS v FROM (
+    SELECT a.s, a.j, p.pos,
+           round(avg(e.nemb[a.s*{PQ_SUB} + p.pos]),
+                 {PQ_ORACLE_ROUND_DP}) AS mv
+    FROM asg{i} a JOIN samp e USING (vec_id) CROSS JOIN pos p
+    GROUP BY a.s, a.j, p.pos
+  ) GROUP BY s, j
+),
+cb{i} AS MATERIALIZED (
+  SELECT c.s, c.j, coalesce(u.v, c.v) AS v
+  FROM {prev} c LEFT JOIN upd{i} u ON u.s = c.s AND u.j = c.j
+)"""
+
+
+def _topk_cosine_pq_trained_oracle_sql(
+    k: int = PQ_K, iters: int = PQ_ORACLE_ITERS
+) -> str:
+    """DuckDB twin of :func:`topk_cosine_pq_trained_oracle`: the SAME
+    min-id init, ``iters`` UNROLLED Lloyd iterations (chained CTEs — a
+    fixed iteration count needs no recursive CTE) with per-iteration
+    round-to-{dp} centroids, then the standard encode/LUT/ADC/rank tail
+    (verbatim the fixed-codebook twin's). The per-iteration rounding is
+    what makes the iterative fixpoint cross-engine comparable: both
+    engines enter every iteration with identical books (see the Spark
+    side's block comment)."""
+    score = " + ".join(
+        f"l.lp[{s}*{k} + e.codes[{s + 1}] + 1]" for s in range(PQ_M)
+    )
+    iter_ctes = ",".join(_lloyd_iter_sql(i) for i in range(1, iters + 1))
+    return f"""
+WITH enorm AS MATERIALIZED ({_unit_sql()}),
+samp AS MATERIALIZED (
+  SELECT vec_id, nemb FROM enorm WHERE vec_id >= {N_QUERIES}
+),
+sub AS (SELECT CAST(s AS INT) AS s FROM generate_series(0, {PQ_M - 1}) AS t(s)),
+pos AS (SELECT CAST(pos AS INT) AS pos
+        FROM generate_series(1, {PQ_SUB}) AS t(pos)),
+seed AS (
+  SELECT * FROM (
+    SELECT vec_id, nemb,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+    FROM samp
+  ) WHERE j < {k}
+),
+cb0 AS MATERIALIZED (
+  SELECT t.s, e.j, e.nemb[t.s*{PQ_SUB}+1 : t.s*{PQ_SUB}+{PQ_SUB}] AS v
+  FROM seed e CROSS JOIN sub t
+),{iter_ctes},
+cb AS MATERIALIZED (SELECT s, j, v FROM cb{iters}),
+enc AS MATERIALIZED (
+  SELECT vec_id, list(j ORDER BY s) AS codes FROM (
+    SELECT e.vec_id, t.s, c.j,
+           row_number() OVER (
+             PARTITION BY e.vec_id, t.s
+             ORDER BY {_sub_sqdist_sql('e.nemb', 'c.v', 't.s')}, c.j
+           ) AS rn
+    FROM enorm e CROSS JOIN sub t JOIN cb c ON c.s = t.s
+    WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rn = 1 GROUP BY vec_id
+),
+lut AS MATERIALIZED (
+  SELECT q_id, list(p ORDER BY s, j) AS lp FROM (
+    SELECT q.vec_id AS q_id, t.s, c.j,
+           {_sub_dot_sql('q.nemb', 'c.v', 't.s')} AS p
+    FROM enorm q CROSS JOIN sub t JOIN cb c ON c.s = t.s
+    WHERE q.vec_id < {N_QUERIES}
+  ) GROUP BY q_id
+)
+SELECT q_id, c_id, adc, rn FROM (
+  SELECT l.q_id, e.vec_id AS c_id, round({score}, 6) AS adc,
+         row_number() OVER (
+           PARTITION BY l.q_id ORDER BY round({score}, 6) DESC, e.vec_id
+         ) AS rn
+  FROM enc e CROSS JOIN lut l
+) WHERE rn <= {TOP_K}
+ORDER BY q_id, rn
+"""
+
+
+# TOPK_COSINE_PQ_TRAINED_ORACLE_SQL is materialized further down, after
+# the _sub_*_sql helpers it composes are defined.
 
 
 def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,6 +1785,8 @@ ORDER BY q_id, rn
 
 
 TOPK_COSINE_PQ_SQL = _topk_cosine_pq_sql()
+
+TOPK_COSINE_PQ_TRAINED_ORACLE_SQL = _topk_cosine_pq_trained_oracle_sql()
 
 
 def _topk_cosine_ivfpq_sql() -> str:

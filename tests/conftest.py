@@ -29,6 +29,12 @@ _HAVE_PYTEST_TIMEOUT = importlib.util.find_spec("pytest_timeout") is not None
 
 
 def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run the @pytest.mark.slow bench-scale (sf0.1) quality pins",
+    )
     if not _HAVE_PYTEST_TIMEOUT:
         parser.addoption(
             "--timeout",
@@ -40,6 +46,27 @@ def pytest_addoption(parser):
                 "SIGALRM fallback when pytest-timeout is not installed"
             ),
         )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: bench-scale (sf0.1) quality pins — skipped unless "
+        "--runslow or SPARK_GRAFT_SLOW=1 (round-15 verdict #3)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get(
+        "SPARK_GRAFT_SLOW"
+    ) == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow sf0.1 pin: pass --runslow or SPARK_GRAFT_SLOW=1"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 if not _HAVE_PYTEST_TIMEOUT and hasattr(signal, "SIGALRM"):

@@ -4,6 +4,7 @@ the simhash precision/recall metric with a pinned lower bound."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from concerts_etl_sa_spark.operators.dedup import simhash_quality
@@ -120,6 +121,95 @@ def test_realistic_fixture_compression_family_recall_floors(spark):
     assert r_ivf >= 0.70, r_ivf
     assert r_pq >= 0.20, r_pq
     assert r_sq8 > r_ivf > r_pq, (r_sq8, r_ivf, r_pq)
+
+
+@pytest.mark.slow
+def test_sf01_realistic_compression_family_floors_and_labelqa(spark):
+    """Bench-scale re-pin (round-15 verdict #3): the compression
+    family's recall ordering and floors, and the IVF-pruned labelqa's
+    agreement with the exact form, on the realistic fixture rebuilt
+    over sf0.1 documents (5000 rows — 10x the standing sf0.001 pins).
+    Measured: IVF(trained k=8, nprobe=2) 0.830, SQ8 0.970, PQ(trained)
+    0.200; labelqa agreement 0.820 at the production nprobe=4/auto-K
+    (K=83 lists) — far above the isotropic table's 0.59 at equal
+    nprobe, the clustered-geometry claim the production default rests
+    on. Floors at measured-minus-noise; ordering exact > SQ8 >> IVF >
+    PQ must hold at scale."""
+    from concerts_etl_sa_spark.operators import labelqa as LQ
+    from concerts_etl_sa_spark.operators import pq
+    from concerts_etl_sa_spark.operators.kmeans import (
+        TRAIN_POINTS_PER_CENTROID,
+        centroids_df,
+        kmeans_fit,
+    )
+    from concerts_etl_sa_spark.operators.semdedup import (
+        SEMDEDUP_CENTROID_RESIDUE,
+        _auto_stride,
+    )
+    from concerts_etl_sa_spark.operators.similarity import _ivf_topk, _norm2
+
+    from .realistic_emb import (
+        np_truth_pairs,
+        realistic_embeddings,
+        recall_vs_truth,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    df, x, _ = realistic_embeddings(spark, sf01)
+    emb = df.select("vec_id", "embedding")
+    n = len(x)
+    truth = np_truth_pairs(x)
+
+    fitted, _ = kmeans_fit(
+        emb, k=8, max_iters=3,
+        train_sample_rows=TRAIN_POINTS_PER_CENTROID * 8, train_sample_n=n,
+    )
+    coarse = centroids_df(spark, fitted).withColumn(
+        "c_n2", _norm2("centroid_vec")
+    )
+    r_ivf = recall_vs_truth(
+        _ivf_topk(df.select("vec_id", "embedding", "norm2"), coarse,
+                  nprobe=2),
+        truth,
+    )
+    r_sq8 = recall_vs_truth(pq.topk_cosine_sq8_df(emb), truth)
+    books = pq.pq_train_fused(
+        emb, m=pq.PQ_M, k=pq.PQ_K, max_iters=3,
+        train_sample_rows=TRAIN_POINTS_PER_CENTROID * pq.PQ_K,
+        train_sample_n=n,
+    )
+    r_pq = recall_vs_truth(
+        pq.topk_cosine_pq_df(emb, pq.pq_codebook_from_trained(spark, books)),
+        truth,
+    )
+    assert r_sq8 >= 0.93, r_sq8
+    assert r_ivf >= 0.75, r_ivf
+    assert r_pq >= 0.15, r_pq
+    assert r_sq8 > r_ivf > r_pq, (r_sq8, r_ivf, r_pq)
+
+    labeled = df.select(
+        "vec_id", "embedding", "label", _norm2("embedding").alias("norm2")
+    )
+    exact = {
+        r.vec_id: r.is_suspect
+        for r in LQ.knn_label_noise_df(labeled).collect()
+    }
+    st = _auto_stride(n, 60)
+    cents = (
+        df.filter(
+            (F.col("vec_id") % st) == F.lit(SEMDEDUP_CENTROID_RESIDUE % st)
+        ).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+            _norm2("embedding").alias("c_n2"),
+        )
+    )
+    ivf = {
+        r.vec_id: r.is_suspect
+        for r in LQ.knn_label_noise_ivf_df(labeled, cents, nprobe=4).collect()
+    }
+    agree = sum(1 for k in exact if ivf.get(k) == exact[k]) / len(exact)
+    assert agree >= 0.75, agree  # measured 0.820
 
 
 def test_simhash_quality_pinned_bounds(spark):

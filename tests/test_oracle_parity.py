@@ -140,6 +140,16 @@ def _all_queries():
         # l1_dedup_clusters, rotation #8) — parity kept
         ("unreg_b20_defaults_bundle", SS.defaults_bundle,
          SS.DEFAULTS_BUNDLE_SQL),
+        # round-15 (verdict #7): the ITERATIVE trained-codebook class
+        # under a DuckDB oracle — the oracle-form fused Lloyd's (min-id
+        # init, fixed iterations, per-iteration round-to-6dp centroids;
+        # each contract change exists to make the trainer a DuckDB
+        # one-shot, rationale in operators/pq.py) vs 3 UNROLLED Lloyd
+        # iterations as chained CTEs. Bit-exact 10/10 at sf0.01+sf0.1
+        # at derivation; the production trainer (hash init, early stop,
+        # sample bound) stays pytest-pinned in tests/test_pq.py.
+        ("unreg_l2_pq_trained_oracle", PQ.topk_cosine_pq_trained_oracle,
+         PQ.TOPK_COSINE_PQ_TRAINED_ORACLE_SQL),
         # round-9 IVF+PQ composition (fixed coarse + fixed codebook):
         # the window is full, so the FAISS-style production shape is
         # parity-pinned here

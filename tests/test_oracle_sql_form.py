@@ -49,3 +49,31 @@ def test_list_inner_product_bitexact_vs_chain():
             f"SELECT list_inner_product({al}, {bl}) = ({chain})"
         ).fetchall()[0][0]
         assert eq, (a, b)
+
+
+def test_round_away_matches_duckdb_round():
+    """pq._round_away (the oracle-form trainer's per-iteration centroid
+    rounding, round-15) must be bit-exact with DuckDB's
+    round(DOUBLE, dp) — half away from zero — on dense uniform doubles
+    AND on exact-grid/near-half adversarial values. A drift here makes
+    the two engines enter a Lloyd iteration with different books and
+    the trained-oracle parity row flakes."""
+    from concerts_etl_sa_spark.operators.pq import (
+        PQ_ORACLE_ROUND_DP,
+        _round_away,
+    )
+
+    con = duckdb.connect()
+    rng = random.Random(15)
+    vals = [rng.uniform(-1, 1) for _ in range(5000)]
+    vals += [rng.uniform(-1, 1) * 10 ** rng.randint(-9, 3) for _ in range(2000)]
+    # adversarial: values on and around the rounding grid
+    vals += [i * 5e-7 for i in range(-20, 21)]
+    vals += [i * 5e-7 + 1e-13 for i in range(-20, 21)]
+    vals += [i * 5e-7 - 1e-13 for i in range(-20, 21)]
+    lit = "[" + ",".join(repr(v) for v in vals) + "]::DOUBLE[]"
+    duck = con.execute(
+        f"SELECT list_transform({lit}, x -> round(x, {PQ_ORACLE_ROUND_DP}))"
+    ).fetchall()[0][0]
+    ours = [_round_away(v, PQ_ORACLE_ROUND_DP) for v in vals]
+    assert duck == ours
