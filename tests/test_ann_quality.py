@@ -187,16 +187,24 @@ def test_sf01_realistic_compression_family_floors_and_labelqa(spark):
     assert r_pq >= 0.15, r_pq
     assert r_sq8 > r_ivf > r_pq, (r_sq8, r_ivf, r_pq)
 
-    labeled = df.select(
+    # labelqa agreement on the 2000-row prefix: the exact side is the
+    # documented NON-scale N^2 form, and the full 5000-row exact kNN
+    # costs minutes at the suite's local[4] — the prefix keeps the pin
+    # 4x the sf0.001 scale at a bounded runtime. Measured: 0.8425 on
+    # the 2000-prefix (0.820 on the full 5000 at derivation — same
+    # clustered-geometry story, both far above the isotropic 0.59).
+    sub = df.filter(F.col("vec_id") < 2000)
+    n_sub = sub.count()
+    labeled = sub.select(
         "vec_id", "embedding", "label", _norm2("embedding").alias("norm2")
     )
     exact = {
         r.vec_id: r.is_suspect
         for r in LQ.knn_label_noise_df(labeled).collect()
     }
-    st = _auto_stride(n, 60)
+    st = _auto_stride(n_sub, 60)
     cents = (
-        df.filter(
+        sub.filter(
             (F.col("vec_id") % st) == F.lit(SEMDEDUP_CENTROID_RESIDUE % st)
         ).select(
             F.col("vec_id").alias("centroid_id"),
@@ -209,7 +217,7 @@ def test_sf01_realistic_compression_family_floors_and_labelqa(spark):
         for r in LQ.knn_label_noise_ivf_df(labeled, cents, nprobe=4).collect()
     }
     agree = sum(1 for k in exact if ivf.get(k) == exact[k]) / len(exact)
-    assert agree >= 0.75, agree  # measured 0.820
+    assert agree >= 0.78, agree  # measured 0.8425
 
 
 def test_simhash_quality_pinned_bounds(spark):
