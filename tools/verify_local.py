@@ -272,13 +272,17 @@ def main(argv: list[str] | None = None):
             "flaky bug, not weather (retry no longer forgives it)"
         )
         failed.append(n)
-    try:
-        import json as _json
+    # only FULL batches update the memory: a clean single-query rerun
+    # must not erase a full sitting's transient record (that would
+    # reset the consecutive-sitting counter and mask the flake)
+    if not ONLY:
+        try:
+            import json as _json
 
-        with open(state_path, "w") as f:
-            _json.dump(sorted(transients), f)
-    except Exception:
-        pass
+            with open(state_path, "w") as f:
+                _json.dump(sorted(transients), f)
+        except Exception:
+            pass
     print()
     total = len([n for n in qs if not ONLY or n in ONLY])
     print(f"{total - len(failed)}/{total} queries pass vs oracle @ {SF_DIR}")
