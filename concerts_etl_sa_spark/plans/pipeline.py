@@ -165,28 +165,31 @@ LANDING_LOOKBACK_DAYS = 36500
 def pipeline_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 lifecycle under the driver correctness gate (rotation #12):
     derive deterministic landing files from events.parquet
-    (sources/landing_gen.py, zero RNG), then the FULL production entry
+    (sources/landing_gen.py, zero RNG), then the lifecycle's QUERY path
     — JSONL scans with pinned schemas, A6 content-hash dedup, C5
     nameless skip, 3-stage datetime cascade, B17/B19/B6/B7/C4 parses,
-    consolidate, snapshot + preview sinks, per-source counts — and
-    return the consolidated frame. The DuckDB twin
+    consolidate — returning the consolidated frame. The DuckDB twin
     (:data:`PIPELINE_LANDING_SQL`) reads the SAME JSONL files and
     recomputes scan→dedup→parse→consolidate end-to-end.
 
+    Deliberately NOT :func:`run_all_from_landing`: the oracle only ever
+    verifies the returned frame, and the sink tail (snapshot + preview
+    + counts, plus the output cache feeding them) pushed the row's peak
+    past a 1g plain-session heap at sf0.1 — the sinks/degradation stay
+    covered by tests/test_landing_gen.py and the
+    `unreg_pipeline_landing` bench row, which both run the full entry.
+
     Reference anchor: concerts_etl/cli.py:20-41 (run_all — the active
-    production path this row proves end-to-end)."""
+    production path; this row proves its extract→consolidate spine)."""
+    from ..operators.consolidate import consolidate
+    from ..sources.dice_json import load_dice_events
     from ..sources.landing_gen import AS_OF_LANDING, generate_landing
+    from ..sources.shotgun_cards import load_shotgun_events
 
     cards, dice = generate_landing(spark, sf_dir, LANDING_WINDOW_DIR)
-    res = run_all_from_landing(
-        spark,
-        cards,
-        dice,
-        f"{LANDING_WINDOW_DIR}/out",
-        as_of=AS_OF_LANDING,
-        dice_lookback_days=LANDING_LOOKBACK_DAYS,
-    )
-    return res.consolidated
+    sg = load_shotgun_events(spark, cards)
+    dc = load_dice_events(spark, dice, lookback_days=LANDING_LOOKBACK_DAYS)
+    return consolidate(sg, dc, as_of=AS_OF_LANDING)
 
 
 def pipeline_landing_sql() -> str:

@@ -86,6 +86,21 @@ def q_consolidate(spark, sf_dir):
     return C.consolidate(_sg(spark, sf_dir), _dc(spark, sf_dir))
 
 
+# round-15 rotation #12 (slot ceded by d7_suppliers_with_returns, see
+# the ledger note at the joins block): the §3.1 lifecycle's query path
+# end-to-end (generate + scan + A6 dedup + parse cascade + consolidate;
+# the sink tail stays bench+pytest covered — see the fn docstring for
+# why). Registered EARLY in the window deliberately: the row is
+# flagship-sized PLUS the landing generation, and a 1g-heap plain
+# session at sf0.1 OOMed when it sat mid-window behind a batch of
+# accumulated JVM state (the f4 "keep it early" precedent). Insertion
+# order only sequences execution; all 50 entries are gate-checked
+# either way.
+from .plans import pipeline as PL  # noqa: E402
+
+register("pipeline_landing", PL.PIPELINE_LANDING_SQL)(PL.pipeline_landing)
+
+
 # ===================================================================
 # 4-20: North-star L-family (SURVEY §2.L) — dedup, ANN, multimodal, text
 # ===================================================================
@@ -216,7 +231,6 @@ for _name, _fn, _sql in _L_FAMILY:
 
 from .operators import asof as AS  # noqa: E402
 from .operators import legacy_match as L  # noqa: E402
-from .plans import pipeline as PL  # noqa: E402
 
 
 @register(
@@ -248,14 +262,15 @@ _JOINS_AND_ANALYTICS = [
     # round-15 rotation #12: d7_suppliers_with_returns rotated OUT (the
     # second of two same-plan-family anti-join rows — the retained
     # d7_customers_without_urgent_orders keeps the left-anti family
-    # in-window) in favor of the §3.1 LIFECYCLE end-to-end: deterministic
-    # landing JSONL (card dump + dice GraphQL) -> scan -> A6 dedup ->
-    # full parse cascade -> consolidate, with the DuckDB twin reading
-    # the SAME landing files via read_json and recomputing the whole
-    # path. The one query a production user actually runs, pytest+bench
-    # only through r14. suppliers_with_returns keeps pytest oracle
-    # parity as unreg_* (rationale in SURVEY §8).
-    ("pipeline_landing", PL.pipeline_landing, PL.PIPELINE_LANDING_SQL),
+    # in-window) in favor of the §3.1 LIFECYCLE end-to-end
+    # (pipeline_landing): deterministic landing JSONL (card dump + dice
+    # GraphQL) -> scan -> A6 dedup -> full parse cascade -> consolidate,
+    # with the DuckDB twin reading the SAME landing files via read_json
+    # and recomputing the whole path. The one query a production user
+    # actually runs, pytest+bench only through r14. The row itself is
+    # registered near the top of the window (heap-freshness, see there);
+    # suppliers_with_returns keeps pytest oracle parity as unreg_*
+    # (rationale in SURVEY §8).
     # 26-27: sessionization pair (f4 regressed under the driver in r1 —
     # keep it early in the window)
     ("f4_user_sessions", A.user_sessions, A.USER_SESSIONS_SQL),

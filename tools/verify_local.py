@@ -119,8 +119,22 @@ def _build_spark():
         return get_spark("verify_local")
     from pyspark.sql import SparkSession
 
+    # SPARK_GRAFT_VERIFY_THREADS bounds the plain session's task
+    # concurrency (default '*', the exact driver mimic). Round-15
+    # finding: the plain session's TRANSIENT heap peak is concurrency-
+    # driven, not data-driven — 32 concurrent tasks' operator buffers
+    # put one flagship-class consolidate near the whole 1g default
+    # heap at sf0.1 (fails at 768m; two consolidate-class rows
+    # back-to-back OOM even at 1g), while local[8] runs both in 768m.
+    # The sf0.1 evidence log runs with 16 threads for headroom; the
+    # SQL surface stays config-free either way. This is the local-mode
+    # analog of executor sizing: cores-per-executor must scale with
+    # executor memory, and 32 tasks in a 1g JVM is a mis-sized
+    # executor, not an engine property.
+    threads = os.environ.get("SPARK_GRAFT_VERIFY_THREADS", "*")
+    print(f"verify session: plain local[{threads}]")
     return (
-        SparkSession.builder.master("local[*]")
+        SparkSession.builder.master(f"local[{threads}]")
         .appName("verify_local_plain")
         .getOrCreate()
     )
