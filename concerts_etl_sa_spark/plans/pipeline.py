@@ -149,13 +149,21 @@ def run_all_from_landing(
 
 # --------------------------- driver-window form (round-15 rotation #12)
 
-# Fixed path shared by the Spark query and its DuckDB oracle: the query
-# fn (re)generates the landing files here EAGERLY before returning its
+# Path shared by the Spark query and its DuckDB oracle: the query fn
+# (re)generates the landing files here EAGERLY before returning its
 # frame, and the driver/verify loop always executes the Spark side
 # before the oracle SQL, so the oracle's read_json sees exactly the
-# files this process derived for its sf. Single-writer by contract (the
-# driver runs queries sequentially); bench uses its own tempdir.
-LANDING_WINDOW_DIR = "/tmp/spark_graft_landing_window"
+# files this process derived for its sf. PER-PROCESS (round-15 review
+# finding #2): a single fixed path raced when two processes ran the
+# row concurrently (a pytest parity run at sf0.001 overwriting the
+# files mid-oracle of a verify run at sf0.1); the pid suffix gives
+# each process its own generation while keeping the path a constant
+# WITHIN the process — PIPELINE_LANDING_SQL is materialized at import
+# in the same process that later runs both sides, so the static SQL
+# string and the writer always agree. Bench uses its own tempdir.
+import os as _os
+
+LANDING_WINDOW_DIR = f"/tmp/spark_graft_landing_window_{_os.getpid()}"
 
 # fixture dates are pinned (2030, landing_gen's +6y shift) — pass a
 # wide dice lookback so the run's shape never depends on the wall clock

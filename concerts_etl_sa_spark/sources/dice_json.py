@@ -129,12 +129,21 @@ def dice_landing_sql(path: str) -> str:
     first_city = "CASE WHEN venues[1].city IS NOT NULL THEN trim(venues[1].city) END"
     first_vname = "CASE WHEN venues[1].name IS NOT NULL THEN trim(venues[1].name) END"
     first_artist = "CASE WHEN artists[1].name IS NOT NULL THEN trim(artists[1].name) END"
+    # B12 'Z'-suffix parse, host-tz-safe (round-15 review finding #1):
+    # Spark's try_to_timestamp converts the UTC instant into the
+    # SESSION timezone's wall clock; a bare try_cast(... AS TIMESTAMP)
+    # in DuckDB keeps the naive wall clock instead, so the two engines
+    # disagree on every row whenever the host tz is not UTC. Parsing
+    # through TIMESTAMPTZ (instant) and casting down to TIMESTAMP
+    # applies DuckDB's session tz — the same host default Spark's
+    # plain session inherits — restoring parity on any host.
+    ts = "try_cast(try_cast(startDatetime AS TIMESTAMPTZ) AS TIMESTAMP)"
     return f"""
 SELECT
   id AS event_id_provider,
   coalesce(trim(name), '') AS event_name,
   {first_city} AS city,
-  try_cast(startDatetime AS TIMESTAMP) AS event_datetime_local,
+  {ts} AS event_datetime_local,
   try_cast(tickets.totalCount AS BIGINT) AS tickets_sold_total,
   coalesce({first_artist}, trim(name)) AS artist_name,
   {first_vname} AS venue_name

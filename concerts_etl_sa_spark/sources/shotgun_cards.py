@@ -53,16 +53,43 @@ def read_cards_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(CARD_SCHEMA).json(path)
 
 
+# A6 winner tie-break: the scalar card fields, ascending, NULLS FIRST
+# on BOTH engines (Spark's asc default is nulls-first; DuckDB's is
+# nulls-LAST, so the twin pins it explicitly). Deterministic whenever
+# same-hash cards differ in any scalar field; cards identical in every
+# scalar but differing only in the stat arrays would still tie — the
+# reference's own rule is "first harvested wins" (arbitrary), and the
+# fixture's duplicates are bit-identical full rows.
+_DEDUP_ORDER_COLS = (
+    "outer_html", "name_text", "time_attr", "card_text", "gross_text",
+    "city_text",
+)
+
+
 def dedup_cards(cards: DataFrame) -> DataFrame:
-    """A6: overlapping selectors harvest the same DOM node more than once;
-    dedup on a content hash of the html prefix (hash(outerHTML[:512]))."""
+    """A6: overlapping selectors harvest the same DOM node more than
+    once; dedup on a content hash of the html prefix
+    (hash(outerHTML[:512])). Winner selection is DETERMINISTIC (round-15
+    review finding #4): the min row under ``_DEDUP_ORDER_COLS`` —
+    ``dropDuplicates`` kept a partition-order-dependent row, which was
+    only parity-safe while same-hash duplicates were bit-identical; a
+    same-prefix-different-suffix card (real scrapes have them) would
+    have made the oracle comparison flake run-to-run. Plan shape: one
+    shuffle on the hash + a within-group sort of dup-multiplicity-sized
+    groups — same exchange key as dropDuplicates, negligible sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash").orderBy(
+        *[F.asc_nulls_first(c) for c in _DEDUP_ORDER_COLS]
+    )
     return (
         cards.withColumn(
             "content_hash",
             F.md5(F.substring(F.coalesce("outer_html", F.lit("")), 1, 512)),
         )
-        .dropDuplicates(["content_hash"])
-        .drop("content_hash")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("content_hash", "_rn")
     )
 
 
@@ -163,7 +190,8 @@ FROM (
     SELECT * EXCLUDE (rn) FROM (
       SELECT *, row_number() OVER (
         PARTITION BY md5(substring(coalesce(outer_html, ''), 1, 512))
-        ORDER BY outer_html) AS rn
+        ORDER BY {", ".join(c + " ASC NULLS FIRST" for c in _DEDUP_ORDER_COLS)}
+      ) AS rn
       FROM read_json('{path}/*.json', format='newline_delimited',
         columns={{outer_html:'VARCHAR', name_text:'VARCHAR',
                  time_attr:'VARCHAR', card_text:'VARCHAR',

@@ -279,7 +279,9 @@ def main(argv: list[str] | None = None):
             prior_transients = set(_json.load(f))
     except Exception:
         pass
-    repeat = [n for n in transients if n in prior_transients]
+    repeat = [
+        n for n in transients if n in prior_transients and n not in failed
+    ]
     for n in repeat:
         print(
             f"FAIL  {n}: TRANSIENT in two consecutive sittings — "
