@@ -5,6 +5,8 @@ query runs in test_oracle_parity.py (in-window: l2_topk_cosine_pq)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from concerts_etl_sa_spark.operators import pq
@@ -232,3 +234,32 @@ def test_pq_train_fused_matches_sequential(spark):
         for ca, cb in zip(a, b):
             assert max(abs(x - y) for x, y in zip(ca, cb)) <= 1e-9
     assert pq_train_fused(emb) == fus
+
+
+@pytest.mark.slow
+def test_trained_oracle_parity_sf01(spark):
+    """Bench-scale re-pin of the trained-codebook oracle (round-15):
+    the oracle-form fused Lloyd's must stay bit-exact with the unrolled
+    DuckDB CTE twin at sf0.1 (2000 embeddings — 4x the sf0.001 parity
+    scale; 10/10 repetitions at derivation). Slow-marked: the DuckDB
+    side runs three full Lloyd iterations over the 1980-candidate
+    sample plus the encode/LUT tail."""
+    import duckdb
+    sf01 = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf01}/embeddings.parquet'"
+    )
+    srows = sorted(
+        tuple(r)
+        for r in pq.topk_cosine_pq_trained_oracle(spark, sf01).collect()
+    )
+    orows = sorted(
+        tuple(r)
+        for r in con.execute(
+            pq.TOPK_COSINE_PQ_TRAINED_ORACLE_SQL
+        ).fetchall()
+    )
+    assert len(srows) == len(orows)
+    assert srows == orows
+

@@ -58,11 +58,26 @@ def main() -> None:
     ceiling = int(open("/proc/sys/vm/max_map_count").read())
     print(f"map ceiling: {ceiling}; start maps: {nmaps()}")
     peak = 0
+    skipped: set[str] = set()
     for r in range(ROUNDS):
         for name, sql in oracles.items():
             b = nmaps()
-            con.execute(sql).arrow()
-            con.execute(sql).fetchall()
+            try:
+                con.execute(sql).arrow()
+                con.execute(sql).fetchall()
+            except duckdb.IOException as ex:
+                # pipeline_landing's twin reads Spark-side-generated
+                # landing files under a PER-PROCESS path (round-15) —
+                # this Spark-free probe has no generation step, so that
+                # one row is probe-invisible by design. Anything else
+                # missing is a real error.
+                if "spark_graft_landing_window" in str(ex):
+                    if name not in skipped:
+                        skipped.add(name)
+                        print(f"  skip {name}: needs Spark-side landing "
+                              "generation (probe is duck-only)")
+                    continue
+                raise
             a = nmaps()
             peak = max(peak, a)
             if a - b > 1000:
