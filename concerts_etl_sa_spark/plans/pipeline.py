@@ -201,15 +201,28 @@ def pipeline_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pipeline_landing_sql() -> str:
+    """The window oracle is SELF-CONTAINED (round-15 final form): the
+    landing-source relations are re-derived from the ``events`` view in
+    pure SQL (``landing_gen.*_src_sql`` — bit-exact vs the generated
+    JSONL, pinned by the lockstep test in tests/test_landing_gen.py)
+    and fed through the same parse twins the file-reading forms use.
+    No read of the Spark-side files: no cross-process ordering
+    assumption about the driver's harness, no concurrency coupling —
+    and STRICTER, because a generator bug now mismatches the oracle
+    instead of being read back identically by both engines."""
     from ..operators.consolidate import consolidate_oracle_sql
-    from ..sources.dice_json import dice_landing_sql
-    from ..sources.landing_gen import AS_OF_LANDING
-    from ..sources.shotgun_cards import shotgun_landing_sql
+    from ..sources.dice_json import dice_landing_parse_sql
+    from ..sources.landing_gen import (
+        AS_OF_LANDING,
+        dice_nodes_src_sql,
+        shotgun_cards_src_sql,
+    )
+    from ..sources.shotgun_cards import shotgun_landing_parse_sql
 
     return consolidate_oracle_sql(
         as_of=AS_OF_LANDING,
-        sg_sql=shotgun_landing_sql(f"{LANDING_WINDOW_DIR}/cards_jsonl"),
-        dc_sql=dice_landing_sql(f"{LANDING_WINDOW_DIR}/dice_jsonl"),
+        sg_sql=shotgun_landing_parse_sql(shotgun_cards_src_sql()),
+        dc_sql=dice_landing_parse_sql(dice_nodes_src_sql()),
     )
 
 

@@ -118,14 +118,18 @@ def load_dice_events(
     )
 
 
-def dice_landing_sql(path: str) -> str:
-    """DuckDB twin of :func:`load_dice_events`, projected to the columns
-    consolidation consumes (rotation #12, the landing-lifecycle oracle):
-    read_json with the SAME pinned nested schema, B18 first-of-array
-    extraction, B12 ISO-Z parse, B21 safe int cast. The A2 lookback is
-    omitted: oracle callers pass a wide ``lookback_days`` so the run's
-    shape never depends on the wall clock (landing_gen's pinned 2030
-    dates), making the Spark-side filter a keep-everything no-op."""
+def dice_landing_parse_sql(src_sql: str) -> str:
+    """DuckDB twin of the :func:`load_dice_events` normalize path over
+    any GraphQL-node relation (rotation #12): B18 first-of-array
+    extraction, B12 ISO-Z parse, B21 safe int cast, projected to the
+    columns consolidation consumes. The A2 lookback is omitted: oracle
+    callers pass a wide ``lookback_days`` so the run's shape never
+    depends on the wall clock (landing_gen's pinned 2030 dates), making
+    the Spark-side filter a keep-everything no-op. ``src_sql`` is
+    either the read_json scan of real landing files
+    (:func:`dice_landing_sql`) or the pure-SQL re-derivation from the
+    events table (``landing_gen.dice_nodes_src_sql`` — what the
+    self-contained window oracle uses)."""
     first_city = "CASE WHEN venues[1].city IS NOT NULL THEN trim(venues[1].city) END"
     first_vname = "CASE WHEN venues[1].name IS NOT NULL THEN trim(venues[1].name) END"
     first_artist = "CASE WHEN artists[1].name IS NOT NULL THEN trim(artists[1].name) END"
@@ -136,7 +140,11 @@ def dice_landing_sql(path: str) -> str:
     # disagree on every row whenever the host tz is not UTC. Parsing
     # through TIMESTAMPTZ (instant) and casting down to TIMESTAMP
     # applies DuckDB's session tz — the same host default Spark's
-    # plain session inherits — restoring parity on any host.
+    # plain session inherits — restoring parity on any host. (With the
+    # DERIVATION source the string itself is rendered from the stored
+    # naive ts, so end-to-end tz behavior follows the repo-wide class
+    # measured in BASELINE.md round-15 — resolved by the r16 NTZ
+    # migration, not per-row devices.)
     ts = "try_cast(try_cast(startDatetime AS TIMESTAMPTZ) AS TIMESTAMP)"
     return f"""
 SELECT
@@ -147,10 +155,20 @@ SELECT
   try_cast(tickets.totalCount AS BIGINT) AS tickets_sold_total,
   coalesce({first_artist}, trim(name)) AS artist_name,
   {first_vname} AS venue_name
-FROM read_json('{path}/*.json', format='newline_delimited',
-  columns={{id:'VARCHAR', name:'VARCHAR', startDatetime:'VARCHAR',
-           artists:'STRUCT(name VARCHAR)[]',
-           venues:'STRUCT(name VARCHAR, city VARCHAR, country VARCHAR,
-                          timezoneName VARCHAR)[]',
-           tickets:'STRUCT(totalCount VARCHAR)', currency:'VARCHAR'}})
+FROM ({src_sql})
 """
+
+
+def dice_landing_sql(path: str) -> str:
+    """File-reading form of the landing normalize twin: read_json with
+    the SAME pinned nested schema the Spark side scans (used by the
+    generator↔derivation lockstep test)."""
+    return dice_landing_parse_sql(
+        f"""SELECT * FROM read_json('{path}/*.json',
+    format='newline_delimited',
+    columns={{id:'VARCHAR', name:'VARCHAR', startDatetime:'VARCHAR',
+             artists:'STRUCT(name VARCHAR)[]',
+             venues:'STRUCT(name VARCHAR, city VARCHAR, country VARCHAR,
+                            timezoneName VARCHAR)[]',
+             tickets:'STRUCT(totalCount VARCHAR)', currency:'VARCHAR'}})"""
+    )

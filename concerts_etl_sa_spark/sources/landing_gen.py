@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.fixtures import ARTISTS, CITIES, VENUES, _pick
+from ..operators.fixtures import ARTISTS, CITIES, VENUES, _pick, _pick_sql
 from .readers import load_table
 
 # AS_OF (2024-01-15) shifted by the same +6 years as the generated dates
@@ -178,6 +178,98 @@ def dice_nodes_df(events: DataFrame) -> DataFrame:
         ).alias("tickets"),
         F.lit("EUR").alias("currency"),
     )
+
+
+def _name_cols_sql() -> tuple[str, str, str, str]:
+    return (
+        _pick_sql(ARTISTS, "CAST(user_id % 20 + 1 AS INT)"),
+        _pick_sql(ARTISTS, "CAST((user_id + 7) % 20 + 1 AS INT)"),
+        _pick_sql(VENUES, "CAST(event_id % 7 + 1 AS INT)"),
+        _pick_sql(CITIES, "CAST(event_id % 5 + 1 AS INT)"),
+    )
+
+
+def shotgun_cards_src_sql(events_rel: str = "events") -> str:
+    """DuckDB twin of :func:`shotgun_cards_df`: re-derives the card-dump
+    rows from the events table in pure SQL (round 15). This makes the
+    `pipeline_landing` oracle SELF-CONTAINED — no read of the Spark-side
+    generated files, hence no cross-process ordering/race coupling —
+    and STRICTER: a generator bug now mismatches the oracle instead of
+    being read back identically by both engines. Bit-exactness vs the
+    actually-generated JSONL is pinned in tests/test_landing_gen.py
+    (zero mismatching rows at derivation, both sf0.001 prototypes)."""
+    a, _a2, _v, ci = _name_cols_sql()
+    mon = "(CASE month(ts6) " + " ".join(
+        f"WHEN {i + 1} THEN '{m}'" for i, m in enumerate(_FR_MON)
+    ) + " END)"
+    name = f"""(
+  CASE WHEN event_id % 31 = 0 THEN '   '
+  ELSE CASE event_id % 4
+    WHEN 0 THEN {a} || ' @ ' || {_v}
+    WHEN 1 THEN {a} || ' feat ' || {_a2}
+    WHEN 2 THEN {a} || ' x ' || {_a2}
+    ELSE {a}
+  END END)"""
+    return f"""
+WITH ev AS (
+  SELECT *, ts + INTERVAL 6 YEAR AS ts6 FROM {events_rel}
+  WHERE event_id % 3 = 0
+),
+base AS (
+  SELECT
+    '<div id=''sg-' || CAST(event_id AS VARCHAR) || '''>' || {name}
+      || '</div>' AS outer_html,
+    {name} AS name_text,
+    CASE WHEN event_id % 17 = 0 OR event_id % 11 = 0 THEN NULL
+         ELSE strftime(ts6, '%Y-%m-%dT%H:%M:%S') END AS time_attr,
+    concat_ws(' ', {name},
+      CASE WHEN event_id % 13 = 0 THEN '— COMPLET —' END,
+      CASE WHEN event_id % 17 = 0 THEN ''
+           WHEN event_id % 11 = 0 THEN
+             strftime(ts6, '%-d') || ' ' || {mon} || ' '
+               || strftime(ts6, '%Y %-H:%M')
+           ELSE strftime(ts6, '%Y-%m-%dT%H:%M:%S') END) AS card_text,
+    CASE WHEN event_id % 7 <> 0
+         THEN translate(printf('%.2f', value), ',.', ' ,') || ' €'
+    END AS gross_text,
+    [CAST(CAST(trunc(value) AS BIGINT) % 97 AS VARCHAR),
+     CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)] AS stat_values,
+    ['vendus aujourd''hui', 'vendus au total'] AS stat_suffixes,
+    {ci} AS city_text
+  FROM ev
+)
+SELECT * FROM base
+UNION ALL
+SELECT * FROM base WHERE regexp_matches(outer_html, 'sg-\\d*0''')
+"""
+
+
+def dice_nodes_src_sql(events_rel: str = "events") -> str:
+    """DuckDB twin of :func:`dice_nodes_df` (see
+    :func:`shotgun_cards_src_sql` for why the derivation form exists)."""
+    a, a2, v, ci = _name_cols_sql()
+    name = f"""(CASE event_id % 5
+    WHEN 0 THEN upper({a})
+    WHEN 1 THEN {a} || ' - ' || {v}
+    WHEN 2 THEN {a} || ' & ' || {a2}
+    WHEN 3 THEN {a} || ' Live'
+    ELSE {a} END)"""
+    return f"""
+SELECT
+  'dc-' || CAST(event_id AS VARCHAR) AS id,
+  {name} AS name,
+  CASE WHEN event_id % 19 = 0 THEN 'not-a-date'
+       ELSE strftime(ts + INTERVAL 6 YEAR, '%Y-%m-%dT%H:%M:%SZ')
+  END AS startDatetime,
+  CASE WHEN event_id % 23 = 0 THEN []::STRUCT(name VARCHAR)[]
+       ELSE [{{'name': {a}}}] END AS artists,
+  [{{'name': {v}, 'city': {ci}, 'country': 'FR',
+     'timezoneName': 'Europe/Paris'}}] AS venues,
+  {{'totalCount': CAST(CAST(floor(value / 2) AS BIGINT) AS VARCHAR)}}
+    AS tickets,
+  'EUR' AS currency
+FROM {events_rel} WHERE event_id % 3 = 1
+"""
 
 
 def generate_landing(

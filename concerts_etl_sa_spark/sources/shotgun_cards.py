@@ -148,14 +148,18 @@ def load_shotgun_events(
     return normalize_shotgun(dedup_cards(read_cards_jsonl(spark, path)), run_id)
 
 
-def shotgun_landing_sql(path: str) -> str:
-    """DuckDB twin of :func:`load_shotgun_events`, projected to the
-    columns consolidation consumes (rotation #12, the landing-lifecycle
-    oracle): read_json over the SAME landing files the Spark side
-    scans, then the same A6 dedup-by-content-hash, C5 nameless skip and
-    parse cascade, all from the package's shared ``*_sql`` twins.
-    Lineage columns (scrape_ts_utc, run id) are per-run stamps with no
-    oracle meaning and are not projected."""
+def shotgun_landing_parse_sql(src_sql: str) -> str:
+    """DuckDB twin of the :func:`load_shotgun_events` PARSE path over
+    any card-dump relation (rotation #12): the same A6
+    dedup-by-content-hash (deterministic winner, above), C5 nameless
+    skip and parse cascade, projected to the columns consolidation
+    consumes, all from the package's shared ``*_sql`` twins. Lineage
+    columns (scrape_ts_utc, run id) are per-run stamps with no oracle
+    meaning and are not projected. ``src_sql`` is either the read_json
+    scan of real landing files (:func:`shotgun_landing_sql`) or the
+    pure-SQL re-derivation from the events table
+    (``landing_gen.shotgun_cards_src_sql`` — what the self-contained
+    window oracle uses)."""
     from ..functions.dates import parse_event_datetime_sql
     from ..functions.ids import stable_event_id_sql
     from ..functions.money import parse_int_sql
@@ -192,12 +196,22 @@ FROM (
         PARTITION BY md5(substring(coalesce(outer_html, ''), 1, 512))
         ORDER BY {", ".join(c + " ASC NULLS FIRST" for c in _DEDUP_ORDER_COLS)}
       ) AS rn
-      FROM read_json('{path}/*.json', format='newline_delimited',
-        columns={{outer_html:'VARCHAR', name_text:'VARCHAR',
-                 time_attr:'VARCHAR', card_text:'VARCHAR',
-                 gross_text:'VARCHAR', stat_values:'VARCHAR[]',
-                 stat_suffixes:'VARCHAR[]', city_text:'VARCHAR'}})
+      FROM ({src_sql})
     ) WHERE rn = 1
   ) WHERE {name} <> ''
 )
 """
+
+
+def shotgun_landing_sql(path: str) -> str:
+    """File-reading form of the landing parse twin: read_json over the
+    SAME landing files the Spark side scans (used by the
+    generator↔derivation lockstep test)."""
+    return shotgun_landing_parse_sql(
+        f"""SELECT * FROM read_json('{path}/*.json',
+        format='newline_delimited',
+        columns={{outer_html:'VARCHAR', name_text:'VARCHAR',
+                 time_attr:'VARCHAR', card_text:'VARCHAR',
+                 gross_text:'VARCHAR', stat_values:'VARCHAR[]',
+                 stat_suffixes:'VARCHAR[]', city_text:'VARCHAR'}})"""
+    )

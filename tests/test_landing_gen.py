@@ -143,3 +143,82 @@ def test_generation_is_deterministic(spark, tmp_path):
     b = _lines(str(tmp_path / "g2"))
     assert a == b
     assert sum(len(x) for x in a) > 0
+
+
+def test_derivation_sql_matches_generated_files(spark, tmp_path):
+    """Generator↔derivation LOCKSTEP (round-15 final oracle form): the
+    pure-SQL re-derivations (`shotgun_cards_src_sql` /
+    `dice_nodes_src_sql`) that the self-contained pipeline_landing
+    oracle consumes must be BIT-EXACT with the JSONL the Spark
+    generator actually writes — every column including gross_text and
+    the duplicate-harvest union. A drift here means the window oracle
+    is checking a different corpus than the engine reads. Also pins the
+    no-thousands-grouping regime the derivation's printf money format
+    assumes (events.value < 1000 at every sf; DuckDB's fmt cannot
+    group floats, so a >=1000 value would need a manual grouping
+    expression)."""
+    import duckdb
+
+    from concerts_etl_sa_spark.sources.dice_json import dice_landing_sql
+    from concerts_etl_sa_spark.sources.landing_gen import (
+        dice_nodes_src_sql,
+        shotgun_cards_src_sql,
+    )
+    from concerts_etl_sa_spark.sources.shotgun_cards import (
+        shotgun_landing_sql,
+    )
+
+    cards, dice = generate_landing(spark, SF_DIR, str(tmp_path / "landing"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    assert con.execute(
+        "SELECT max(value) FROM events"
+    ).fetchone()[0] < 1000  # printf money-format regime guard
+
+    card_cols = (
+        "{outer_html:'VARCHAR', name_text:'VARCHAR', time_attr:'VARCHAR',"
+        " card_text:'VARCHAR', gross_text:'VARCHAR',"
+        " stat_values:'VARCHAR[]', stat_suffixes:'VARCHAR[]',"
+        " city_text:'VARCHAR'}"
+    )
+    files = sorted(map(repr, con.execute(
+        f"SELECT * FROM read_json('{cards}/*.json',"
+        f" format='newline_delimited', columns={card_cols})"
+    ).fetchall()))
+    derived = sorted(map(repr, con.execute(shotgun_cards_src_sql()).fetchall()))
+    assert files == derived
+
+    dice_cols = (
+        "{id:'VARCHAR', name:'VARCHAR', startDatetime:'VARCHAR',"
+        " artists:'STRUCT(name VARCHAR)[]',"
+        " venues:'STRUCT(name VARCHAR, city VARCHAR, country VARCHAR,"
+        " timezoneName VARCHAR)[]',"
+        " tickets:'STRUCT(totalCount VARCHAR)', currency:'VARCHAR'}"
+    )
+    files = sorted(map(repr, con.execute(
+        f"SELECT * FROM read_json('{dice}/*.json',"
+        f" format='newline_delimited', columns={dice_cols})"
+    ).fetchall()))
+    derived = sorted(map(repr, con.execute(dice_nodes_src_sql()).fetchall()))
+    assert files == derived
+
+    # and the PARSE twins agree across source forms: file-reading vs
+    # derivation-fed produce identical normalized relations
+    a = sorted(map(repr, con.execute(shotgun_landing_sql(cards)).fetchall()))
+    from concerts_etl_sa_spark.sources.shotgun_cards import (
+        shotgun_landing_parse_sql,
+    )
+    b = sorted(map(repr, con.execute(
+        shotgun_landing_parse_sql(shotgun_cards_src_sql())
+    ).fetchall()))
+    assert a == b
+    from concerts_etl_sa_spark.sources.dice_json import (
+        dice_landing_parse_sql,
+    )
+    a = sorted(map(repr, con.execute(dice_landing_sql(dice)).fetchall()))
+    b = sorted(map(repr, con.execute(
+        dice_landing_parse_sql(dice_nodes_src_sql())
+    ).fetchall()))
+    assert a == b
