@@ -149,18 +149,13 @@ def run_all_from_landing(
 
 # --------------------------- driver-window form (round-15 rotation #12)
 
-# Path shared by the Spark query and its DuckDB oracle: the query fn
-# (re)generates the landing files here EAGERLY before returning its
-# frame, and the driver/verify loop always executes the Spark side
-# before the oracle SQL, so the oracle's read_json sees exactly the
-# files this process derived for its sf. PER-PROCESS (round-15 review
-# finding #2): a single fixed path raced when two processes ran the
-# row concurrently (a pytest parity run at sf0.001 overwriting the
-# files mid-oracle of a verify run at sf0.1); the pid suffix gives
-# each process its own generation while keeping the path a constant
-# WITHIN the process — PIPELINE_LANDING_SQL is materialized at import
-# in the same process that later runs both sides, so the static SQL
-# string and the writer always agree. Bench uses its own tempdir.
+# Per-process scratch path for the Spark side's landing files. The
+# ORACLE no longer reads them (final round-15 form: the twin re-derives
+# the landing sources from the events view in pure SQL — see
+# pipeline_landing_sql), so the path carries no cross-process contract;
+# the pid suffix just keeps concurrent processes (a pytest parity run
+# beside a verify run) from overwriting each other's generations.
+# Bench uses its own tempdir.
 import os as _os
 
 LANDING_WINDOW_DIR = f"/tmp/spark_graft_landing_window_{_os.getpid()}"
@@ -177,8 +172,11 @@ def pipeline_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     — JSONL scans with pinned schemas, A6 content-hash dedup, C5
     nameless skip, 3-stage datetime cascade, B17/B19/B6/B7/C4 parses,
     consolidate — returning the consolidated frame. The DuckDB twin
-    (:data:`PIPELINE_LANDING_SQL`) reads the SAME JSONL files and
-    recomputes scan→dedup→parse→consolidate end-to-end.
+    (:data:`PIPELINE_LANDING_SQL`) re-derives the landing relations
+    from the events view in pure SQL (lockstep-pinned bit-exact vs the
+    generated files) and recomputes dedup→parse→consolidate end-to-end
+    — a fully independent recomputation of what the engine read from
+    disk.
 
     Deliberately NOT :func:`run_all_from_landing`: the oracle only ever
     verifies the returned frame, and the sink tail (snapshot + preview
