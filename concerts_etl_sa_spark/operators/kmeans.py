@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import driver_rows_df
+
 # Two-level (coarse -> fine) assignment engages only above this K: below
 # it the flat broadcast ranking is already cheap. Round-10 measurement
 # history: the first index build ran as NESTED SPARK JOBS over the K
@@ -150,7 +152,9 @@ def centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
     """Materialize trained centroids in the shape
     ``similarity._assign_buckets`` consumes (centroid_id, centroid_vec)."""
     rows = [(j, [float(x) for x in c]) for j, c in enumerate(centroids)]
-    return spark.createDataFrame(rows, "centroid_id INT, centroid_vec ARRAY<DOUBLE>")
+    return driver_rows_df(
+        spark, rows, "centroid_id INT, centroid_vec ARRAY<DOUBLE>"
+    )
 
 
 def kmeans_init(
@@ -189,20 +193,32 @@ def kmeans_assign(
     list position) or a (centroid_id, centroid_vec) DataFrame. Either
     way the k vectors are collapsed into one broadcast row and ranked
     per embedding row with a constant-size HOF expression — assignment
-    never leaves the scan stage and the plan does not grow with k."""
-    cdf = (
-        centroids
-        if isinstance(centroids, DataFrame)
-        else centroids_df(emb.sparkSession, centroids)
-    )
-    cents = cdf.agg(
-        F.collect_list(
-            F.struct(
-                F.col("centroid_id").alias("j"),
-                F.col("centroid_vec").alias("v"),
-            )
-        ).alias("_cents")
-    )
+    never leaves the scan stage and the plan does not grow with k.
+
+    A driver-resident list skips the collect_list mini-aggregation and
+    becomes the broadcast row DIRECTLY (the payload is already in list
+    position order, which is cluster-id order — identical struct array,
+    one fewer job per invocation; OPTIMIZATION_r15.md)."""
+    if isinstance(centroids, DataFrame):
+        cents = centroids.agg(
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id").alias("j"),
+                    F.col("centroid_vec").alias("v"),
+                )
+            ).alias("_cents")
+        )
+    else:
+        cents = driver_rows_df(
+            emb.sparkSession,
+            [(
+                [
+                    (j, [float(x) for x in c])
+                    for j, c in enumerate(centroids)
+                ],
+            )],
+            "_cents ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>>>",
+        )
     # named_struct, not struct(...).alias(...): aliases are stripped
     # inside HOF lambdas (same pitfall as similarity._assign_buckets).
     # array_min over (d, j) structs = argmin distance, lowest-j tiebreak.
@@ -473,8 +489,8 @@ def kmeans_assign_three_level(
     vectors), and all three ranking tiers are constant-size HOF
     expressions, so the plan stays O(1) in K."""
     top, mids, groups = index
-    idx = emb.sparkSession.createDataFrame(
-        [(top, mids, groups)], _TL3_SCHEMA
+    idx = driver_rows_df(
+        emb.sparkSession, [(top, mids, groups)], _TL3_SCHEMA
     )
     n2 = F.col(norm2_col) if norm2_col else None
 
@@ -534,7 +550,9 @@ def kmeans_assign_two_level(
     O(1) in K. ``score_col`` gets the winner's score (sq dist for the
     trainer metric, negative rounded cosine for ``cosine``)."""
     coarse, groups = index
-    idx = emb.sparkSession.createDataFrame([(coarse, groups)], _TL_SCHEMA)
+    idx = driver_rows_df(
+        emb.sparkSession, [(coarse, groups)], _TL_SCHEMA
+    )
     n2 = F.col(norm2_col) if norm2_col else None
 
     def _ranked(c):
@@ -588,7 +606,9 @@ def kmeans_assign_two_level_multi(
     members are ranked and the best ``n_keep`` kept, so callers should
     probe at least as many groups as they keep."""
     coarse, groups = index
-    idx = emb.sparkSession.createDataFrame([(coarse, groups)], _TL_SCHEMA)
+    idx = driver_rows_df(
+        emb.sparkSession, [(coarse, groups)], _TL_SCHEMA
+    )
     n2 = F.col(norm2_col) if norm2_col else None
 
     def _ranked(c):
@@ -635,8 +655,8 @@ def kmeans_assign_three_level_multi(
     rank their fine members); callers should probe at least as many
     groups per tier as they keep fine centroids."""
     top, mids, groups = index
-    idx = emb.sparkSession.createDataFrame(
-        [(top, mids, groups)], _TL3_SCHEMA
+    idx = driver_rows_df(
+        emb.sparkSession, [(top, mids, groups)], _TL3_SCHEMA
     )
     n2 = F.col(norm2_col) if norm2_col else None
 
@@ -670,6 +690,94 @@ def kmeans_assign_three_level_multi(
     )
 
 
+def _murmur3_long(value: int, seed: int = 42) -> int:
+    """Driver-side twin of Spark's ``F.hash`` over ONE LongType column
+    (Murmur3_x86_32.hashLong, seed 42): the low then high 32-bit words
+    are mixed as two rounds, finalized with length 8. Bit-equality with
+    the engine is pinned in tests/test_driver_lloyd.py — the hash-bucket
+    Lloyd init must pick the SAME seed rows driver-side as the
+    distributed ``kmeans_init`` does, or the two trainers would diverge
+    structurally rather than by float-sum order."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = seed & 0xFFFFFFFF
+    for part in (v & 0xFFFFFFFF, (v >> 32) & 0xFFFFFFFF):
+        k1 = (part * c1) & 0xFFFFFFFF
+        k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+        k1 = (k1 * c2) & 0xFFFFFFFF
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+        h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _np_seed_indices(ids: list[int], k: int) -> list[int]:
+    """Driver-side twin of :func:`kmeans_init`'s hash-bucket min-id
+    seed pick: bucket = pmod(murmur3(id), k), seed = min id per bucket,
+    seeds consumed in ascending-id order; fewer than k buckets falls
+    back to the k smallest ids — the same two branches as the
+    distributed form, so both trainers start from IDENTICAL rows."""
+    buckets: dict[int, int] = {}
+    for pos, vid in enumerate(ids):
+        b = _murmur3_long(int(vid)) % k
+        cur = buckets.get(b)
+        if cur is None or vid < ids[cur]:
+            buckets[b] = pos
+    seed_pos = sorted(buckets.values(), key=lambda p: ids[p])
+    if len(seed_pos) < k:
+        seed_pos = sorted(range(len(ids)), key=lambda p: ids[p])[:k]
+    return seed_pos[:k]
+
+
+def _np_fit_loop(
+    ids: list[int], V, k: int, max_iters: int, rel_tol: float
+) -> tuple[list[list[float]], list[float]]:
+    """Driver-side Lloyd over the COLLECTED bounded training sample —
+    the numpy twin of :func:`_fit_loop`'s flat path, mirroring its
+    control flow exactly: hash-bucket min-id init, argmin assignment
+    with lowest-j tie-break (numpy argmin's first-index rule), empty
+    clusters keep their previous centroid, inertia appended BEFORE the
+    exact-fixpoint break, then the relative-inertia early stop.
+    Differs from the distributed loop only in float-summation order
+    (numpy pairwise vs partition-ordered partial aggregation) — the
+    same noise class as the fused-vs-sequential trainer parity, pinned
+    at 1e-9 in tests/test_driver_lloyd.py."""
+    import numpy as np
+
+    seed_pos = _np_seed_indices(ids, k)
+    C = V[seed_pos].copy()
+    n = V.shape[0]
+    inertia_hist: list[float] = []
+    for _ in range(max_iters):
+        d = np.empty((n, C.shape[0]))
+        for j in range(C.shape[0]):
+            diff = V - C[j]
+            d[:, j] = (diff * diff).sum(1)
+        g = d.argmin(1)
+        newC = C.copy()
+        for j in range(C.shape[0]):
+            mask = g == j
+            if mask.any():
+                newC[j] = V[mask].mean(0)
+        inertia_hist.append(float(d[np.arange(n), g].sum()))
+        if np.array_equal(newC, C):
+            break
+        C = newC
+        if (
+            len(inertia_hist) >= 2
+            and inertia_hist[-2] - inertia_hist[-1]
+            <= rel_tol * max(inertia_hist[-2], 1e-12)
+        ):
+            break
+    return [[float(x) for x in c] for c in C], inertia_hist
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
@@ -680,6 +788,7 @@ def kmeans_fit(
     assign_nprobe: int | None = None,
     train_sample_rows: int | None = None,
     train_sample_n: int | None = None,
+    driver_train: bool = False,
 ) -> tuple[list[list[float]], list[float]]:
     """Returns (centroids, per-iteration inertia). Inertia is
     non-increasing across iterations (Lloyd's invariant — tested).
@@ -708,15 +817,49 @@ def kmeans_fit(
     contract (still deterministic; convergence pinned by test, not
     proof) — the default ``None`` keeps the exact path.
 
-    The slim (id, vec) projection is persisted for the whole fit: every
-    Lloyd iteration (and the init pick) re-consumes it with a different
-    broadcast centroid row, so without the cache each iteration re-reads
-    the source — max_iters+1 scans of a 100 TB input instead of one.
-    Released before returning; MEMORY_AND_DISK (the persist default)
-    spills rather than evicts when the projection exceeds storage."""
+    ``driver_train`` runs the whole fit DRIVER-SIDE on the collected
+    training sample (the :func:`opq_rotation` device, extended to the
+    Lloyd loop): ONE job collects the hash-thinned sample and numpy
+    iterates locally, replacing 1 init + max_iters distributed
+    assignment/update jobs — at 100 TB, 1 thin scan instead of
+    max_iters+1 passes over the cached sample, and on the bench the
+    per-iteration job-latency constant disappears
+    (OPTIMIZATION_r15.md). Callers may opt in ONLY when the sample is
+    bounded by construction — fixed-k trainers passing
+    ``train_sample_rows`` (collect ≤ ~2·256·k rows, the same
+    bounded-sync-point class as the centroid collects); auto-K callers
+    (K ∝ N, sample = corpus) must keep the distributed loop. Results
+    match the distributed fit up to float-summation order (numpy
+    pairwise vs partition-ordered partial aggregation — the identical
+    noise class as fused-vs-sequential codebook parity); init rows are
+    IDENTICAL (the murmur3 twin), and parity is pinned in
+    tests/test_driver_lloyd.py. ``assign_nprobe`` is ignored under
+    ``driver_train``: the local fit is exact flat assignment, which
+    strictly dominates the two-level approximation it replaces.
+
+    In the distributed form the slim (id, vec) projection is persisted
+    for the whole fit: every Lloyd iteration (and the init pick)
+    re-consumes it with a different broadcast centroid row, so without
+    the cache each iteration re-reads the source — max_iters+1 scans of
+    a 100 TB input instead of one. Released before returning;
+    MEMORY_AND_DISK (the persist default) spills rather than evicts
+    when the projection exceeds storage."""
     sample_target = (
         None if train_sample_rows is None else max(train_sample_rows, k)
     )
+    if driver_train:
+        import numpy as np
+
+        rows = (
+            train_sample(emb, id_col, sample_target, n=train_sample_n)
+            .select(id_col, vec_col)
+            .collect()
+        )
+        ids = [int(r[id_col]) for r in rows]
+        V = np.asarray(
+            [[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64
+        )
+        return _np_fit_loop(ids, V, k, max_iters, rel_tol)
     slim = (
         train_sample(emb, id_col, sample_target, n=train_sample_n)
         .select(id_col, vec_col)

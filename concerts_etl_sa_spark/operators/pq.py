@@ -352,6 +352,7 @@ def pq_train_fused(
     rel_tol: float = 1e-6,
     train_sample_rows: int | None = None,
     train_sample_n: int | None = None,
+    driver_train: bool = False,
 ) -> list[list[list[float]]]:
     """All-subspace Lloyd's in ONE loop — the production trainer.
 
@@ -382,7 +383,18 @@ def pq_train_fused(
     corpus, so at scale the trainer's 1+max_iters passes run over a
     bounded sample while encode/score still see every row. Default
     ``None`` trains exactly as before (the pq_train parity contract);
-    below the cap the thinning filter short-circuits bit-identically."""
+    below the cap the thinning filter short-circuits bit-identically.
+
+    ``driver_train`` collects the bounded sample ONCE and runs all m
+    Lloyd loops locally in numpy (the :func:`opq_rotation` device,
+    extended to codebook training — FAISS itself trains codebooks on
+    the in-RAM sample): one job instead of 1 init + max_iters fused
+    jobs. Only valid with a bounded ``train_sample_rows`` (fixed-k
+    callers); the subspace slices and unit normalization are computed
+    by the ENGINE before the collect, so the init books are
+    bit-identical to the distributed loop's and iterations differ only
+    by float-summation order (parity pinned in
+    tests/test_driver_lloyd.py, same class as fused-vs-sequential)."""
     from .kmeans import train_sample
 
     # _nrm is built as a real column in its own projection stage so the
@@ -391,23 +403,25 @@ def pq_train_fused(
     sample_target = (
         None if train_sample_rows is None else max(train_sample_rows, k)
     )
-    slim = (
-        train_sample(emb, "vec_id", sample_target, n=train_sample_n)
-        .select("vec_id", vec_col, _nrm(emb, vec_col).alias("_nrm"))
-        .select(
-            "vec_id",
-            F.array(
-                *[
-                    F.transform(
-                        F.slice(vec_col, s * PQ_SUB + 1, PQ_SUB),
-                        lambda x: x.cast("double") / F.col("_nrm"),
-                    )
-                    for s in range(m)
-                ]
-            ).alias("subs"),
-        )
-        .persist()
+    slim = train_sample(
+        emb, "vec_id", sample_target, n=train_sample_n
+    ).select(
+        "vec_id", vec_col, _nrm(emb, vec_col).alias("_nrm")
+    ).select(
+        "vec_id",
+        F.array(
+            *[
+                F.transform(
+                    F.slice(vec_col, s * PQ_SUB + 1, PQ_SUB),
+                    lambda x: x.cast("double") / F.col("_nrm"),
+                )
+                for s in range(m)
+            ]
+        ).alias("subs"),
     )
+    if driver_train:
+        return _np_fused_loop(slim.collect(), m, k, max_iters, rel_tol)
+    slim = slim.persist()
     try:
         return _fused_loop(slim, m, k, max_iters, rel_tol)
     finally:
@@ -423,9 +437,12 @@ def _fused_stats(slim: DataFrame, books, sub_dim: int):
     (s, cluster, pos, sum_x, n, d) rows."""
     from .kmeans import _sq_dist_lambda
 
+    from .util import driver_rows_df
+
     spark = slim.sparkSession
     schema = "_books ARRAY<ARRAY<STRUCT<j: INT, v: ARRAY<DOUBLE>>>>"
-    bdf = spark.createDataFrame(
+    bdf = driver_rows_df(
+        spark,
         [([[(j, v) for j, v in enumerate(book)] for book in books],)],
         schema,
     )
@@ -523,19 +540,73 @@ def _fused_loop(
     return books
 
 
+def _np_fused_loop(
+    rows, m: int, k: int, max_iters: int, rel_tol: float
+) -> list[list[list[float]]]:
+    """Driver-side twin of :func:`_fused_loop` over the collected
+    (vec_id, subs) sample rows: IDENTICAL hash-bucket min-id init (the
+    murmur3 twin picks the same seed rows, and the sub-slices were
+    computed by the engine before the collect, so init books are
+    bit-identical), then m independent numpy Lloyd loops with the same
+    per-subspace freeze logic (inertia appended before the exact-
+    fixpoint freeze, then the relative-inertia stop). Subspaces never
+    interact in the fused job, so per-subspace loops are semantically
+    identical to the fused iteration; the only divergence from the
+    distributed loop is float-summation order (pinned at 1e-9 in
+    tests/test_driver_lloyd.py)."""
+    import numpy as np
+
+    from .kmeans import _np_seed_indices
+
+    ids = [int(r["vec_id"]) for r in rows]
+    seed_pos = _np_seed_indices(ids, k)
+    # subs[s]: (n, sub_dim) float64 — exact upcast of the engine-computed
+    # doubles (collect preserves bits)
+    S = [
+        np.asarray([[float(x) for x in r["subs"][s]] for r in rows])
+        for s in range(m)
+    ]
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        X = S[s]
+        C = X[seed_pos].copy()
+        hist: list[float] = []
+        for _ in range(max_iters):
+            d = np.empty((X.shape[0], C.shape[0]))
+            for j in range(C.shape[0]):
+                diff = X - C[j]
+                d[:, j] = (diff * diff).sum(1)
+            g = d.argmin(1)
+            newC = C.copy()
+            for j in range(C.shape[0]):
+                mask = g == j
+                if mask.any():
+                    newC[j] = X[mask].mean(0)
+            hist.append(float(d[np.arange(X.shape[0]), g].sum()))
+            if np.array_equal(newC, C):
+                break
+            C = newC
+            if len(hist) >= 2 and hist[-2] - hist[-1] <= rel_tol * max(
+                hist[-2], 1e-12
+            ):
+                break
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
 def pq_codebook_from_trained(
     spark: SparkSession, books: list[list[list[float]]]
 ) -> DataFrame:
     """Materialize trained codebooks as the (s, j, v) frame the encode
     and score paths consume."""
+    from .util import driver_rows_df
+
     rows = [
         (s, j, [float(x) for x in v])
         for s, book in enumerate(books)
         for j, v in enumerate(book)
     ]
-    return spark.createDataFrame(
-        rows, "s INT, j INT, v ARRAY<DOUBLE>"
-    )
+    return driver_rows_df(spark, rows, "s INT, j INT, v ARRAY<DOUBLE>")
 
 
 def topk_cosine_pq_trained(
@@ -570,6 +641,7 @@ def topk_cosine_pq_trained(
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_codes,
         train_sample_n=n_total,
+        driver_train=True,
     )
     return topk_cosine_pq_df(
         emb, pq_codebook_from_trained(spark, books)
@@ -929,6 +1001,7 @@ def topk_cosine_ivfpq_trained(
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_coarse,
         train_sample_n=n_total,
+        driver_train=True,
     )
     coarse = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
@@ -940,6 +1013,7 @@ def topk_cosine_ivfpq_trained(
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_codes,
         train_sample_n=n_total,
+        driver_train=True,
     )
     return topk_cosine_ivfpq_df(
         _emb_normed(spark, sf_dir),
@@ -1256,6 +1330,7 @@ def topk_cosine_ivfpq_residual_df(
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_coarse,
         train_sample_n=n_total,
+        driver_train=True,
     )
     coarse = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
@@ -1285,6 +1360,7 @@ def topk_cosine_ivfpq_residual_df(
                 max_iters=max_iters,
                 train_sample_rows=TRAIN_POINTS_PER_CENTROID * GATE_REF_K,
                 train_sample_n=n_total,
+                driver_train=True,
             )
             gate_coarse = centroids_df(spark, ref_fitted).withColumn(
                 "c_n2", _norm2("centroid_vec")
@@ -1307,6 +1383,7 @@ def topk_cosine_ivfpq_residual_df(
             max_iters=max_iters,
             train_sample_rows=cb_cap,
             train_sample_n=n_total,
+            driver_train=True,
         )
         return topk_cosine_ivfpq_df(
             emb,
@@ -1330,6 +1407,7 @@ def topk_cosine_ivfpq_residual_df(
         max_iters=max_iters,
         train_sample_rows=cb_cap,
         train_sample_n=n_cand,
+        driver_train=True,
     )
     codebook = pq_codebook_from_trained(spark, books)
 
@@ -1465,8 +1543,12 @@ def _sq8_mm_df(cands: DataFrame) -> DataFrame:
     )
     mm = [(float(r["mn"]), float(r["mx"])) for r in
           sorted(mm_rows, key=lambda r: r["pos"])]
-    return cands.sparkSession.createDataFrame(
-        [(mm,)], "_mm ARRAY<STRUCT<mn: DOUBLE, mx: DOUBLE>>"
+    from .util import driver_rows_df
+
+    return driver_rows_df(
+        cands.sparkSession,
+        [(mm,)],
+        "_mm ARRAY<STRUCT<mn: DOUBLE, mx: DOUBLE>>",
     )
 
 
@@ -1964,7 +2046,9 @@ def _rotated_frame(emb: DataFrame, rot: list[list[float]]) -> DataFrame:
     cols = [
         [float(rot[jj][ii]) for jj in range(dim)] for ii in range(dim)
     ]
-    rt_df = spark.createDataFrame([(cols,)], "_rt ARRAY<ARRAY<DOUBLE>>")
+    from .util import driver_rows_df
+
+    rt_df = driver_rows_df(spark, [(cols,)], "_rt ARRAY<ARRAY<DOUBLE>>")
     base = emb.select(
         "vec_id", "embedding", _nrm(emb, "embedding").alias("_nrm")
     )
@@ -2040,6 +2124,7 @@ def topk_cosine_opq_trained(
         max_iters=max_iters,
         train_sample_rows=cap,
         train_sample_n=n_total,
+        driver_train=True,
     )
     return topk_cosine_pq_df(
         rotated, pq_codebook_from_trained(spark, books), top_k=top_k
@@ -2095,6 +2180,7 @@ def topk_cosine_opq_ivfpq_trained(
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_coarse,
         train_sample_n=n_total,
+        driver_train=True,
     )
     coarse = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
@@ -2106,6 +2192,7 @@ def topk_cosine_opq_ivfpq_trained(
         max_iters=max_iters,
         train_sample_rows=cap,
         train_sample_n=n_total,
+        driver_train=True,
     )
     return topk_cosine_ivfpq_df(
         rotated,

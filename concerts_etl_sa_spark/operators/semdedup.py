@@ -468,6 +468,7 @@ def semdedup_trained(
     max_cluster_size: int | None = None,
     assign_nprobe: int | None = None,
     train_sample_n: int | None = None,
+    driver_train: bool = False,
 ) -> DataFrame:
     """SemDeDup over kmeans-TRAINED centroids — the production index
     build (the paper trains k-means on the embedding space). Composes
@@ -486,7 +487,11 @@ def semdedup_trained(
     (K = N/per_cluster, per_cluster < 256) self-exempts arithmetically
     — its cap 256·K exceeds N, so the stride filter short-circuits.
     ``train_sample_n`` forwards a row count the caller already paid
-    for (the auto path's own sizing count)."""
+    for (the auto path's own sizing count). ``driver_train`` forwards
+    :func:`kmeans.kmeans_fit`'s driver-side bounded-sample Lloyd —
+    valid ONLY for fixed-k callers (the sample is bounded at
+    ~2·256·k_centroids rows by construction); the auto-K composition
+    keeps the distributed loop (its sample is the corpus)."""
     from .kmeans import TRAIN_POINTS_PER_CENTROID, centroids_df, kmeans_fit
 
     emb = _emb_normed(spark, sf_dir)
@@ -505,6 +510,7 @@ def semdedup_trained(
         assign_nprobe=assign_nprobe,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_centroids,
         train_sample_n=train_sample_n,
+        driver_train=driver_train,
     )
     centroids = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")

@@ -7,6 +7,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def driver_rows_df(spark, rows, schema) -> DataFrame:
+    """DataFrame over DRIVER-RESIDENT rows laid out as ONE partition.
+
+    ``createDataFrame(list)`` parallelizes tiny driver payloads across
+    ``defaultParallelism`` slices, so every broadcast built from one (a
+    centroid row, a codebook, a routing index, a rotation matrix) pays
+    a defaultParallelism-task mini-job with a shuffle before the
+    BroadcastExchange even starts — measured 0.52 s → 0.28 s per
+    broadcast at local[32] for the k-means assignment device
+    (OPTIMIZATION_r15.md). One slice is the right layout at every
+    scale: these payloads are bounded driver state (K·dim floats) whose
+    only consumers are a broadcast or a collect, and a single slice
+    preserves row order exactly as the multi-slice union did, so
+    downstream ``collect_list`` aggregates are bit-identical.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def sorted_small(df: DataFrame, *cols) -> DataFrame:
     """Total order for a SMALL (aggregate/top-k/pair-list) result without
     ``orderBy``'s range-partitioner sampling job — which re-executes the
