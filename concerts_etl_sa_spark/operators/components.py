@@ -40,6 +40,53 @@ from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 from .dedup import SIMHASH_NEAR_PAIRS_SQL, simhash_near_pairs
+from .util import driver_rows_df
+
+# Size gate for the DRIVER-SIDE closure (OPTIMIZATION_r15.md): below
+# this many symmetrized edge rows the component computation runs as a
+# collected union-find instead of the BSP loop — the same
+# strategy-by-measured-size dispatch as a broadcast join (the count is
+# free: the edge cache was already materialized by its own count()).
+# 2M (u, v) rows is ~32 MB of longs on the wire — broadcast-class
+# driver state, far under the 1 GB maxResultSize default — while a
+# graph past the gate keeps the scale path. Near-dup graphs are SPARSE
+# by construction (banded/capped pair generators), so in practice the
+# driver path serves everything up to corpora ~1000x this bench and
+# the loop serves true 100 TB runs. The fixpoint (min reachable id
+# per vertex) is unique, so both strategies return identical frames —
+# pinned against each other in tests/test_components.py.
+DRIVER_CC_MAX_SYM_ROWS = 2_000_000
+
+
+def _driver_components(rows) -> dict:
+    """Union-find (path-halving) over collected (u, v) rows; returns
+    {vertex: min reachable id} — the same fixpoint the BSP loop
+    computes. Deterministic: set/dict iteration order never affects the
+    result (per-component min is order-free)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in rows:
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        m = comp_min.get(r)
+        if m is None or x < m:
+            comp_min[r] = x
+    return {x: comp_min[find(x)] for x in parent}
 
 
 def _persistent_rdd_ids(sc) -> set[int]:
@@ -73,6 +120,7 @@ def connected_components(
     src: str = "a_id",
     dst: str = "b_id",
     max_iters: int = 25,
+    driver_max_edges: int = DRIVER_CC_MAX_SYM_ROWS,
 ) -> DataFrame:
     """(vertex, component) for every vertex in ``edges``; the component
     id is the minimum vertex id of the connected component.
@@ -127,8 +175,25 @@ def connected_components(
     # round-1 join otherwise fills the 2|E|-row cache inside a job that
     # is simultaneously shuffling it by v — the A/B (round 12, 125x /
     # 367M symmetrized rows) measured the standalone fill consistently
-    # faster and it cleanly separates build cost from iteration cost
-    sym.count()
+    # faster and it cleanly separates build cost from iteration cost.
+    # The fill's count doubles as the STRATEGY DISPATCH (r15): a graph
+    # small enough to broadcast is small enough to close driver-side —
+    # one collect + union-find replaces 2-3 BSP rounds of
+    # join/checkpoint/agg jobs (measured ~4-5 s of per-round fixed
+    # overhead on a 2754-vertex bench graph). Identical fixpoint,
+    # pinned vs the loop in tests/test_components.py.
+    n_sym = sym.count()
+    if n_sym <= driver_max_edges:
+        comp = _driver_components(sym.collect())
+        sym.unpersist()
+        utype = edges.schema[src].dataType.simpleString()
+        result = driver_rows_df(
+            edges.sparkSession,
+            sorted(comp.items()),
+            f"vertex {utype}, component {utype}",
+        ).persist()
+        result.count()
+        return result
     labels = (
         sym.select("u").distinct().withColumn("label", F.col("u")).cache()
     )
@@ -137,6 +202,7 @@ def connected_components(
     # round instead of a spurious no-fixpoint error. One collect per
     # round total — the changed-vertex count IS the round's action.
     prev_chk_ids: set[int] = set()
+    del n_sym  # dispatch consumed above; loop path continues unchanged
     for _ in range(max_iters + 1):
         nbr_min = (
             sym.join(

@@ -30,14 +30,25 @@ def _union_find(edges):
 
 
 def test_connected_components_matches_union_find(spark):
+    """BOTH strategies (r15 size dispatch): the default driver-side
+    union-find path AND the forced BSP loop must equal the reference
+    union-find — and therefore each other — on the real near-dup
+    graph."""
     edges_df = simhash_near_pairs(spark, SF_DIR).select("a_id", "b_id")
     edges = [(r.a_id, r.b_id) for r in edges_df.collect()]
     expected = _union_find(edges)
-    got = {
+    got_driver = {
         r.vertex: r.component
         for r in CC.connected_components(edges_df).collect()
     }
-    assert got == expected
+    got_loop = {
+        r.vertex: r.component
+        for r in CC.connected_components(
+            edges_df, driver_max_edges=0
+        ).collect()
+    }
+    assert got_driver == expected
+    assert got_loop == expected
 
 
 def test_connected_components_chain_converges(spark):
@@ -46,7 +57,7 @@ def test_connected_components_chain_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], ["a_id", "b_id"]
     )
-    out = CC.connected_components(edges).collect()
+    out = CC.connected_components(edges, driver_max_edges=0).collect()
     assert len(out) == n + 1
     assert all(r.component == 0 for r in out)
 
@@ -66,11 +77,12 @@ def test_connected_components_xxhash64_width_ids(spark):
     ]
     edges_df = spark.createDataFrame(edges, "a_id LONG, b_id LONG")
     expected = _union_find(edges)
-    got = {
-        r.vertex: r.component
-        for r in CC.connected_components(edges_df).collect()
-    }
-    assert got == expected
+    for kw in ({}, {"driver_max_edges": 0}):
+        got = {
+            r.vertex: r.component
+            for r in CC.connected_components(edges_df, **kw).collect()
+        }
+        assert got == expected, kw
 
 
 def test_connected_components_already_fixpoint_single_round(spark):
@@ -80,7 +92,9 @@ def test_connected_components_already_fixpoint_single_round(spark):
     edges_df = spark.createDataFrame(
         [(0, 1), (2, 3)], "a_id LONG, b_id LONG"
     )
-    out = CC.connected_components(edges_df, max_iters=1).collect()
+    out = CC.connected_components(
+        edges_df, max_iters=1, driver_max_edges=0
+    ).collect()
     assert {r.vertex: r.component for r in out} == {
         0: 0, 1: 0, 2: 2, 3: 2,
     }
@@ -92,7 +106,8 @@ def test_connected_components_empty_edges(spark):
     as zero changes, the regression the round-13 suite caught in
     semdedup_groups on an empty corpus)."""
     edges_df = spark.createDataFrame([], "a_id LONG, b_id LONG")
-    assert CC.connected_components(edges_df).count() == 0
+    assert CC.connected_components(edges_df, driver_max_edges=0).count() == 0
+    assert CC.connected_components(edges_df).count() == 0  # driver path too
 
 
 def test_dedup_clusters_invariants(spark):

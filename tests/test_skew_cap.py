@@ -279,7 +279,7 @@ def test_components_long_chain_converges_in_log_rounds(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "a_id BIGINT, b_id BIGINT"
     )
-    out = connected_components(edges, max_iters=14)
+    out = connected_components(edges, max_iters=14, driver_max_edges=0)
     assert out.filter(F.col("component") != 0).count() == 0
     assert out.count() == n + 1
 

@@ -75,7 +75,7 @@ def test_connected_components_releases_all_storage(spark):
     leftover = _run_and_release(
         spark,
         lambda: CC.connected_components(
-            simhash_near_pairs(spark, SF_DIR)
+            simhash_near_pairs(spark, SF_DIR), driver_max_edges=0
         ),
     )
     assert not leftover, f"pinned RDDs never released: {leftover}"
