@@ -161,24 +161,36 @@ def kmeans_init(
     emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[list[float]]:
     """Deterministic seed-free init: the min-id vector of each of k hash
-    buckets of ``id_col``. Parallel (hash agg + self-join on k ids) — a
-    rank-based pick would funnel every row through one global-sort
-    partition. Hash spreading approximates an even sample of the id
-    space; Lloyd's iterations do the rest."""
+    buckets of ``id_col``. ONE aggregation pass (r15): ``min_by`` pulls
+    each bucket's min-id row directly — the old two-step (agg the min
+    ids, broadcast-join them back, global orderBy) re-scanned the input
+    and paid a range-partitioner sampling job for a sort of ≤k rows;
+    the ≤k collected rows sort driver-side instead. A rank-based pick
+    would funnel every row through one global-sort partition. Hash
+    spreading approximates an even sample of the id space; Lloyd's
+    iterations do the rest. Same picked rows as the two-step form (min
+    id per bucket is unique — ids are keys), consumed in the same
+    ascending-id order; the driver twin (:func:`_np_seed_indices`)
+    parity stays pinned in tests/test_driver_lloyd.py."""
     slim = emb.select(id_col, vec_col)
-    seed_ids = (
-        slim.select(F.pmod(F.hash(id_col), F.lit(k)).alias("b"), id_col)
-        .groupBy("b")
-        .agg(F.min(id_col).alias(id_col))
-    )
-    picked = (
-        slim.join(F.broadcast(seed_ids.select(id_col)), id_col)
-        .orderBy(id_col)
+    got = (
+        slim.groupBy(F.pmod(F.hash(id_col), F.lit(k)).alias("b"))
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")
+                ),
+                F.col(id_col),
+            ).alias("s")
+        )
+        .select("s._i", "s._v")
         .collect()
     )
-    if len(picked) < k:  # fewer distinct buckets than k (tiny inputs)
+    if len(got) < k:  # fewer distinct buckets than k (tiny inputs)
         picked = slim.orderBy(id_col).limit(k).collect()
-    return [[float(x) for x in r[vec_col]] for r in picked[:k]]
+        return [[float(x) for x in r[vec_col]] for r in picked[:k]]
+    got.sort(key=lambda r: r["_i"])
+    return [[float(x) for x in r["_v"]] for r in got[:k]]
 
 
 def kmeans_assign(

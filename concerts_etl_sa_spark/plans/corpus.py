@@ -184,16 +184,27 @@ def curate_corpus_df(
     # scans per curation run for report integers. MEMORY_AND_DISK
     # spills rather than evicts at corpus scale (the standard
     # materialize-the-index trade).
+    #
+    # The A6 exact-dedup flag is folded INTO the cached frame (r15):
+    # the content_hash window previously re-executed once per consumer
+    # (the near-dup lineage, the flagged fill, and its own report
+    # count — three shuffles of the same key). Computing it over the
+    # full frame — min is taken over rule-passing ids only, so the
+    # flag is identical on every rule-passing row to the old
+    # filtered-frame window — moves that one shuffle into the cache
+    # fill, and the exact count becomes a column sum in the `pre`
+    # aggregation instead of its own job (guide §2.4: operations keyed
+    # the same way share one exchange).
+    w_hash = Window.partitionBy("content_hash")
+    min_pass_id = F.min(F.when(rule_pass, F.col("doc_id"))).over(w_hash)
     ann = scoped_persist(
-        "curate_corpus", ann.withColumn("rule_pass", rule_pass)
+        "curate_corpus",
+        ann.withColumn("rule_pass", rule_pass).withColumn(
+            "exact_kept", rule_pass & (F.col("doc_id") == min_pass_id)
+        ),
     )
 
-    rules = ann.filter("rule_pass")
-    w_hash = Window.partitionBy("content_hash")
-    exact = rules.withColumn(
-        "exact_kept", F.col("doc_id") == F.min("doc_id").over(w_hash)
-    )
-    exact_kept = exact.filter("exact_kept")
+    exact_kept = ann.filter("exact_kept")
 
     if eval_docs is not None:
         contam = decontaminate_df(
@@ -355,8 +366,13 @@ def curate_corpus_df(
     pre = ann.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.when(F.col("rule_pass"), 1).otherwise(0)).alias("n_after_rules"),
+        # exact_kept is a cached column now (see the ann fill) — the
+        # count is part of this aggregation instead of its own job
+        F.sum(F.when(F.col("exact_kept"), 1).otherwise(0)).alias(
+            "n_after_exact"
+        ),
     ).collect()[0]
-    n_after_exact = exact_kept.select(F.count(F.lit(1))).collect()[0][0]
+    n_after_exact = pre["n_after_exact"]
     return CurationReport(
         n_input=pre["n_input"],
         n_after_rules=pre["n_after_rules"],
