@@ -1998,19 +1998,31 @@ def opq_rotation(
     d = x.shape[1]
     sub = d // m
 
-    def _lloyd(xs: "np.ndarray") -> "np.ndarray":
+    def _dists(xs: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+        # per-centroid slices, NOT the (n, k, sub) broadcast: identical
+        # per-(row, j) reduction tree (bit-equal distances — pinned by
+        # the r15 A/B), ~10x faster for skipping the rank-3 temporary
+        d_ = np.empty((xs.shape[0], c.shape[0]))
+        for j in range(c.shape[0]):
+            d_[:, j] = ((xs - c[j]) ** 2).sum(1)
+        return d_
+
+    def _lloyd(xs: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
         # stride init (the hash-bucket pick's numpy analog), 6 rounds —
         # this trains only the ROTATION; the shipped codebooks come
-        # from the standard distributed trainer on the rotated frame
+        # from the standard distributed trainer on the rotated frame.
+        # Returns (centroids, final assignment): the caller previously
+        # recomputed the last assignment with an identical distance
+        # pass — one of seven paid twice (r15).
         idx = (np.arange(k) * max(len(xs) // k, 1)) % len(xs)
         c = xs[idx].copy()
         for _ in range(6):
-            a = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+            a = _dists(xs, c).argmin(1)
             for j in range(k):
                 msk = a == j
                 if msk.any():
                     c[j] = xs[msk].mean(0)
-        return c
+        return c, _dists(xs, c).argmin(1)
 
     r = np.eye(d)
     for _ in range(opq_iters):
@@ -2024,8 +2036,7 @@ def opq_rotation(
         y = xr.copy()
         for s in range(m):
             xs = xr[:, s * sub:(s + 1) * sub]
-            c = _lloyd(xs)
-            a = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+            c, a = _lloyd(xs)
             y[:, s * sub:(s + 1) * sub] = c[a]
         u, _sv, vt = np.linalg.svd(x.T @ y)
         r = u @ vt

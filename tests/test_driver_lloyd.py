@@ -163,3 +163,22 @@ def test_driver_train_requires_no_nprobe_interaction(spark):
         driver_train=True,
     )
     _close(a, b)
+
+
+def test_opq_dists_bit_equal_to_broadcast_form():
+    """r15: opq_rotation's per-centroid distance slices must be
+    BIT-EQUAL to the (n, k, sub) broadcast form they replaced — same
+    per-(row, j) reduction tree, no rank-3 temporary."""
+    import numpy as np
+
+    xs = np.array(
+        [[((i * 7 + j * 3) % 11) * 0.37 for j in range(8)] for i in range(257)]
+    )
+    k = 16
+    idx = (np.arange(k) * max(len(xs) // k, 1)) % len(xs)
+    c = xs[idx].copy()
+    want = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    got = np.empty((xs.shape[0], k))
+    for j in range(k):
+        got[:, j] = ((xs - c[j]) ** 2).sum(1)
+    assert np.array_equal(want, got)
