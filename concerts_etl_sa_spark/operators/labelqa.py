@@ -140,17 +140,117 @@ def knn_label_noise(
     )
 
 
+def _score_pairs_arrow(qry: DataFrame, cand: DataFrame) -> DataFrame:
+    """Within-list pair scoring as ONE cogrouped Arrow stage — the
+    round-16 fix for the per-candidate scoring constant (guide §4.2;
+    r16 stage probe: the scored stage was 4.0 s of the row's 5.1 s,
+    ~4.3 µs per pair in the 64-term ``element_at`` expression even
+    under whole-stage codegen). Instead of materializing both 64-dim
+    vectors per PAIR in the equi-join and folding 64 terms per row,
+    each side crosses the Python boundary ONCE PER VECTOR (cogroup on
+    ``centroid_id`` — the same exchange key the join used) and numpy
+    scores the group's pair block in a vectorized loop.
+
+    This is a DOCUMENTED exception to the no-Python-in-plans policy
+    (the l4 mapInPandas precedent, extended per the r15 verdict to the
+    named unreg rows knn_label_noise_ivf / _trained — neither is
+    DuckDB-oracled; the exact form ``l2_knn_label_noise`` keeps its
+    pure-JVM plan). Results are BIT-IDENTICAL to the expression form,
+    pinned by tests/test_labelqa.py:
+
+    - the float->double upcast is exact on both sides;
+    - the dot accumulates in the same left-associative order (numpy
+      elementwise adds from an explicit 0.0 seed — the JVM fold's
+      exact sequence, including the +0.0 seed semantics);
+    - ``sqrt``/multiply/divide are single correctly-rounded IEEE ops
+      (identical in numpy and the JVM);
+    - the 6-dp ROUNDING stays in the JVM (``F.round`` on the raw
+      cosine), so the rank tie-break contract never crosses engines.
+
+    Returns (a_id, a_label, b_id, b_label, cosine_raw) for every
+    within-list pair with a_id != b_id."""
+    out_schema = (
+        "a_id BIGINT, a_label INT, b_id BIGINT, b_label INT, "
+        "cosine_raw DOUBLE"
+    )
+
+    def score(q, c):
+        import numpy as np
+        import pyarrow as pa
+
+        def _empty():
+            return pa.table(
+                {
+                    "a_id": pa.array([], pa.int64()),
+                    "a_label": pa.array([], pa.int32()),
+                    "b_id": pa.array([], pa.int64()),
+                    "b_label": pa.array([], pa.int32()),
+                    "cosine_raw": pa.array([], pa.float64()),
+                }
+            )
+
+        if q.num_rows == 0 or c.num_rows == 0:
+            return _empty()
+
+        def _mat(tbl, col):
+            la = tbl.column(col).combine_chunks()
+            flat = la.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64).reshape(tbl.num_rows, -1)
+
+        A = _mat(q, "a_vec")
+        B = _mat(c, "b_vec")
+        a_id = q.column("a_id").to_numpy(zero_copy_only=False)
+        b_id = c.column("b_id").to_numpy(zero_copy_only=False)
+        a_n2 = q.column("a_n2").to_numpy(zero_copy_only=False)
+        b_n2 = c.column("b_n2").to_numpy(zero_copy_only=False)
+        # left-associative fold from a 0.0 seed — the JVM expression's
+        # exact add sequence per pair (elementwise adds commute with
+        # nothing; each += is the same IEEE double add)
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for i in range(A.shape[1]):
+            acc += A[:, i, None] * B[None, :, i]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = acc / np.sqrt(a_n2[:, None] * b_n2[None, :])
+        rows, cols = np.nonzero(a_id[:, None] != b_id[None, :])
+        a_lab = q.column("a_label").to_numpy(zero_copy_only=False)
+        b_lab = c.column("b_label").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a_id": pa.array(a_id[rows], pa.int64()),
+                "a_label": pa.array(a_lab[rows], pa.int32()),
+                "b_id": pa.array(b_id[cols], pa.int64()),
+                "b_label": pa.array(b_lab[cols], pa.int32()),
+                "cosine_raw": pa.array(cos[rows, cols], pa.float64()),
+            }
+        )
+
+    return (
+        qry.groupBy("centroid_id")
+        .cogroup(cand.groupBy("centroid_id"))
+        .applyInArrow(score, schema=out_schema)
+    )
+
+
 def knn_label_noise_ivf_df(
     labeled: DataFrame,
     centroids: DataFrame,
     k: int = KNN_K,
     nprobe: int = 4,
+    arrow_score: bool = True,
 ) -> DataFrame:
     """IVF-pruned core over any (vec_id, embedding, label, norm2) frame
     and a (centroid_id, centroid_vec, c_n2) centroid frame — shared by
     the modular-pick and Lloyd-trained wrappers (and the
     clustered-fixture quality tests) so the candidate-join semantics
-    cannot drift between index builds."""
+    cannot drift between index builds.
+
+    ``arrow_score`` picks the pair-scoring implementation: the default
+    cogrouped Arrow batch scorer (:func:`_score_pairs_arrow` — the
+    documented plan-policy exception for these unreg rows), or the
+    all-JVM equi-join + 64-term expression form. Both produce the
+    IDENTICAL frame (bit-equal raw cosines, shared JVM rounding —
+    pinned in tests/test_labelqa.py); the flag exists so the parity
+    stays testable."""
     emb = labeled
     qry = _assign_multi_centroids(
         emb.select("vec_id", "embedding", "norm2"), centroids, n_keep=nprobe
@@ -170,18 +270,29 @@ def knn_label_noise_ivf_df(
         F.col("label").alias("b_label"),
         "centroid_id",
     )
-    scored = (
-        cand.join(qry, "centroid_id")
-        .filter(F.col("a_id") != F.col("b_id"))
+    if arrow_score:
         # a (a, b) pair can appear once per SHARED probed list; the
-        # rank window needs each candidate once — the candidate side is
-        # single-keep, so a candidate's one list can match at most one
-        # of a query's nprobe probed lists (distinct centroid ids, the
-        # tests/test_ivf_pair_uniqueness.py argument); no dedup
-        # exchange needed
-        .withColumn("cosine", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2"))
-        .select("a_id", "a_label", "b_id", "b_label", "cosine")
-    )
+        # candidate side is single-keep, so each (a, b) pair forms in
+        # at most one cogroup (the tests/test_ivf_pair_uniqueness.py
+        # argument) — no dedup exchange needed, same as the join form
+        scored = _score_pairs_arrow(qry, cand).select(
+            "a_id",
+            "a_label",
+            "b_id",
+            "b_label",
+            F.round(F.col("cosine_raw"), 6).alias("cosine"),
+        )
+    else:
+        scored = (
+            cand.join(qry, "centroid_id")
+            .filter(F.col("a_id") != F.col("b_id"))
+            # pair-uniqueness argument as above (single-keep candidate
+            # side, distinct probed centroid ids per query)
+            .withColumn(
+                "cosine", _cosine_pre("a_vec", "b_vec", "a_n2", "b_n2")
+            )
+            .select("a_id", "a_label", "b_id", "b_label", "cosine")
+        )
     # no single-partition sort: this is the production form and its
     # output is corpus-sized (one row per labeled vector)
     return _noise_from_scored(scored, k)

@@ -259,3 +259,69 @@ def test_null_labels_excluded_from_audit_and_votes(spark):
     expected = 200 - len([i for i in range(200) if i % 7 == 0])
     assert len(out) == expected
     assert all(r["knn_majority_label"] is not None for r in out)
+
+
+def test_arrow_scorer_bit_identical_to_expression_form(spark):
+    """Round-16 (verdict #1): the cogrouped Arrow pair scorer must
+    produce the IDENTICAL frame as the all-JVM equi-join + 64-term
+    expression form — the raw cosine accumulates in the same
+    left-associative IEEE order and the 6-dp rounding stays in the
+    JVM, so this is bit-equality, not closeness. Checked on both the
+    shipped table and the clustered fixture (double-typed vectors)."""
+    from concerts_etl_sa_spark.operators.labelqa import _labeled
+    from concerts_etl_sa_spark.operators.semdedup import (
+        SEMDEDUP_CENTROID_RESIDUE,
+        _auto_stride,
+    )
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    emb = _labeled(spark, SF_DIR)
+    n = load_table(spark, SF_DIR, "embeddings", spread=False).count()
+    stride = _auto_stride(n, 60)
+    cents = (
+        load_table(spark, SF_DIR, "embeddings", spread=False)
+        .filter(
+            (F.col("vec_id") % stride)
+            == F.lit(SEMDEDUP_CENTROID_RESIDUE % stride)
+        )
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+            _norm2("embedding").alias("c_n2"),
+        )
+    )
+    a = knn_label_noise_ivf_df(emb, cents, arrow_score=True).collect()
+    b = knn_label_noise_ivf_df(emb, cents, arrow_score=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    df, _, _ = _clustered_labeled(spark, n=300)
+    cl_cents = _mod_centroids(df, 50)
+    a = knn_label_noise_ivf_df(df, cl_cents, arrow_score=True).collect()
+    b = knn_label_noise_ivf_df(df, cl_cents, arrow_score=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_arrow_scorer_node_only_in_ivf_plan(spark):
+    """Plan-policy exception scope (r16): FlatMapCoGroupsInArrow may
+    appear ONLY in the documented unreg IVF rows — the DuckDB-oracled
+    exact form keeps a pure-JVM plan, and the JVM fallback form stays
+    Arrow-free."""
+    from concerts_etl_sa_spark.operators.labelqa import _labeled
+    from concerts_etl_sa_spark.operators.semdedup import _auto_stride
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "FlatMapCoGroupsInArrow" in plan_of(
+        knn_label_noise_ivf(spark, SF_DIR)
+    )
+    assert "FlatMapCoGroupsInArrow" not in plan_of(
+        knn_label_noise(spark, SF_DIR)
+    )
+    emb = _labeled(spark, SF_DIR)
+    n = load_table(spark, SF_DIR, "embeddings", spread=False).count()
+    cents = _mod_centroids(emb, _auto_stride(n, 60))
+    jvm_plan = plan_of(knn_label_noise_ivf_df(emb, cents, arrow_score=False))
+    assert "FlatMapCoGroupsInArrow" not in jvm_plan
+    assert "BatchEvalPython" not in jvm_plan
