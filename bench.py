@@ -152,12 +152,11 @@ def _extra_queries():
     from concerts_etl_sa_spark.operators import textstats as TS
 
     def _semdedup_trained(spark, sf_dir):
-        # fixed-k production form: bounded training sample -> the
-        # driver-side Lloyd (same composition, same args, same series;
-        # execution strategy documented in OPTIMIZATION_r15.md)
-        return SEM.semdedup_trained(
-            spark, sf_dir, k_centroids=32, driver_train=True
-        )
+        # fixed-k production form; execution strategy (driver-side vs
+        # distributed Lloyd) is the OPERATOR's size dispatch now
+        # (kmeans.DRIVER_TRAIN_MAX_ROWS — r15 verdict #3), not a bench
+        # flag
+        return SEM.semdedup_trained(spark, sf_dir, k_centroids=32)
 
     def _semdedup_trained_auto(spark, sf_dir):
         return SEM.semdedup_trained_auto(spark, sf_dir, assign_nprobe=2)

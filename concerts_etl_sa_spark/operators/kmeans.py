@@ -75,6 +75,22 @@ TWO_LEVEL_MIN_K = 64
 # one to hold the keep-rate/recall bars — tests/test_three_level.py).
 THREE_LEVEL_MIN_K = 2048
 
+# Size gate for the DRIVER-SIDE Lloyd fit when the caller does not
+# force a strategy (round 16 — the components.DRIVER_CC_MAX_SYM_ROWS
+# pattern applied to training): a training set KNOWN to be at most this
+# many rows is collected once (Arrow, ~dim·8 bytes/row → ≤ ~51 MB at
+# dim 64) and fitted locally in numpy; anything bigger, or of unknown
+# size, keeps the distributed loop. The bound comes from the sampling
+# arithmetic (train_sample keeps between target and 2·target rows) or
+# from the caller's own sizing count (train_sample_n — every production
+# trainer already pays it), so no extra job is spent deciding. At bench
+# scale this removes the 1 init + max_iters per-iteration job-latency
+# constants from the auto-K trainers too (their sample IS the corpus,
+# but a corpus measured under the gate is bounded driver state by the
+# same argument as a broadcast-class CC edge list); a true 100 TB corpus
+# fails the gate and runs the unchanged distributed loop.
+DRIVER_TRAIN_MAX_ROWS = 100_000
+
 # Training-set bound for FIXED-k trainers, as points per centroid —
 # the FAISS convention (ClusteringParameters.max_points_per_centroid,
 # default 256; Johnson, Douze & Jégou 2017 train billion-scale coarse
@@ -118,6 +134,43 @@ def train_sample(
     return df.filter(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
     )
+
+
+def _driver_train_auto(sample_target: int | None, n: int | None) -> bool:
+    """Strategy dispatch for an unforced ``driver_train``: True when the
+    training set is PROVABLY at most DRIVER_TRAIN_MAX_ROWS rows — via
+    the thinning arithmetic (``train_sample`` keeps < 2·target rows) or
+    the caller's known row count — False when it might be bigger or its
+    size is unknown (never spend a job just to decide)."""
+    if sample_target is not None:
+        bound = 2 * sample_target
+        if n is not None:
+            bound = min(bound, n)
+    elif n is not None:
+        bound = n
+    else:
+        return False
+    return bound <= DRIVER_TRAIN_MAX_ROWS
+
+
+def _collect_ids_matrix(slim: DataFrame, id_col: str, vec_col: str):
+    """Collect a (id, vector) frame as (ids list, (n, dim) float64
+    matrix) via ONE Arrow transfer — the r16 driver-boundary hygiene
+    (guide §5): a row-collect of the same frame materializes every
+    vector as a pyspark Row of boxed Python floats (~5x the bytes on
+    the driver heap at the gate limit); the Arrow path lands the
+    payload as one flat buffer and reshapes. Row order is the frame's
+    partition order, identical to ``collect()``, and the float->double
+    upcast is exact — so the numpy twin sees bit-identical inputs."""
+    import numpy as np
+
+    tbl = slim.toArrow()
+    ids = tbl.column(id_col).to_pylist()
+    if not ids:
+        raise ValueError("kmeans_fit: empty training frame")
+    la = tbl.column(vec_col).combine_chunks()
+    flat = la.flatten().to_numpy(zero_copy_only=False)
+    return ids, np.asarray(flat, dtype=np.float64).reshape(len(ids), -1)
 
 
 _TL_SCHEMA = (
@@ -800,7 +853,7 @@ def kmeans_fit(
     assign_nprobe: int | None = None,
     train_sample_rows: int | None = None,
     train_sample_n: int | None = None,
-    driver_train: bool = False,
+    driver_train: bool | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Returns (centroids, per-iteration inertia). Inertia is
     non-increasing across iterations (Lloyd's invariant — tested).
@@ -831,16 +884,22 @@ def kmeans_fit(
 
     ``driver_train`` runs the whole fit DRIVER-SIDE on the collected
     training sample (the :func:`opq_rotation` device, extended to the
-    Lloyd loop): ONE job collects the hash-thinned sample and numpy
-    iterates locally, replacing 1 init + max_iters distributed
-    assignment/update jobs — at 100 TB, 1 thin scan instead of
-    max_iters+1 passes over the cached sample, and on the bench the
-    per-iteration job-latency constant disappears
-    (OPTIMIZATION_r15.md). Callers may opt in ONLY when the sample is
-    bounded by construction — fixed-k trainers passing
-    ``train_sample_rows`` (collect ≤ ~2·256·k rows, the same
-    bounded-sync-point class as the centroid collects); auto-K callers
-    (K ∝ N, sample = corpus) must keep the distributed loop. Results
+    Lloyd loop): ONE job collects the hash-thinned sample (as Arrow —
+    one flat buffer, not boxed Rows) and numpy iterates locally,
+    replacing 1 init + max_iters distributed assignment/update jobs —
+    at 100 TB, 1 thin scan instead of max_iters+1 passes over the
+    cached sample, and on the bench the per-iteration job-latency
+    constant disappears (OPTIMIZATION_r15.md). The default ``None``
+    DISPATCHES BY MEASURED SIZE (round 16 — the components.py
+    pattern): driver-side iff the training set is provably at most
+    ``DRIVER_TRAIN_MAX_ROWS`` rows, via the thinning arithmetic
+    (< 2·train_sample_rows) or the caller's ``train_sample_n`` count —
+    every production trainer already pays that count, so the dispatch
+    costs no extra job. Fixed-k trainers therefore go driver-side at
+    every scale (bounded by construction); auto-K callers (K ∝ N,
+    sample = corpus) go driver-side only while the measured corpus is
+    under the gate and keep the distributed loop beyond it — an
+    unknown-size input always takes the distributed loop. Results
     match the distributed fit up to float-summation order (numpy
     pairwise vs partition-ordered partial aggregation — the identical
     noise class as fused-vs-sequential codebook parity); init rows are
@@ -859,17 +918,13 @@ def kmeans_fit(
     sample_target = (
         None if train_sample_rows is None else max(train_sample_rows, k)
     )
+    if driver_train is None:
+        driver_train = _driver_train_auto(sample_target, train_sample_n)
     if driver_train:
-        import numpy as np
-
-        rows = (
-            train_sample(emb, id_col, sample_target, n=train_sample_n)
-            .select(id_col, vec_col)
-            .collect()
-        )
-        ids = [int(r[id_col]) for r in rows]
-        V = np.asarray(
-            [[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64
+        ids, V = _collect_ids_matrix(
+            train_sample(emb, id_col, sample_target, n=train_sample_n),
+            id_col,
+            vec_col,
         )
         return _np_fit_loop(ids, V, k, max_iters, rel_tol)
     slim = (

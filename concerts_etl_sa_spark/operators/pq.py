@@ -352,7 +352,7 @@ def pq_train_fused(
     rel_tol: float = 1e-6,
     train_sample_rows: int | None = None,
     train_sample_n: int | None = None,
-    driver_train: bool = False,
+    driver_train: bool | None = None,
 ) -> list[list[list[float]]]:
     """All-subspace Lloyd's in ONE loop — the production trainer.
 
@@ -389,13 +389,17 @@ def pq_train_fused(
     Lloyd loops locally in numpy (the :func:`opq_rotation` device,
     extended to codebook training — FAISS itself trains codebooks on
     the in-RAM sample): one job instead of 1 init + max_iters fused
-    jobs. Only valid with a bounded ``train_sample_rows`` (fixed-k
-    callers); the subspace slices and unit normalization are computed
-    by the ENGINE before the collect, so the init books are
-    bit-identical to the distributed loop's and iterations differ only
-    by float-summation order (parity pinned in
-    tests/test_driver_lloyd.py, same class as fused-vs-sequential)."""
-    from .kmeans import train_sample
+    jobs. The default ``None`` dispatches by MEASURED size exactly like
+    :func:`kmeans.kmeans_fit` (r16): driver-side iff the training set
+    is provably at most ``kmeans.DRIVER_TRAIN_MAX_ROWS`` rows — via the
+    thinning arithmetic or the caller's ``train_sample_n`` count — else
+    the distributed fused loop runs unchanged. The subspace slices and
+    unit normalization are computed by the ENGINE before the collect
+    (one Arrow transfer), so the init books are bit-identical to the
+    distributed loop's and iterations differ only by float-summation
+    order (parity pinned in tests/test_driver_lloyd.py, same class as
+    fused-vs-sequential)."""
+    from .kmeans import _driver_train_auto, train_sample
 
     # _nrm is built as a real column in its own projection stage so the
     # divide lambdas see a per-row attribute (same device as
@@ -419,8 +423,11 @@ def pq_train_fused(
             ]
         ).alias("subs"),
     )
+    if driver_train is None:
+        driver_train = _driver_train_auto(sample_target, train_sample_n)
     if driver_train:
-        return _np_fused_loop(slim.collect(), m, k, max_iters, rel_tol)
+        return _np_fused_loop(_collect_subs_arrow(slim, m), m, k,
+                              max_iters, rel_tol)
     slim = slim.persist()
     try:
         return _fused_loop(slim, m, k, max_iters, rel_tol)
@@ -540,32 +547,48 @@ def _fused_loop(
     return books
 
 
+def _collect_subs_arrow(slim: DataFrame, m: int):
+    """Collect the (vec_id, subs) training frame as (ids, [per-subspace
+    (n, sub_dim) float64 matrices]) via ONE Arrow transfer — the same
+    driver-boundary hygiene as ``kmeans._collect_ids_matrix`` (r16): the
+    nested list<list<double>> column lands as one flat buffer and is
+    reshaped to (n, m, sub), never materialized as boxed Rows. Row
+    order matches ``collect()`` (partition order) and the doubles were
+    computed by the engine, so the numpy twin sees bit-identical
+    inputs."""
+    import numpy as np
+
+    tbl = slim.toArrow()
+    ids = tbl.column("vec_id").to_pylist()
+    if not ids:
+        raise ValueError("pq_train_fused: empty training frame")
+    outer = tbl.column("subs").combine_chunks()
+    flat = outer.flatten().flatten().to_numpy(zero_copy_only=False)
+    arr = np.asarray(flat, dtype=np.float64).reshape(len(ids), m, -1)
+    return ids, [arr[:, s, :] for s in range(m)]
+
+
 def _np_fused_loop(
-    rows, m: int, k: int, max_iters: int, rel_tol: float
+    sample, m: int, k: int, max_iters: int, rel_tol: float
 ) -> list[list[list[float]]]:
     """Driver-side twin of :func:`_fused_loop` over the collected
-    (vec_id, subs) sample rows: IDENTICAL hash-bucket min-id init (the
-    murmur3 twin picks the same seed rows, and the sub-slices were
-    computed by the engine before the collect, so init books are
-    bit-identical), then m independent numpy Lloyd loops with the same
-    per-subspace freeze logic (inertia appended before the exact-
-    fixpoint freeze, then the relative-inertia stop). Subspaces never
-    interact in the fused job, so per-subspace loops are semantically
-    identical to the fused iteration; the only divergence from the
-    distributed loop is float-summation order (pinned at 1e-9 in
-    tests/test_driver_lloyd.py)."""
+    (vec_id, subs) sample — ``sample`` is the (ids, per-subspace
+    matrices) pair from :func:`_collect_subs_arrow`: IDENTICAL
+    hash-bucket min-id init (the murmur3 twin picks the same seed rows,
+    and the sub-slices were computed by the engine before the collect,
+    so init books are bit-identical), then m independent numpy Lloyd
+    loops with the same per-subspace freeze logic (inertia appended
+    before the exact-fixpoint freeze, then the relative-inertia stop).
+    Subspaces never interact in the fused job, so per-subspace loops
+    are semantically identical to the fused iteration; the only
+    divergence from the distributed loop is float-summation order
+    (pinned at 1e-9 in tests/test_driver_lloyd.py)."""
     import numpy as np
 
     from .kmeans import _np_seed_indices
 
-    ids = [int(r["vec_id"]) for r in rows]
+    ids, S = sample
     seed_pos = _np_seed_indices(ids, k)
-    # subs[s]: (n, sub_dim) float64 — exact upcast of the engine-computed
-    # doubles (collect preserves bits)
-    S = [
-        np.asarray([[float(x) for x in r["subs"][s]] for r in rows])
-        for s in range(m)
-    ]
     books: list[list[list[float]]] = []
     for s in range(m):
         X = S[s]
@@ -641,7 +664,6 @@ def topk_cosine_pq_trained(
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_codes,
         train_sample_n=n_total,
-        driver_train=True,
     )
     return topk_cosine_pq_df(
         emb, pq_codebook_from_trained(spark, books)
@@ -1001,7 +1023,6 @@ def topk_cosine_ivfpq_trained(
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_coarse,
         train_sample_n=n_total,
-        driver_train=True,
     )
     coarse = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
@@ -1013,7 +1034,6 @@ def topk_cosine_ivfpq_trained(
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_codes,
         train_sample_n=n_total,
-        driver_train=True,
     )
     return topk_cosine_ivfpq_df(
         _emb_normed(spark, sf_dir),
@@ -1330,7 +1350,6 @@ def topk_cosine_ivfpq_residual_df(
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_coarse,
         train_sample_n=n_total,
-        driver_train=True,
     )
     coarse = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
@@ -1360,7 +1379,6 @@ def topk_cosine_ivfpq_residual_df(
                 max_iters=max_iters,
                 train_sample_rows=TRAIN_POINTS_PER_CENTROID * GATE_REF_K,
                 train_sample_n=n_total,
-                driver_train=True,
             )
             gate_coarse = centroids_df(spark, ref_fitted).withColumn(
                 "c_n2", _norm2("centroid_vec")
@@ -1383,7 +1401,6 @@ def topk_cosine_ivfpq_residual_df(
             max_iters=max_iters,
             train_sample_rows=cb_cap,
             train_sample_n=n_total,
-            driver_train=True,
         )
         return topk_cosine_ivfpq_df(
             emb,
@@ -1407,7 +1424,6 @@ def topk_cosine_ivfpq_residual_df(
         max_iters=max_iters,
         train_sample_rows=cb_cap,
         train_sample_n=n_cand,
-        driver_train=True,
     )
     codebook = pq_codebook_from_trained(spark, books)
 
@@ -2135,7 +2151,6 @@ def topk_cosine_opq_trained(
         max_iters=max_iters,
         train_sample_rows=cap,
         train_sample_n=n_total,
-        driver_train=True,
     )
     return topk_cosine_pq_df(
         rotated, pq_codebook_from_trained(spark, books), top_k=top_k
@@ -2191,7 +2206,6 @@ def topk_cosine_opq_ivfpq_trained(
         max_iters=max_iters,
         train_sample_rows=TRAIN_POINTS_PER_CENTROID * k_coarse,
         train_sample_n=n_total,
-        driver_train=True,
     )
     coarse = centroids_df(spark, fitted).withColumn(
         "c_n2", _norm2("centroid_vec")
@@ -2203,7 +2217,6 @@ def topk_cosine_opq_ivfpq_trained(
         max_iters=max_iters,
         train_sample_rows=cap,
         train_sample_n=n_total,
-        driver_train=True,
     )
     return topk_cosine_ivfpq_df(
         rotated,

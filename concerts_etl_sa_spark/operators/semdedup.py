@@ -468,7 +468,7 @@ def semdedup_trained(
     max_cluster_size: int | None = None,
     assign_nprobe: int | None = None,
     train_sample_n: int | None = None,
-    driver_train: bool = False,
+    driver_train: bool | None = None,
 ) -> DataFrame:
     """SemDeDup over kmeans-TRAINED centroids — the production index
     build (the paper trains k-means on the embedding space). Composes
@@ -488,10 +488,13 @@ def semdedup_trained(
     — its cap 256·K exceeds N, so the stride filter short-circuits.
     ``train_sample_n`` forwards a row count the caller already paid
     for (the auto path's own sizing count). ``driver_train`` forwards
-    :func:`kmeans.kmeans_fit`'s driver-side bounded-sample Lloyd —
-    valid ONLY for fixed-k callers (the sample is bounded at
-    ~2·256·k_centroids rows by construction); the auto-K composition
-    keeps the distributed loop (its sample is the corpus)."""
+    :func:`kmeans.kmeans_fit`'s driver-side bounded-sample Lloyd; the
+    default ``None`` lets the trainer DISPATCH BY MEASURED SIZE (r16):
+    fixed-k callers are bounded by construction and train driver-side
+    at every scale, the auto-K composition trains driver-side only
+    while its measured corpus is under ``kmeans.DRIVER_TRAIN_MAX_ROWS``
+    and keeps the distributed loop beyond — so the execution strategy
+    lives HERE, not in bench.py (r15 verdict #3)."""
     from .kmeans import TRAIN_POINTS_PER_CENTROID, centroids_df, kmeans_fit
 
     emb = _emb_normed(spark, sf_dir)

@@ -81,7 +81,10 @@ def test_np_seed_indices_match_kmeans_init(spark):
 def test_driver_kmeans_parity_on_embeddings(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     # production shape: bounded sample, fixed k
-    a, ia = kmeans_fit(emb, k=4, max_iters=3, train_sample_rows=256 * 4)
+    a, ia = kmeans_fit(
+        emb, k=4, max_iters=3, train_sample_rows=256 * 4,
+        driver_train=False,
+    )
     b, ib = kmeans_fit(
         emb, k=4, max_iters=3, train_sample_rows=256 * 4, driver_train=True
     )
@@ -100,7 +103,9 @@ def test_driver_kmeans_parity_unbounded_small(spark):
         for i in range(60)
     ]
     df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
-    a, _ = kmeans_fit(df, k=3, max_iters=6, train_sample_rows=10_000)
+    a, _ = kmeans_fit(
+        df, k=3, max_iters=6, train_sample_rows=10_000, driver_train=False
+    )
     b, _ = kmeans_fit(
         df, k=3, max_iters=6, train_sample_rows=10_000, driver_train=True
     )
@@ -124,7 +129,10 @@ def test_driver_train_sample_is_the_distributed_sample(spark):
 
 def test_driver_fused_books_parity(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
-    a = pq_train_fused(emb, k=PQ_K, max_iters=2, train_sample_rows=2048)
+    a = pq_train_fused(
+        emb, k=PQ_K, max_iters=2, train_sample_rows=2048,
+        driver_train=False,
+    )
     b = pq_train_fused(
         emb, k=PQ_K, max_iters=2, train_sample_rows=2048, driver_train=True
     )
@@ -144,7 +152,9 @@ def _rounded_sorted(df):
 def test_semdedup_trained_driver_equals_distributed(spark):
     from concerts_etl_sa_spark.operators.semdedup import semdedup_trained
 
-    dist = semdedup_trained(spark, SF_DIR, k_centroids=8)
+    dist = semdedup_trained(
+        spark, SF_DIR, k_centroids=8, driver_train=False
+    )
     drv = semdedup_trained(spark, SF_DIR, k_centroids=8, driver_train=True)
     assert _rounded_sorted(dist) == _rounded_sorted(drv)
 
@@ -153,7 +163,9 @@ def test_driver_train_requires_no_nprobe_interaction(spark):
     # assign_nprobe is documented-ignored under driver_train: exact local
     # assignment must still match the exact distributed fit
     emb = load_table(spark, SF_DIR, "embeddings")
-    a, _ = kmeans_fit(emb, k=4, max_iters=2, train_sample_rows=1024)
+    a, _ = kmeans_fit(
+        emb, k=4, max_iters=2, train_sample_rows=1024, driver_train=False
+    )
     b, _ = kmeans_fit(
         emb,
         k=4,
@@ -182,3 +194,53 @@ def test_opq_dists_bit_equal_to_broadcast_form():
     for j in range(k):
         got[:, j] = ((xs - c[j]) ** 2).sum(1)
     assert np.array_equal(want, got)
+
+
+def test_driver_train_auto_dispatch_rule():
+    """r16: an unforced driver_train dispatches by PROVABLE size — the
+    thinning bound (< 2*target rows) or the caller's known count;
+    unknown size always keeps the distributed loop."""
+    from concerts_etl_sa_spark.operators.kmeans import (
+        DRIVER_TRAIN_MAX_ROWS,
+        _driver_train_auto,
+    )
+
+    g = DRIVER_TRAIN_MAX_ROWS
+    # bounded by construction (fixed-k trainers)
+    assert _driver_train_auto(256 * 8, None) is True
+    assert _driver_train_auto(g, None) is False          # 2*target > gate
+    # bounded by the caller's measured count (auto-K trainers)
+    assert _driver_train_auto(None, g) is True
+    assert _driver_train_auto(None, g + 1) is False
+    # target over the gate but the corpus itself is small: min() applies
+    assert _driver_train_auto(g, 1000) is True
+    # nothing known -> never collect blind
+    assert _driver_train_auto(None, None) is False
+
+
+def test_auto_k_trainer_dispatches_by_measured_size(spark, monkeypatch):
+    """The auto-K composition (sample = corpus) trains driver-side only
+    while the measured corpus is under the gate; shrinking the gate
+    below the corpus must route the SAME call through the distributed
+    loop (pinned by counting _np_fit_loop invocations)."""
+    import concerts_etl_sa_spark.operators.kmeans as KM
+    from concerts_etl_sa_spark.operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    calls = {"np": 0}
+    real = KM._np_fit_loop
+
+    def counting(*a, **kw):
+        calls["np"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(KM, "_np_fit_loop", counting)
+    k = max(n // 60, 8)
+    kmeans_fit(emb, k=k, max_iters=1, train_sample_rows=256 * k,
+               train_sample_n=n)
+    assert calls["np"] == 1  # corpus under the gate -> driver fit
+    monkeypatch.setattr(KM, "DRIVER_TRAIN_MAX_ROWS", n - 1)
+    kmeans_fit(emb, k=k, max_iters=1, train_sample_rows=256 * k,
+               train_sample_n=n)
+    assert calls["np"] == 1  # over the gate -> distributed loop

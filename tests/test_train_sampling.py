@@ -154,10 +154,15 @@ def test_production_trained_paths_unchanged_below_cap(spark):
     """The wired caps (256*k_coarse, 256*k_codes) exceed every fixture's
     row count, so the production trained queries return EXACTLY what
     they returned before sampling shipped — pinned by comparing against
-    an explicit unbounded train of the same composition."""
+    an explicit unbounded train of the same composition. Both sides pin
+    ``driver_train=False`` so the comparison isolates the THINNING
+    filter (r16: an unforced bounded call dispatches to the driver fit,
+    which differs by float-summation order — that parity has its own
+    1e-9 pins in test_driver_lloyd.py; this test's claim is that the
+    sample filter short-circuits below the cap)."""
     emb = _emb(spark)
     books_capped = pq.pq_train_fused(
-        emb, train_sample_rows=256 * pq.PQ_K
+        emb, train_sample_rows=256 * pq.PQ_K, driver_train=False
     )
     books_unbounded = pq.pq_train_fused(emb)
     assert books_capped == books_unbounded
