@@ -58,35 +58,36 @@ from .util import driver_rows_df
 DRIVER_CC_MAX_SYM_ROWS = 2_000_000
 
 
-def _driver_components(rows) -> dict:
-    """Union-find (path-halving) over collected (u, v) rows; returns
-    {vertex: min reachable id} — the same fixpoint the BSP loop
-    computes. Deterministic: set/dict iteration order never affects the
-    result (per-component min is order-free)."""
-    parent: dict = {}
+def _driver_components(u, v) -> list[tuple[int, int]]:
+    """Vectorized min-label closure over the collected symmetrized edge
+    arrays (numpy int vectors, one per endpoint); returns sorted
+    (vertex, min reachable id) tuples — the same fixpoint the BSP loop
+    computes. r16: replaces the per-edge Python union-find over boxed
+    ``Row`` objects, which at the 2M-row gate boundary peaked at
+    ~918 MB of driver RSS (measured, plans/r16/cc_rss_probe.txt) and
+    burned ~20 s of single-threaded dict churn; the numpy form is the
+    BSP loop's own algorithm (propagate + pointer-double to fixpoint)
+    run locally over compact indices — ~56 MB peak at the same gate.
+    Deterministic: ``np.unique`` sorts vertices, so compact-index order
+    IS ascending-id order and the per-component min index maps back to
+    the min vertex id."""
+    import numpy as np
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]  # path halving
-            x = parent[x]
-        return x
-
-    for r in rows:
-        u, v = r[0], r[1]
-        if u not in parent:
-            parent[u] = u
-        if v not in parent:
-            parent[v] = v
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            parent[ru] = rv
-    comp_min: dict = {}
-    for x in parent:
-        r = find(x)
-        m = comp_min.get(r)
-        if m is None or x < m:
-            comp_min[r] = x
-    return {x: comp_min[find(x)] for x in parent}
+    verts, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    eu, ev = inv[: len(u)], inv[len(u):]
+    labels = np.arange(len(verts), dtype=np.int64)
+    while True:
+        prev = labels.copy()
+        # one propagation hop (edges are symmetrized, so both
+        # directions are covered) ...
+        np.minimum.at(labels, eu, prev[ev])
+        # ... then pointer doubling — follow one indirection through
+        # the label map, exactly the BSP loop's shortcut step
+        labels = np.minimum(labels, labels[labels])
+        if np.array_equal(labels, prev):
+            break
+    comp = verts[labels]
+    return list(zip(verts.tolist(), comp.tolist()))
 
 
 def _persistent_rdd_ids(sc) -> set[int]:
@@ -184,12 +185,20 @@ def connected_components(
     # pinned vs the loop in tests/test_components.py.
     n_sym = sym.count()
     if n_sym <= driver_max_edges:
-        comp = _driver_components(sym.collect())
+        # ONE Arrow transfer (two flat int buffers), never boxed Rows —
+        # the r16 driver-boundary hygiene; see _driver_components for
+        # the measured RSS numbers at the gate limit
+        tbl = sym.toArrow()
+        comp = _driver_components(
+            tbl.column("u").to_numpy(zero_copy_only=False),
+            tbl.column("v").to_numpy(zero_copy_only=False),
+        )
+        del tbl
         sym.unpersist()
         utype = edges.schema[src].dataType.simpleString()
         result = driver_rows_df(
             edges.sparkSession,
-            sorted(comp.items()),
+            comp,
             f"vertex {utype}, component {utype}",
         ).persist()
         result.count()

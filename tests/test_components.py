@@ -127,3 +127,51 @@ def test_dedup_clusters_invariants(spark):
 
     sizes = Counter(r.cluster_rep for r in rows)
     assert all(r.cluster_size == sizes[r.cluster_rep] for r in rows)
+
+
+def test_driver_closure_matches_reference_at_scale(spark):
+    """r16 boundary pin for the vectorized driver closure: a synthetic
+    graph large enough that compact-index remapping, propagation
+    rounds, and pointer doubling all do real work (50k edges: chains,
+    stars, and chain-to-star bridges) must match a reference union-find
+    exactly, twice (determinism)."""
+    n = 50_000
+    e = spark.range(n).select(
+        F.col("id").alias("a_id"),
+        F.when(F.col("id") % 16 == 15, (F.col("id") / 16).cast("long"))
+        .otherwise(F.col("id") + 1)
+        .alias("b_id"),
+    )
+    out1 = {
+        (r["vertex"], r["component"])
+        for r in CC.connected_components(e).collect()
+    }
+    out2 = {
+        (r["vertex"], r["component"])
+        for r in CC.connected_components(e).collect()
+    }
+    assert out1 == out2
+
+    # reference union-find over the same edges
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in e.collect():
+        a, b = r["a_id"], r["b_id"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for x in parent:
+        root = find(x)
+        if root not in comp_min or x < comp_min[root]:
+            comp_min[root] = x
+    want = {(x, comp_min[find(x)]) for x in parent}
+    assert out1 == want
