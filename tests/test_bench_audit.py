@@ -174,7 +174,7 @@ def test_norm_gate_weather_immune():
     unchanged and the gate passes."""
     from bench_audit import best_prior as abs_prior
 
-    prior = norm_prior({"l1_dedup_clusters"})
+    prior = norm_prior({"l1_dedup_clusters"}, 32)
     assert "l1_dedup_clusters" in prior, "needs the registered baseline"
     mark, _src = prior["l1_dedup_clusters"]
     abs_best = abs_prior({"l1_dedup_clusters"})["l1_dedup_clusters"][0]
@@ -194,7 +194,7 @@ def test_norm_gate_weather_immune():
 def test_norm_gate_fires_on_real_regression():
     """A 2.5x normalized regression on a heavyweight row (where the
     converted noise floor is small relative to the mark) must fail."""
-    prior = norm_prior({"unreg_l2_topk_cosine_ivfpq_residual"})
+    prior = norm_prior({"unreg_l2_topk_cosine_ivfpq_residual"}, 32)
     assert "unreg_l2_topk_cosine_ivfpq_residual" in prior
     mark, _ = prior["unreg_l2_topk_cosine_ivfpq_residual"]
     bad = {
@@ -213,7 +213,7 @@ def test_missing_norm_prior_falls_back_to_absolute_gate():
     from bench_audit import best_prior as abs_prior
 
     abs_best = abs_prior({"e1_pricing_summary"})["e1_pricing_summary"][0]
-    clusters_mark = norm_prior({"l1_dedup_clusters"})["l1_dedup_clusters"][0]
+    clusters_mark = norm_prior({"l1_dedup_clusters"}, 32)["l1_dedup_clusters"][0]
     new = {
         # e1 regressed 10x in absolute seconds and carries NO norm mark
         "queries": {
@@ -235,7 +235,7 @@ def test_norm_floor_protects_subsecond_rows():
     but stays inside the converted floor must NOT fire."""
     from bench_audit import ABS_FLOOR as _AF
 
-    prior = norm_prior({"unreg_e10_props_json_stats"})
+    prior = norm_prior({"unreg_e10_props_json_stats"}, 32)
     assert "unreg_e10_props_json_stats" in prior
     mark, _ = prior["unreg_e10_props_json_stats"]
     floor = _AF / canary_ref()
@@ -274,3 +274,68 @@ def test_gate_fails_a_slowed_trainer():
         {"queries": {"unreg_l2_topk_cosine_pq_trained": ok_mark}}
     )
     assert not regs_ok
+
+
+def test_history_filtered_by_core_count():
+    """r16: normalized marks are not comparable across core counts (a
+    c8 sitting's canary runs ~2.8x slower while latency-bound rows
+    barely move, so its marks read far LOWER on identical code). The
+    audit must filter its history to the result's own core count —
+    BENCH_r15_c8.json (driver wrapper cpus=8) had silently ratcheted
+    the 32-core baselines down."""
+    from bench_audit import _bench_history, norm_prior
+
+    names32 = {n for n, _ in _bench_history(32)}
+    names8 = {n for n, _ in _bench_history(8)}
+    assert "BENCH_r15_c8.json" not in names32
+    assert "BENCH_r15_c8.json" in names8
+    # the poisoned prior observed at r16 round open: curate_corpus's
+    # best prior came from the c8 file at ~1.67 — the 32-core-filtered
+    # prior must not be that value
+    p32 = norm_prior({"unreg_l5_curate_corpus"}, 32)
+    assert p32["unreg_l5_curate_corpus"][1] != "BENCH_r15_c8.json"
+    # a 32-core result is audited only against 32-core history
+    probe = {
+        "queries": {"unreg_l5_curate_corpus": 3.5},
+        "queries_norm": {"unreg_l5_curate_corpus": 6.0},
+        "canary_median": 0.46,
+        "cpus": 32,
+    }
+    regs, lines = audit(probe)
+    joined = "\n".join(lines)
+    assert "BENCH_r15_c8.json" not in joined
+
+
+def test_bench_emits_exactly_one_stdout_line_under_noise():
+    """r16 (verdict #6): the driver contract is ONE JSON line on
+    stdout. BENCH_r14.json failed to parse driver-side at rc 0 —
+    something shared fd 1. bench._claim_stdout points fd 1 at stderr
+    and reserves the real stdout for the result line; anything the
+    process (Python OR a subprocess, standing in for the JVM) writes
+    afterwards must land on stderr."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    code = r"""
+import json, os, subprocess, sys
+sys.path.insert(0, "/root/repo")
+from bench import _claim_stdout
+emit = _claim_stdout()
+print("stray python print after the claim")
+subprocess.run(["echo", "subprocess banner after the claim"])
+sys.stdout.flush()
+emit(json.dumps({"metric": "m", "value": 1.0}))
+print("stray python print after the emit")
+sys.stdout.flush()
+"""
+    r = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stderr
+    out_lines = [ln for ln in r.stdout.splitlines() if ln]
+    assert len(out_lines) == 1, r.stdout
+    assert json.loads(out_lines[0])["value"] == 1.0
+    assert "stray python print after the claim" in r.stderr
+    assert "subprocess banner after the claim" in r.stderr
+    assert "stray python print after the emit" in r.stderr

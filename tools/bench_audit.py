@@ -70,7 +70,15 @@ def _load_norm_baseline() -> dict:
         return {}
 
 
-def _bench_history() -> list[tuple[str, dict]]:
+def _bench_history(cpus: int | None = None) -> list[tuple[str, dict]]:
+    """History entries, optionally filtered to one core count. Marks
+    from different core counts are NOT comparable (r16: the constant-
+    work canary slows ~2.8x at c8 while driver-latency-bound rows
+    barely move, so a c8 sitting's normalized marks read 2-3x LOWER on
+    identical code — the driver's BENCH_r15_c8.json had silently
+    ratcheted the 32-core baselines down). The core count comes from
+    the driver wrapper's ``cpus`` field or the result's own (r16+);
+    files carrying neither are 32-core sittings (every pre-r15 file)."""
     out = []
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         try:
@@ -78,33 +86,45 @@ def _bench_history() -> list[tuple[str, dict]]:
                 data = json.load(f)
         except Exception:
             continue
+        eff = data.get("cpus")
         # driver rounds wrap the bench line under "parsed"
         if "queries" not in data and isinstance(data.get("parsed"), dict):
             data = data["parsed"]
+        if eff is None:
+            eff = data.get("cpus")
+        eff = int(eff) if eff else 32
+        if cpus is not None and eff != cpus:
+            continue
         out.append((os.path.basename(path), data))
     return out
 
 
-def best_prior(queries: set[str]) -> dict[str, tuple[float, str]]:
+def best_prior(
+    queries: set[str], cpus: int | None = None
+) -> dict[str, tuple[float, str]]:
     """{query: (best ABSOLUTE seconds, source)} across BENCH_r*.json."""
     best: dict[str, tuple[float, str]] = {}
-    for name, data in _bench_history():
+    for name, data in _bench_history(cpus):
         for q, sec in (data.get("queries") or {}).items():
             if q in queries and (q not in best or sec < best[q][0]):
                 best[q] = (float(sec), name)
     return best
 
 
-def norm_prior(queries: set[str]) -> dict[str, tuple[float, str]]:
+def norm_prior(
+    queries: set[str], cpus: int | None = None
+) -> dict[str, tuple[float, str]]:
     """{query: (best NORMALIZED mark, source)} across BENCH_r*.json
     history that carries queries_norm, seeded with the registered
-    norm_baseline.json bands."""
+    norm_baseline.json bands (registered from 32-core sittings — only
+    applied when auditing a 32-core result)."""
     best: dict[str, tuple[float, str]] = {}
     base = _load_norm_baseline()
-    for q, mark in (base.get("queries_norm") or {}).items():
-        if q in queries:
-            best[q] = (float(mark), "norm_baseline.json")
-    for name, data in _bench_history():
+    if cpus in (None, 32):
+        for q, mark in (base.get("queries_norm") or {}).items():
+            if q in queries:
+                best[q] = (float(mark), "norm_baseline.json")
+    for name, data in _bench_history(cpus):
         for q, mark in (data.get("queries_norm") or {}).items():
             if q in queries and (q not in best or mark < best[q][0]):
                 best[q] = (float(mark), name)
@@ -121,8 +141,9 @@ def canary_ref() -> float | None:
 def _audit_normalized(new: dict) -> tuple[list[str], list[str]]:
     newn = {q: float(m) for q, m in (new.get("queries_norm") or {}).items()}
     newq = {q: float(s) for q, s in (new.get("queries") or {}).items()}
-    prior = norm_prior(set(newn) | set(newq))
-    abs_prior = best_prior(set(newq))
+    cpus = int(new.get("cpus") or 32)
+    prior = norm_prior(set(newn) | set(newq), cpus)
+    abs_prior = best_prior(set(newq), cpus)
     cref = canary_ref() or float(new.get("canary_median") or 1.0)
     norm_floor = ABS_FLOOR / cref
     regressions: list[str] = []
