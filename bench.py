@@ -132,6 +132,15 @@ HEADLINE = R6_HEADLINE + [
     # through r13. Landing files are generated once per process in
     # main(), BEFORE the timed loop — the timed work is the lifecycle.
     "unreg_pipeline_landing",
+    # round-16 (verdict #8): the last operator families with no timed
+    # row join the gate — sequence packing (the documented
+    # applyInPandas escape hatch: hash-bucketed greedy pack over slim
+    # (id, n_tokens) rows), the stratified split projection, and the
+    # data-card rollup (single-plan shape verified in r15, unmeasured
+    # until now). Additions only; all three resolve via _extra_queries.
+    "unreg_l5_pack_sequences",
+    "unreg_l5_stratified_split",
+    "unreg_l5_corpus_datacard",
     # round-13 (verdict #3): the END-TO-END curation composition —
     # annotate scan + rules + exact-dedup window + capped minhash
     # near-dup + connected-components closure + report aggregation,
@@ -162,6 +171,7 @@ def _extra_queries():
         return SEM.semdedup_trained_auto(spark, sf_dir, assign_nprobe=2)
 
     from concerts_etl_sa_spark.operators import pq as PQ
+    from concerts_etl_sa_spark.operators import sampling as SP
     from concerts_etl_sa_spark.operators import similarity as S
 
     return {
@@ -204,7 +214,31 @@ def _extra_queries():
         "unreg_l5_curate_corpus": _curate_corpus_bench,
         "unreg_l2_topk_cosine_opq_trained": PQ.topk_cosine_opq_trained,
         "unreg_pipeline_landing": _pipeline_landing_bench,
+        "unreg_l5_pack_sequences": _pack_sequences_bench,
+        "unreg_l5_stratified_split": SP.stratified_split,
+        "unreg_l5_corpus_datacard": _corpus_datacard_bench,
     }
+
+
+def _pack_sequences_bench(spark, sf_dir):
+    # same shape as tools/scale_probe.py's pack row: slim (id, count)
+    # rows through the bucketed greedy pack; text never enters the
+    # pandas stage
+    from pyspark.sql import functions as F
+
+    from concerts_etl_sa_spark.operators.packing import pack_sequences
+    from concerts_etl_sa_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_sequences(docs, max_tokens=2048)
+
+
+def _corpus_datacard_bench(spark, sf_dir):
+    from concerts_etl_sa_spark.plans.corpus import corpus_datacard
+
+    return corpus_datacard(spark, sf_dir)
 
 
 _LANDING_CACHE: dict[str, tuple[str, str, str]] = {}
