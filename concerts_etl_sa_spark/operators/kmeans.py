@@ -91,6 +91,18 @@ THREE_LEVEL_MIN_K = 2048
 # fails the gate and runs the unchanged distributed loop.
 DRIVER_TRAIN_MAX_ROWS = 100_000
 
+# Work gate alongside the memory gate: the driver fit is a
+# SINGLE-THREADED numpy loop whose per-iteration cost is ~rows·k·dim
+# flops, while the distributed loop spreads the same flops across the
+# cluster (two-level-routed when engaged). Measured at the r16 scale
+# probe: the auto-K semdedup at 25x (50k rows, K=833 — rows·k ≈ 42M)
+# ran 2x SLOWER driver-side (56 vs 27 s) even though it fit under the
+# row gate, while 1x/5x (rows·k ≤ 1.7M) were 1.3-2.3x faster. 8M keeps
+# every fixed-k trainer (sample ≤ 512·k, k ≤ 32 → ≤ 0.5M) and the
+# small-corpus auto-K fits driver-side, and routes big-K fits back to
+# the distributed loop.
+DRIVER_TRAIN_MAX_ROWK = 8_000_000
+
 # Training-set bound for FIXED-k trainers, as points per centroid —
 # the FAISS convention (ClusteringParameters.max_points_per_centroid,
 # default 256; Johnson, Douze & Jégou 2017 train billion-scale coarse
@@ -136,11 +148,15 @@ def train_sample(
     )
 
 
-def _driver_train_auto(sample_target: int | None, n: int | None) -> bool:
+def _driver_train_auto(
+    sample_target: int | None, n: int | None, k: int
+) -> bool:
     """Strategy dispatch for an unforced ``driver_train``: True when the
     training set is PROVABLY at most DRIVER_TRAIN_MAX_ROWS rows — via
     the thinning arithmetic (``train_sample`` keeps < 2·target rows) or
-    the caller's known row count — False when it might be bigger or its
+    the caller's known row count — AND the local fit's work bound
+    (rows·k, the per-iteration flop product) stays under
+    DRIVER_TRAIN_MAX_ROWK. False when either might be bigger or the
     size is unknown (never spend a job just to decide)."""
     if sample_target is not None:
         bound = 2 * sample_target
@@ -150,7 +166,10 @@ def _driver_train_auto(sample_target: int | None, n: int | None) -> bool:
         bound = n
     else:
         return False
-    return bound <= DRIVER_TRAIN_MAX_ROWS
+    return (
+        bound <= DRIVER_TRAIN_MAX_ROWS
+        and bound * max(k, 1) <= DRIVER_TRAIN_MAX_ROWK
+    )
 
 
 def _collect_ids_matrix(slim: DataFrame, id_col: str, vec_col: str):
@@ -919,7 +938,7 @@ def kmeans_fit(
         None if train_sample_rows is None else max(train_sample_rows, k)
     )
     if driver_train is None:
-        driver_train = _driver_train_auto(sample_target, train_sample_n)
+        driver_train = _driver_train_auto(sample_target, train_sample_n, k)
     if driver_train:
         ids, V = _collect_ids_matrix(
             train_sample(emb, id_col, sample_target, n=train_sample_n),

@@ -424,7 +424,7 @@ def pq_train_fused(
         ).alias("subs"),
     )
     if driver_train is None:
-        driver_train = _driver_train_auto(sample_target, train_sample_n)
+        driver_train = _driver_train_auto(sample_target, train_sample_n, k)
     if driver_train:
         return _np_fused_loop(_collect_subs_arrow(slim, m), m, k,
                               max_iters, rel_tol)

@@ -207,15 +207,20 @@ def test_driver_train_auto_dispatch_rule():
 
     g = DRIVER_TRAIN_MAX_ROWS
     # bounded by construction (fixed-k trainers)
-    assert _driver_train_auto(256 * 8, None) is True
-    assert _driver_train_auto(g, None) is False          # 2*target > gate
+    assert _driver_train_auto(256 * 8, None, 8) is True
+    assert _driver_train_auto(g, None, 8) is False       # 2*target > gate
     # bounded by the caller's measured count (auto-K trainers)
-    assert _driver_train_auto(None, g) is True
-    assert _driver_train_auto(None, g + 1) is False
+    assert _driver_train_auto(None, g, 8) is True
+    assert _driver_train_auto(None, g + 1, 8) is False
     # target over the gate but the corpus itself is small: min() applies
-    assert _driver_train_auto(g, 1000) is True
+    assert _driver_train_auto(g, 1000, 8) is True
     # nothing known -> never collect blind
-    assert _driver_train_auto(None, None) is False
+    assert _driver_train_auto(None, None, 8) is False
+    # the WORK gate (rows*k): a big-K auto fit must stay distributed
+    # even when its rows fit — the r16 scale probe measured the
+    # single-threaded driver fit 2x slower at 50k rows / K=833
+    assert _driver_train_auto(None, 50_000, 833) is False
+    assert _driver_train_auto(None, 10_000, 166) is True
 
 
 def test_auto_k_trainer_dispatches_by_measured_size(spark, monkeypatch):
